@@ -153,7 +153,7 @@ def _best_match(map_col: str) -> F.Column:
     """E5 best-match: English preferred, else the first map value."""
     return F.coalesce(
         F.expr(f"{map_col}['en']"),
-        F.expr(f"element_at(map_values({map_col}), 1)"),
+        F.expr(f"try_element_at(map_values({map_col}), 1)"),
     )
 
 
@@ -570,7 +570,7 @@ def _best_match_from_arr(arr_col: str) -> F.Column:
     m = _LABELS_MAP_EXPR.format(arr=arr_col)
     return F.coalesce(
         F.expr(f"({m})['en']"),
-        F.expr(f"element_at(map_values({m}), 1)"),
+        F.expr(f"try_element_at(map_values({m}), 1)"),
     )
 
 
