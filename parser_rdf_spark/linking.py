@@ -1,0 +1,240 @@
+"""Stage 3: entity linking, canonicalization, and cross-document IRI
+resolution (north_rule: "links and canonicalizes entities via a salted
+broadcast-hash join against a dictionary plus MinHash-LSH blocking and
+connected-components (iterative DataFrame self-join with checkpointing)").
+
+The reference library has no cross-document stage at all (it is a
+per-document parser); this module is the scale-out half the north rule
+adds. Three components:
+
+1. :func:`link_entities` — salted broadcast-hash dictionary join. The
+   probe side (triples) is mega-host skewed; the dictionary is small.
+   A plain broadcast join already avoids shuffle skew for the probe side,
+   but hot *keys* still serialize within a partition's hash probe and,
+   worse, upstream repartitioning on the key would explode. We salt
+   explicitly: probe keys get a random-but-deterministic salt in [0, K),
+   the broadcast dictionary is exploded ×K, so even a downstream shuffle
+   on the join key spreads a mega-key over K partitions (SURVEY.md §4
+   item 1).
+
+2. :func:`minhash_lsh_blocking` — near-duplicate surface blocking:
+   character-shingle → 64-bit minhash signatures → banded LSH buckets →
+   candidate pairs via a self-join on (band, bucket). Pure Column ops
+   (xxhash64 is JVM-side), no Python.
+
+3. :func:`connected_components` — large-star/small-star-style hash-min
+   label propagation as an iterative DataFrame self-join, with
+   ``localCheckpoint`` every ``checkpoint_every`` rounds to truncate
+   lineage, early exit on convergence (count of changed labels == 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def link_entities(
+    triples: DataFrame,
+    entities: DataFrame,
+    salt_buckets: int = 16,
+    surface_col: str = "obj_value",
+) -> DataFrame:
+    """Salted broadcast-hash join of triple objects against the
+    ``entities(surface, canonical_iri)`` dictionary; adds
+    ``canonical_obj`` = canonical IRI when linked, else the original term.
+
+    The salt is ``pmod(xxhash64(doc_url, line_no), K)`` — deterministic
+    (resume-safe, no rand()) yet uncorrelated with the join key, so a
+    mega-key's probes spread over K dictionary replicas.
+    """
+    salted_dict = (
+        entities.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        .withColumnRenamed("surface", "_surface")
+    )
+    probe = triples.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_url", "line_no"), F.lit(salt_buckets)).cast("int")
+    )
+    out = probe.join(
+        F.broadcast(salted_dict),
+        (probe[surface_col] == salted_dict["_surface"]) & (probe["salt"] == salted_dict["salt"]),
+        "left",
+    )
+    return (
+        out.withColumn("canonical_obj", F.coalesce(F.col("canonical_iri"), F.col(surface_col)))
+        .drop("_surface", "salt", "canonical_iri")
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame, entities: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Canonicalize subject AND object IRIs through the dictionary.
+
+    Two salted broadcast joins (no shuffle of the big side at all);
+    literals pass through untouched.
+    """
+    linked_obj = link_entities(triples, entities, salt_buckets, "obj_value")
+    linked_obj = linked_obj.withColumn(
+        "obj_canonical",
+        F.when(F.col("obj_kind") == "literal", F.col("obj_value")).otherwise(
+            F.col("canonical_obj")
+        ),
+    ).drop("canonical_obj")
+
+    salted_dict = (
+        entities.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        .withColumnRenamed("surface", "_surface")
+        .withColumnRenamed("canonical_iri", "_subj_canon")
+    )
+    probe = linked_obj.withColumn(
+        "salt2", F.pmod(F.xxhash64("doc_url", "subj"), F.lit(salt_buckets)).cast("int")
+    )
+    out = probe.join(
+        F.broadcast(salted_dict),
+        (probe["subj"] == salted_dict["_surface"]) & (probe["salt2"] == salted_dict["salt"]),
+        "left",
+    )
+    return (
+        out.withColumn("subj_canonical", F.coalesce(F.col("_subj_canon"), F.col("subj")))
+        .drop("_surface", "_subj_canon", "salt", "salt2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH blocking
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_len: int = 4,
+) -> DataFrame:
+    """64-bit minhash signatures over character shingles, entirely JVM-side:
+    sliding-window substrings → per-permutation ``min(xxhash64(shingle,
+    seed))``. Output: (id, sig: array<bigint>).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(sequence(1, greatest(1, length({text_col}) - {shingle_len - 1})), "
+            f"i -> substring({text_col}, i, {shingle_len}))"
+        ).alias("shingles"),
+    )
+    sig = shingled.select(
+        "id",
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(shingles, s -> xxhash64(s, {seed}L)))"
+                ).alias(f"h{seed}")
+                for seed in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    return sig
+
+
+def minhash_lsh_blocking(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: signatures are cut
+    into ``bands`` bands of ``num_hashes/bands`` rows; two ids sharing any
+    (band, band-hash) bucket become a candidate pair.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The self-join is on
+    (band, bucket) — high-cardinality keys, so the shuffle is well spread;
+    degenerate buckets (all-identical docs) are the caller's concern.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.expr(f"slice(sig, {b * rows_per_band + 1}, {rows_per_band})"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a"))
+    right = banded.select(F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b"))
+    return (
+        left.join(
+            right,
+            (F.col("b1") == F.col("b2")) & (F.col("k1") == F.col("k2")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Hash-min connected components over an undirected edge list.
+
+    Iterative DataFrame self-join with checkpointing (the exact pattern
+    the north rule names): each vertex repeatedly adopts the minimum
+    component id among itself and its neighbors; lineage is truncated
+    with ``localCheckpoint`` every ``checkpoint_every`` rounds; the loop
+    exits as soon as an iteration changes nothing.
+
+    Returns (vertex: string, component: string, component_id: long) where
+    ``component`` is the lexicographic minimum vertex of the component and
+    ``component_id`` its stable xxhash64.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(max_iters):
+        # each vertex adopts min(own label, neighbors' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("vertex", "b2"), sym.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        stepped = labels.join(neigh, labels.vertex == neigh.a, "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=True)
+        else:
+            stepped = stepped.persist()
+        changed = stepped.filter(F.col("component") != F.col("_old")).count()
+        labels.unpersist()
+        labels = stepped.drop("_old")
+        if changed == 0:
+            break
+
+    return labels.withColumn("component_id", F.xxhash64("component"))

@@ -1,0 +1,202 @@
+"""Stage 4: graph materialization — edge/vertex tables partitioned by
+predicate bucket, per-partition lineage + triple-count metrics, and
+checkpoint/resume via a processed-bucket high-water-mark table.
+
+Storage abstraction (SURVEY.md §7 step 7): this sandbox has no Iceberg
+runtime jar, so tables are partitioned Parquet with an Iceberg-identical
+layout (``pred_bucket = pmod(xxhash64(pred), N)`` ≙ Iceberg
+``bucket(N, pred)``); the writer functions are the single place a real
+deployment would swap in ``df.writeTo(...)`` against an Iceberg catalog.
+
+Resume model (north rule: "resumable from checkpoint"): input pages are
+split into ``url_bucket = pmod(xxhash64(url), B)`` work units. Each fully
+written bucket is recorded in ``<root>/_checkpoints/processed_buckets``
+(one commit per bucket, written AFTER the bucket's data lands — at-least-
+once, idempotent because a re-run overwrites the same deterministic
+partition directories). A killed job re-runs only unrecorded buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PRED_BUCKETS = 64
+
+
+def pred_bucket_col(n_buckets: int = DEFAULT_PRED_BUCKETS) -> F.Column:
+    """Iceberg-style bucket transform on predicate (BASELINE.json:6)."""
+    return F.pmod(F.xxhash64("pred"), F.lit(n_buckets)).cast("int")
+
+
+def build_edges(triples: DataFrame, pages: DataFrame | None = None,
+                n_buckets: int = DEFAULT_PRED_BUCKETS) -> DataFrame:
+    """triples → edges(subj, pred, obj, obj_kind, pred_bucket, doc_url,
+    warc_ts); literals are excluded (edges are resource→resource)."""
+    edges = triples.filter(F.col("obj_kind") != "literal").select(
+        "subj",
+        "pred",
+        F.col("obj_value").alias("obj"),
+        "obj_kind",
+        "doc_url",
+    ).withColumn("pred_bucket", pred_bucket_col(n_buckets))
+    if pages is not None:
+        ts = pages.select(F.col("url").alias("doc_url"), "warc_ts")
+        edges = edges.join(ts, "doc_url", "left")
+    else:
+        edges = edges.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    return edges.select("subj", "pred", "obj", "obj_kind", "pred_bucket", "doc_url", "warc_ts")
+
+
+def build_vertices(edges: DataFrame, components: DataFrame | None = None) -> DataFrame:
+    """Distinct resource terms of the edge table, optionally labelled with
+    connected-component ids from :func:`linking.connected_components`."""
+    verts = (
+        edges.select(F.col("subj").alias("iri"))
+        .unionByName(edges.select(F.col("obj").alias("iri")))
+        .distinct()
+        .withColumn(
+            "kind", F.when(F.col("iri").startswith("_:"), "bnode").otherwise("iri")
+        )
+    )
+    if components is not None:
+        comp = components.select(F.col("vertex").alias("iri"), "component_id")
+        verts = verts.join(comp, "iri", "left")
+    else:
+        verts = verts.withColumn("component_id", F.lit(None).cast("long"))
+    return verts.select("iri", "component_id", "kind")
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def partition_metrics(df: DataFrame, table: str, key_col: str, run_id: str) -> DataFrame:
+    """Per-partition lineage metrics (north rule: "every partition writes
+    lineage + triple-count metrics"): one row per Spark partition with
+    row count and key min/max — computed with spark_partition_id(), a
+    single narrow aggregation, no Python."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+        .select(
+            F.col("_pid").alias("partition_id"),
+            F.lit(table).alias("table"),
+            F.col("row_count"),
+            F.col("row_count").alias("triple_count"),
+            "min_key",
+            "max_key",
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpointed, resumable pipeline runner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    buckets_total: int
+    buckets_processed: int
+    buckets_skipped: int
+    triples_written: int
+
+
+class GraphWriter:
+    """Parquet-backed (Iceberg-layout) writer with bucket-level resume."""
+
+    def __init__(self, root: str, url_buckets: int = 8, pred_buckets: int = DEFAULT_PRED_BUCKETS):
+        self.root = root
+        self.url_buckets = url_buckets
+        self.pred_buckets = pred_buckets
+        self._ckpt_dir = os.path.join(root, "_checkpoints")
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+
+    # -- checkpoint bookkeeping (tiny driver-side JSON lines; an Iceberg
+    # deployment would use snapshot metadata instead) --------------------
+    @property
+    def _processed_path(self) -> str:
+        return os.path.join(self._ckpt_dir, "processed_buckets.jsonl")
+
+    def processed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        if os.path.exists(self._processed_path):
+            with open(self._processed_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    done.add(rec["url_bucket"])
+        return done
+
+    def _mark_processed(self, bucket: int, run_id: str, n_triples: int) -> None:
+        with open(self._processed_path, "a") as f:
+            f.write(json.dumps({
+                "url_bucket": bucket, "run_id": run_id,
+                "n_triples": n_triples, "ts": time.time(),
+            }) + "\n")
+
+    # -- the run ----------------------------------------------------------
+    def run(self, spark: SparkSession, pages: DataFrame, run_id: str,
+            fail_after_buckets: int | None = None) -> RunResult:
+        """Parse + materialize ``pages`` bucket-by-bucket, resumably.
+
+        ``fail_after_buckets`` is a test hook: raise after N buckets to
+        simulate a mid-job kill.
+        """
+        from .parse import parse_pages, triples_of
+
+        done = self.processed_buckets()
+        bucketed = pages.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.url_buckets)).cast("int")
+        )
+        processed = skipped = 0
+        total_triples = 0
+        for b in range(self.url_buckets):
+            if b in done:
+                skipped += 1
+                continue
+            if fail_after_buckets is not None and processed >= fail_after_buckets:
+                raise RuntimeError(f"simulated failure after {processed} buckets")
+            chunk = bucketed.filter(F.col("url_bucket") == b).drop("url_bucket")
+            parsed = parse_pages(chunk)
+            triples = triples_of(parsed)
+            edges = build_edges(triples, pages=chunk, n_buckets=self.pred_buckets)
+
+            edge_path = os.path.join(self.root, "edges")
+            (
+                edges.withColumn("url_bucket", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("url_bucket", "pred_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(edge_path)
+            )
+            n = spark.read.parquet(edge_path).filter(F.col("url_bucket") == b).count()
+
+            metrics = partition_metrics(edges, "edges", "pred", run_id)
+            metrics.withColumn("url_bucket", F.lit(b)).write.mode("append").parquet(
+                os.path.join(self.root, "metrics")
+            )
+
+            self._mark_processed(b, run_id, n)
+            total_triples += n
+            processed += 1
+
+        return RunResult(run_id, self.url_buckets, processed, skipped, total_triples)
+
+    def edges(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "edges"))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -1,0 +1,130 @@
+"""Stage 3: salted dictionary linking, MinHash-LSH blocking, connected
+components (the scale-out stages the north rule adds on top of the
+reference's per-document parser)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_rdf_spark.linking import (
+    canonicalize_triples,
+    connected_components,
+    link_entities,
+    minhash_lsh_blocking,
+)
+from parser_rdf_spark.parse import parse_pages, triples_of
+
+from conftest import pages_df
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    return spark.createDataFrame(
+        [
+            ("http://ex.org/alice", "http://canon.org/Alice"),
+            ("http://ex.org/alice/", "http://canon.org/Alice"),
+            ("http://ex.org/bob", "http://canon.org/Bob"),
+        ],
+        "surface string, canonical_iri string",
+    )
+
+
+def _mk_triples(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_url string, graph string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string, line_no int",
+    )
+
+
+def test_link_entities_broadcast_salted(spark, entities):
+    rows = [
+        ("https://d/1", "_:default", "http://ex.org/s", "http://ex.org/p", "iri",
+         "http://ex.org/alice", None, None, 1),
+        ("https://d/1", "_:default", "http://ex.org/s", "http://ex.org/p", "iri",
+         "http://ex.org/unknown", None, None, 2),
+    ]
+    out = link_entities(_mk_triples(spark, rows), entities).collect()
+    got = {r.obj_value: r.canonical_obj for r in out}
+    assert got["http://ex.org/alice"] == "http://canon.org/Alice"
+    assert got["http://ex.org/unknown"] == "http://ex.org/unknown"
+
+
+def test_link_entities_plan_is_broadcast(spark, entities):
+    rows = [("https://d/1", "_:default", "s", "p", "iri", "http://ex.org/alice", None, None, 1)]
+    plan = link_entities(_mk_triples(spark, rows), entities)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_canonicalize_subject_and_object(spark, entities):
+    rows = [
+        ("https://d/1", "_:default", "http://ex.org/alice", "http://ex.org/knows", "iri",
+         "http://ex.org/bob", None, None, 1),
+        ("https://d/1", "_:default", "http://ex.org/alice", "http://ex.org/name", "literal",
+         "Alice", None, None, 2),
+    ]
+    out = canonicalize_triples(_mk_triples(spark, rows), entities).collect()
+    by_pred = {r.pred: r for r in out}
+    knows = by_pred["http://ex.org/knows"]
+    assert knows.subj_canonical == "http://canon.org/Alice"
+    assert knows.obj_canonical == "http://canon.org/Bob"
+    name = by_pred["http://ex.org/name"]
+    assert name.obj_canonical == "Alice"  # literals untouched
+
+
+def test_skewed_mega_host_join_completes(spark, entities):
+    # 1 host owns 50%+ of rows (BASELINE.md skew synthetic), all hitting
+    # the same dictionary key — the salted broadcast join must spread it
+    rows = [
+        ("https://mega.example.org/%d" % (i % 7), "_:default", f"http://ex.org/s{i}",
+         "http://ex.org/p", "iri", "http://ex.org/alice", None, None, i)
+        for i in range(5000)
+    ]
+    out = link_entities(_mk_triples(spark, rows).repartition(8), entities)
+    assert out.filter(F.col("canonical_obj") == "http://canon.org/Alice").count() == 5000
+
+
+def test_connected_components_chain_across_docs(spark):
+    # FIXTURES.md §3: A→B, B→C chains across documents ⇒ one component
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("X", "Y")], "src string, dst string"
+    )
+    out = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert out["A"] == out["B"] == out["C"] == "A"
+    assert out["X"] == out["Y"] == "X"
+    assert out["A"] != out["X"]
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i+1:03d}") for i in range(n)], "src string, dst string"
+    )
+    out = connected_components(edges, max_iters=100, checkpoint_every=5)
+    comps = {r.component for r in out.collect()}
+    assert comps == {"v000"}
+
+
+def test_minhash_lsh_blocks_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat watches carefully from the warm windowsill"
+    near = base.replace("lazy", "very lazy")
+    far = "completely different content about spark partitioning strategies and shuffle behavior at scale"
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", far)], "id string, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_blocking(df, "text", "id", num_hashes=32, bands=16).collect()
+    }
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_end_to_end_linking_from_parsed_pages(spark, entities):
+    docs = {
+        "https://site1.example.org/page": '<http://ex.org/alice> <http://ex.org/knows> <http://ex.org/bob> .',
+        "https://site2.example.org/page": '<http://ex.org/alice/> <http://ex.org/knows> <http://ex.org/alice> .',
+    }
+    triples = triples_of(parse_pages(pages_df(spark, docs)))
+    out = canonicalize_triples(triples, entities)
+    canon_subjects = {r.subj_canonical for r in out.collect()}
+    assert canon_subjects == {"http://canon.org/Alice"}

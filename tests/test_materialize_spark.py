@@ -1,0 +1,105 @@
+"""Stage 4: edge/vertex materialization, per-partition lineage metrics,
+and kill-and-rerun checkpoint resume (BASELINE.md rows 7-9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_rdf_spark.linking import connected_components
+from parser_rdf_spark.materialize import (
+    GraphWriter,
+    build_edges,
+    build_vertices,
+    partition_metrics,
+)
+from parser_rdf_spark.parse import parse_pages, triples_of
+
+from conftest import pages_df
+
+
+def _docs(n=16):
+    return {
+        f"https://host{i % 3}.example.org/doc/{i}": (
+            f"<http://ex.org/s{i}> <http://ex.org/p{i % 4}> <http://ex.org/o{i}> .\n"
+            f'<http://ex.org/s{i}> <http://ex.org/label> "doc {i}" .'
+        )
+        for i in range(n)
+    }
+
+
+def test_build_edges_excludes_literals_and_buckets_predicates(spark):
+    triples = triples_of(parse_pages(pages_df(spark, _docs(8))))
+    edges = build_edges(triples, n_buckets=16)
+    rows = edges.collect()
+    assert all(not r.obj.startswith('"') for r in rows)
+    assert all(0 <= r.pred_bucket < 16 for r in rows)
+    assert edges.count() == 8  # one resource edge per doc (label is literal)
+    # same predicate always lands in the same bucket
+    b = edges.groupBy("pred").agg(F.countDistinct("pred_bucket").alias("nb")).collect()
+    assert all(r.nb == 1 for r in b)
+
+
+def test_build_vertices_with_components(spark):
+    triples = triples_of(parse_pages(pages_df(spark, {
+        "https://d/1": "<http://e/a> <http://e/p> <http://e/b> .",
+        "https://d/2": "<http://e/b> <http://e/p> <http://e/c> .",
+    })))
+    edges = build_edges(triples)
+    comps = connected_components(edges, "subj", "obj")
+    verts = build_vertices(edges, comps)
+    rows = {r.iri: r for r in verts.collect()}
+    assert set(rows) == {"http://e/a", "http://e/b", "http://e/c"}
+    assert len({r.component_id for r in rows.values()}) == 1
+
+
+def test_partition_metrics_cover_all_rows(spark):
+    triples = triples_of(parse_pages(pages_df(spark, _docs(12))))
+    edges = build_edges(triples).repartition(4)
+    m = partition_metrics(edges, "edges", "pred", "run-1").collect()
+    assert sum(r.row_count for r in m) == edges.count()
+    assert all(r.table == "edges" and r.run_id == "run-1" for r in m)
+    assert all(r.min_key <= r.max_key for r in m)
+
+
+def test_graphwriter_end_to_end_and_layout(spark, tmp_path):
+    pages = pages_df(spark, _docs(16))
+    w = GraphWriter(str(tmp_path / "g"), url_buckets=4)
+    res = w.run(spark, pages, run_id="r1")
+    assert res.buckets_processed == 4 and res.buckets_skipped == 0
+    edges = w.edges(spark)
+    assert edges.count() == 16
+    # partition layout on disk: url_bucket=*/pred_bucket=*
+    import glob
+    dirs = glob.glob(str(tmp_path / "g" / "edges" / "url_bucket=*" / "pred_bucket=*"))
+    assert len(dirs) > 0
+    assert w.metrics(spark).count() > 0
+
+
+def test_graphwriter_resume_after_kill(spark, tmp_path):
+    pages = pages_df(spark, _docs(16))
+    w = GraphWriter(str(tmp_path / "g2"), url_buckets=4)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        w.run(spark, pages, run_id="r1", fail_after_buckets=2)
+    assert len(w.processed_buckets()) == 2
+
+    # re-run picks up ONLY the remaining buckets
+    res = w.run(spark, pages, run_id="r2")
+    assert res.buckets_skipped == 2 and res.buckets_processed == 2
+    assert w.edges(spark).count() == 16
+
+    # idempotence: a third run does nothing
+    res3 = w.run(spark, pages, run_id="r3")
+    assert res3.buckets_processed == 0 and res3.buckets_skipped == 4
+    assert w.edges(spark).count() == 16
+
+
+def test_predicate_bucket_pruning_reads_subset(spark, tmp_path):
+    pages = pages_df(spark, _docs(16))
+    w = GraphWriter(str(tmp_path / "g3"), url_buckets=2)
+    w.run(spark, pages, run_id="r1")
+    edges = w.edges(spark)
+    one_pred = edges.filter(F.col("pred") == "http://ex.org/p0")
+    bucket = one_pred.select("pred_bucket").distinct().collect()
+    assert len(bucket) == 1
+    # partition-prune path: filtering on pred_bucket hits only that directory
+    pruned = edges.filter(F.col("pred_bucket") == bucket[0].pred_bucket)
+    assert pruned.count() >= one_pred.count()
