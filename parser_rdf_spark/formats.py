@@ -155,16 +155,26 @@ def _extract_prefixes(
     return prefixes
 
 
-def parse_rdf_document(content: str, fmt: Optional[str] = None) -> DocResult:
+def parse_rdf_document(
+    content: str, fmt: Optional[str] = None, empty_guard: bool = True
+) -> DocResult:
     """Full single-document lifecycle: guard → select handler → parse →
     prefix extraction → metadata (reference: src/RdfParser.php:56-77).
 
     Never raises: failures become the error channel of :class:`DocResult`
     (web-scale rule — a bad page must never kill the job).
+
+    ``empty_guard=False`` mirrors *handler-direct* invocation (the
+    reference's conformance suite calls NTriplesHandler.parse directly,
+    where empty content parses to 0 triples); the default mirrors
+    RdfParser.parse's 'Cannot parse empty content' guard (reference :58-61).
     """
     trimmed = ntriples.php_trim(content) if content is not None else ""
     if trimmed == "":
-        return DocResult(error_stage="empty", error_message="Cannot parse empty content")
+        if empty_guard or fmt is None:
+            return DocResult(error_stage="empty", error_message="Cannot parse empty content")
+        handler = next(h for h in _handlers if h.name == fmt)
+        return DocResult(format=handler.name, triples=[], prefixes={}, resource_count=0)
 
     if fmt is not None:
         names = supported_formats()

@@ -41,7 +41,7 @@ def doc_hash(url: str) -> str:
     return hashlib.blake2b(url.encode("utf-8"), digest_size=8).hexdigest()
 
 
-def _parse_batch(pdf: pd.DataFrame, fmt: Optional[str], scope: bool) -> pd.DataFrame:
+def _parse_batch(pdf: pd.DataFrame, fmt: Optional[str], scope: bool, empty_guard: bool) -> pd.DataFrame:
     cols: dict[str, list] = {c: [] for c in _PARSED_COLS}
 
     t_append = {
@@ -65,7 +65,9 @@ def _parse_batch(pdf: pd.DataFrame, fmt: Optional[str], scope: bool) -> pd.DataF
     urls = pdf["url"].tolist()
     texts = pdf["text"].tolist()
     for url, text in zip(urls, texts):
-        res = _formats.parse_rdf_document(text if isinstance(text, str) else "", fmt)
+        res = _formats.parse_rdf_document(
+            text if isinstance(text, str) else "", fmt, empty_guard=empty_guard
+        )
         triples = res.triples
         if scope and triples:
             triples = _formats.scope_bnodes(triples, doc_hash(url))
@@ -111,11 +113,14 @@ def parse_pages(
     pages: DataFrame,
     fmt: Optional[str] = None,
     scope_bnodes: bool = True,
+    empty_guard: bool = True,
 ) -> DataFrame:
     """pages(url, …, text, …) → PARSED frame.
 
     ``fmt`` is the D2 explicit-format override; unknown names raise
     FormatDetectionError *here*, before any job is submitted.
+    ``empty_guard=False`` gives handler-direct semantics for empty docs
+    (see formats.parse_rdf_document).
     """
     if fmt is not None and fmt not in _formats.supported_formats():
         raise _formats.FormatDetectionError(
@@ -125,7 +130,7 @@ def parse_pages(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _parse_batch(pdf, fmt, scope_bnodes)
+            yield _parse_batch(pdf, fmt, scope_bnodes, empty_guard)
 
     # column-prune before the Python boundary: only url+text cross Arrow.
     return pages.select("url", "text").mapInPandas(run, schema=PARSED)

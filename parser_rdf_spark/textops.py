@@ -1,0 +1,323 @@
+"""Training-data pipeline operators over a documents/embeddings corpus.
+
+Beyond the reference's operator set, a 100-TB KG/webtext pipeline needs
+dedup, similarity search, and text analysis as first-class operators.
+Everything here is pure Column/SQL expressions (JVM-side, codegen'd)
+except SimHash, which uses a vectorized Arrow pandas_udf for 64-bit
+bit-voting (awkward as 64 SQL aggregates, natural in numpy).
+
+Operator inventory:
+- exact dedup: md5-hash groupBy (one shuffle, partial agg)
+- near-dup: MinHash+LSH (see linking.minhash_lsh_blocking), SimHash,
+  word-n-gram Jaccard verification on candidate pairs
+- similarity: brute-force cosine top-k (baseline) and LSH-bucketed
+  candidate scoring (scale path)
+- text analysis: token stats, integer-arithmetic quality score,
+  marker-based language ID, md5 fingerprints
+
+Scale notes: all groupBys key on doc_id/hash (high cardinality, no skew);
+the brute-force ANN is a deliberate small-dim crossJoin baseline — the
+LSH path is the one that survives 100×.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate groups by md5(text): (text_md5, n_docs, first_doc_id)."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+def dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per identical text."""
+    return (
+        documents.withColumn("text_md5", F.md5("text"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_md5")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    candidates: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-n-gram Jaccard similarity for near-dup verification.
+
+    With ``candidates`` (id_a, id_b — e.g. from MinHash-LSH blocking) this
+    verifies only the candidate pairs (the scale path); without, it
+    brute-forces all pairs (test/baseline path). Jaccard is computed
+    JVM-side on distinct n-gram arrays.
+    """
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(split({text_col}, ' ')) - {n - 1})), "
+                f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized pandas_udf:
+    per-token 64-bit hashes vote on each bit; sign of the vote vector is
+    the fingerprint). Near-dups have small Hamming distance."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for s in texts:
+            out = []
+            for t in s.fillna(""):
+                toks = t.split()
+                if not toks:
+                    out.append(0)
+                    continue
+                # deterministic 64-bit token hashes via blake2b
+                import hashlib
+
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                        for tok in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        fp |= np.uint64(1) << np.uint64(i)
+                out.append(int(fp.astype(np.int64)))
+            yield pd.Series(out, dtype="int64")
+
+    return documents.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
+    (a pair within distance ≤3 shares at least one of 4 bands)."""
+    sh = simhash(documents)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(f"(simhash >> {16 * b}) & 65535") for b in range(4)])
+        ).alias("band", "key"),
+    )
+    a = banded.select(F.col("band").alias("b1"), F.col("key").alias("k1"),
+                      F.col("doc_id").alias("id_a"), F.col("simhash").alias("s1"))
+    b = banded.select(F.col("band").alias("b2"), F.col("key").alias("k2"),
+                      F.col("doc_id").alias("id_b"), F.col("simhash").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("b1") == F.col("b2")) & (F.col("k1") == F.col("k2"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.bit_count(F.expr("s1 ^ s2")).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return dot / (na * nb)
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank). The
+    baseline path — O(Q×N) crossJoin with JVM-side fold arithmetic; use
+    :func:`ann_lsh_topk` at scale."""
+    from pyspark.sql.window import Window
+
+    qs = (queries if queries is not None else embeddings).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        qs.crossJoin(base)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing, then exact cosine only
+    within buckets. Deterministic planes derived from xxhash64(seed, dim,
+    plane) — no rand(), resume-safe. Recall < 1 by design; the candidate
+    set shrinks O(N²) → O(N²/2^planes) per bucket family."""
+    from pyspark.sql.window import Window
+
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).first()
+    d = dim_df["d"]
+    # deterministic pseudo-random plane matrix as a SQL literal array
+    import hashlib
+
+    def h(*xs) -> float:
+        raw = hashlib.blake2b("-".join(map(str, xs)).encode(), digest_size=8).digest()
+        return (int.from_bytes(raw, "big") / 2**63) - 1.0  # [-1, 1)
+
+    planes = [[h(seed, p, i) for i in range(d)] for p in range(n_planes)]
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v}D" for v in row) + ")" for row in planes
+    ) + ")"
+    sig = F.expr(
+        f"aggregate(transform({planes_sql}, pl -> "
+        f"CASE WHEN aggregate(zip_with(pl, {vec_col}, (p, v) -> p * cast(v as double)), 0D, (a, x) -> a + x) >= 0 THEN 1L ELSE 0L END), "
+        f"0L, (acc, b) -> acc * 2 + b)"
+    )
+    bucketed = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    a = bucketed.select(F.col("bucket").alias("ba"), F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    b = bucketed.select(F.col("bucket").alias("bb"), F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", _cosine("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len_x100) — all
+    integers so a SQL oracle hashes identically."""
+    toks = F.split(F.col("text"), " ")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            (F.length("text") - F.size(toks) + 1) * 100 / F.size(toks)
+        ).cast("long").alias("avg_token_len_x100"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Integer-arithmetic quality heuristic (0-100): length band +
+    stopword-ratio band + repetition band. Deliberately int-only so the
+    DuckDB oracle is bit-identical."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_distinct = F.size(F.array_distinct(toks))
+    length_band = F.when(F.length("text") >= 200, 40).when(F.length("text") >= 50, 25).otherwise(5)
+    stop_band = F.when(n_stop >= 2, 30).when(n_stop >= 1, 15).otherwise(0)
+    distinct_band = (n_distinct * 30 / F.greatest(n_tokens, F.lit(1))).cast("long")
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopword_types"),
+        (length_band + stop_band + distinct_band).cast("long").alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "que", "los"],
+    "fr": ["le", "les", "des"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-token language guess: the language with the most marker hits
+    wins (ties → 'und'). A deliberately simple, SQL-expressible heuristic
+    — the production path would plug a real model in via mapInPandas."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))).alias(f"s_{lang}")
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    df = documents.select("doc_id", "lang", *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    guess = F.lit("und")
+    for l in reversed(langs):  # earlier languages win ties
+        guess = F.when((F.col(f"s_{l}") == best) & (best > 0), F.lit(l)).otherwise(guess)
+    return df.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: full-text md5 + normalized md5 (lower+trim,
+    whitespace-collapsed) — the exact-dup and near-normalization keys."""
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("md5_exact"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")).alias("md5_normalized"),
+    )
