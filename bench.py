@@ -1,0 +1,148 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline value = triples extracted/sec through the fused stage-1+2 parse
+path over a deterministic synthetic Common-Crawl-style corpus (the
+BASELINE.json:2 metric). The corpus is synthesized once into a local
+parquet cache so generation cost never pollutes the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parser_rdf_spark.extract import extract_classes, extract_properties  # noqa: E402
+from parser_rdf_spark.fixtures import synth_pages  # noqa: E402
+from parser_rdf_spark.linking import (  # noqa: E402
+    connected_components,
+    link_entities,
+    minhash_lsh_blocking,
+)
+from parser_rdf_spark.materialize import build_edges  # noqa: E402
+from parser_rdf_spark.parse import parse_pages, triples_of  # noqa: E402
+from parser_rdf_spark.session import build_session  # noqa: E402
+from parser_rdf_spark import textops  # noqa: E402
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+SEED = 42
+
+
+def _pages_cache(spark, n_docs: int, cpus: int):
+    path = f"/tmp/spark_graft_bench/pages_n{n_docs}_s{SEED}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        synth_pages(spark, n_docs, seed=SEED, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_session(
+        app_name="parser-rdf-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    pages = _pages_cache(spark, N_DOCS, cpus)
+
+    # q1: the flagship — fused detect+validate+parse over the corpus
+    t0 = time.time()
+    parsed = parse_pages(pages).persist()
+    n_triples = triples_of(parsed).count()
+    t_parse = time.time() - t0
+    queries["parse_triples"] = round(t_parse, 3)
+
+    # q2: entity extraction (classes + properties) sharing one
+    # resource-aggregate shuffle
+    from parser_rdf_spark.extract import resource_aggregate
+
+    t0 = time.time()
+    triples = triples_of(parsed)
+    res = resource_aggregate(triples).persist()
+    n_classes = extract_classes(triples, res=res).count()
+    n_props = extract_properties(triples, res=res).count()
+    res.unpersist()
+    queries["extract_entities"] = round(time.time() - t0, 3)
+
+    # q3: linking + edge materialization + connected components on a
+    # bounded slice (CC is iterative; bound the vertex set for the bench)
+    t0 = time.time()
+    entities = spark.createDataFrame(
+        [(f"http://data.example.org/e{i}", f"http://canon.example.org/E{i}") for i in range(0, 2000)],
+        "surface string, canonical_iri string",
+    )
+    linked = link_entities(triples, entities)
+    _ = linked.filter(F.col("canonical_obj").startswith("http://canon")).count()
+    edges = build_edges(triples)
+    cc_edges = edges.filter(F.col("pred").endswith("seeAlso")).limit(20000)
+    _ = connected_components(
+        cc_edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        max_iters=10,
+    ).count()
+    queries["link_and_components"] = round(time.time() - t0, 3)
+
+    parsed.unpersist()
+
+    # q4-q6: training-data ops on the sf tables
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+
+    t0 = time.time()
+    _ = textops.exact_dedup_groups(docs).count()
+    _ = minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8).count()
+    queries["dedup_exact_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _ = textops.token_stats(docs).count()
+    _ = textops.quality_score(docs).count()
+    _ = textops.lang_id(docs).count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    qs = emb.filter(F.col("vec_id") < 100)
+    _ = textops.ann_bruteforce_topk(emb, queries=qs, k=5).count()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    docs.unpersist()
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "triples_extracted_per_sec",
+                "value": round(n_triples / t_parse, 1),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_docs": N_DOCS,
+                "n_triples": n_triples,
+                "n_classes": n_classes,
+                "n_properties": n_props,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -216,14 +216,22 @@ def _seed(res: DataFrame, type_uris: list[str]) -> DataFrame:
     )
 
 
-def extract_classes(triples: DataFrame, include_skolemized: bool = False) -> DataFrame:
+def extract_classes(
+    triples: DataFrame, include_skolemized: bool = False, res: DataFrame | None = None
+) -> DataFrame:
     """E1 + E4-E9 (reference: src/Extractors/ClassExtractor.php:62-124).
 
     Blank-node gate (reference :75-82): bnodes dropped unless skolemizing
     (→ ``urn:bnode:`` + scoped label, no anon-OWL check on the bnode arm);
     *named* anonymous OWL expressions dropped.
+
+    Pass a shared (persisted) ``res = resource_aggregate(triples)`` when
+    running several extractors over the same corpus — one shuffle instead
+    of one per extractor.
     """
-    res = _with_common_columns(_seed(resource_aggregate(triples), CLASS_TYPE_URIS))
+    if res is None:
+        res = resource_aggregate(triples)
+    res = _with_common_columns(_seed(res, CLASS_TYPE_URIS))
     is_bnode = F.col("subj").startswith("_:")
     if include_skolemized:
         res = res.filter(is_bnode | ~F.col("is_anon_owl"))
@@ -387,13 +395,17 @@ aggregate(types, '', (acc, t) ->
 """
 
 
-def extract_properties(triples: DataFrame, include_skolemized: bool = False) -> DataFrame:
+def extract_properties(
+    triples: DataFrame, include_skolemized: bool = False, res: DataFrame | None = None
+) -> DataFrame:
     """E2 + E10-E13 (reference: src/Extractors/PropertyExtractor.php:60-115).
 
     Blank-node gate (reference :73-78): bnodes dropped unless skolemizing
     AND not an anonymous OWL expression; named anon-OWL dropped.
     """
-    res = _with_common_columns(_seed(resource_aggregate(triples), PROPERTY_TYPE_URIS))
+    if res is None:
+        res = resource_aggregate(triples)
+    res = _with_common_columns(_seed(res, PROPERTY_TYPE_URIS))
     is_bnode = F.col("subj").startswith("_:")
     res = res.filter(~F.col("is_anon_owl"))
     if include_skolemized:
@@ -439,14 +451,18 @@ def extract_properties(triples: DataFrame, include_skolemized: bool = False) -> 
     )
 
 
-def extract_shapes(triples: DataFrame, docmeta: DataFrame | None = None) -> DataFrame:
+def extract_shapes(
+    triples: DataFrame, docmeta: DataFrame | None = None, res: DataFrame | None = None
+) -> DataFrame:
     """E3 + E16-E18 (reference: src/Extractors/ShapeExtractor.php:54-181).
 
     When ``docmeta`` (parse.docmeta_of) is given, rdf/xml documents are
     excluded via a broadcast anti-join (the reference returns [] for
     rdf/xml, reference :56-58).
     """
-    res = _seed(resource_aggregate(triples), SHAPE_TYPE_URIS).filter(
+    if res is None:
+        res = resource_aggregate(triples)
+    res = _seed(res, SHAPE_TYPE_URIS).filter(
         ~F.col("subj").startswith("_:")
     )
     if docmeta is not None:
@@ -590,3 +606,18 @@ def resource_counts(triples: DataFrame) -> DataFrame:
     return terms.groupBy("doc_url").agg(
         F.countDistinct("term").alias("resource_count")
     )
+
+
+def extract_all(
+    triples, docmeta=None, include_skolemized: bool = False
+) -> dict[str, "DataFrame"]:
+    """Run all three extractors off ONE persisted resource aggregate —
+    a single groupBy shuffle feeds classes, properties, and shapes.
+    Caller owns unpersisting ``result['_res']``."""
+    res = resource_aggregate(triples).persist()
+    return {
+        "classes": extract_classes(triples, include_skolemized, res=res),
+        "properties": extract_properties(triples, include_skolemized, res=res),
+        "shapes": extract_shapes(triples, docmeta=docmeta, res=res),
+        "_res": res,
+    }

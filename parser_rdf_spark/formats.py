@@ -116,7 +116,7 @@ class DocResult:
 
 
 def _extract_prefixes(
-    content: str, fmt: str, declared: dict[str, str], triples: list[Triple]
+    content: str, fmt: str, declared: dict[str, str], resources: set[str]
 ) -> dict[str, str]:
     """E14: 4-layer prefix merge, last-write-wins (reference:
     src/Extractors/PrefixExtractor.php:28-53).
@@ -146,7 +146,6 @@ def _extract_prefixes(
     # json-ld layer 2 == the parser's context map (already in `declared`)
 
     # layer 4: common prefixes used by some resource term (reference :179-223)
-    resources = set(ntriples.iter_resources(triples))
     for p, ns in COMMON_PREFIXES.items():
         if p in prefixes:
             continue
@@ -213,12 +212,14 @@ def parse_rdf_document(
             error_message=f"{handler.name} parsing failed: {e}",
         )
 
-    prefixes = _extract_prefixes(content, handler.name, declared, triples)
+    # one resources set serves both prefix auto-detection and resource_count
+    resources = set(ntriples.iter_resources(triples))
+    prefixes = _extract_prefixes(content, handler.name, declared, resources)
     return DocResult(
         format=handler.name,
         triples=triples,
         prefixes=prefixes,
-        resource_count=ntriples.resource_count(triples),
+        resource_count=len(resources),
     )
 
 

@@ -102,7 +102,22 @@ def strip_trailing_comment(line: str) -> str:
     follows the last out-of-string dot, the line is returned unchanged and
     the tokenizer will reject the trailing garbage — same observable
     decision as the reference.
+
+    Fast paths (callers always pass php_trim'ed lines, so the reference's
+    re-trim is the identity):
+    - no '#' anywhere ⇒ nothing to strip;
+    - line already ends with '.' and either has no string literal at all,
+      or has balanced unescaped quotes ⇒ the terminal dot is the last
+      out-of-string dot and nothing follows it ⇒ identity. ('#' inside
+      IRIs — ubiquitous in RDF namespaces — lands here.)
     """
+    if "#" not in line:
+        return line
+    if line[-1] == ".":
+        if '"' not in line:
+            return line
+        if "\\" not in line and line.count('"') % 2 == 0:
+            return line
     in_string = False
     escaped = False
     last_dot = -1
@@ -125,8 +140,17 @@ def strip_trailing_comment(line: str) -> str:
     return line
 
 
+_IRI_FAST_RE = re.compile(r"<([^<>]*)>")
+
+
 def _extract_iris(line: str) -> list[str]:
-    """V6: collect ``<…>`` IRI bodies outside string literals (escape-aware)."""
+    """V6: collect ``<…>`` IRI bodies outside string literals (escape-aware).
+
+    Fast path: with no '"' on the line there are no string literals to
+    exclude, so a plain regex over ``<…>`` spans is equivalent.
+    """
+    if '"' not in line:
+        return _IRI_FAST_RE.findall(line)
     iris: list[str] = []
     in_string = False
     escaped = False
@@ -179,8 +203,11 @@ def _validate_unicode_escapes(text: str, line_num: int, context: str) -> None:
 
 def validate_line(line: str, line_num: int) -> None:
     """Run V3-V12 on one trimmed, non-blank, non-comment line."""
-    line = strip_trailing_comment(line)
+    _validate_stripped(strip_trailing_comment(line), line_num)
 
+
+def _validate_stripped(line: str, line_num: int) -> None:
+    """V4-V12 on a comment-stripped line (single-allocation hot path)."""
     # V4: no triple-quoted strings.
     if '"""' in line:
         raise NTriplesError(line_num, "triple-quoted strings are not allowed in N-Triples")
@@ -193,15 +220,16 @@ def validate_line(line: str, line_num: int) -> None:
             raise NTriplesError(line_num, "relative IRIs are not allowed in N-Triples")
         _validate_unicode_escapes(iri, line_num, "IRI")
 
-    # V9: blank-node label rules.
-    for label in _BNODE_RE.findall(line):
-        if not _BNODE_START_RE.match(label):
-            raise NTriplesError(line_num, "invalid blank node label")
-        if ":" in label:
-            raise NTriplesError(line_num, "blank node label must not contain ':'")
+    # V9: blank-node label rules (only when a '_:' occurs at all).
+    if "_:" in line:
+        for label in _BNODE_RE.findall(line):
+            if not _BNODE_START_RE.match(label):
+                raise NTriplesError(line_num, "invalid blank node label")
+            if ":" in label:
+                raise NTriplesError(line_num, "blank node label must not contain ':'")
 
-    # V10: string-literal escape whitelist.
-    for literal in _STRING_LITERAL_RE.findall(line):
+    # V10: string-literal escape whitelist (only escape-bearing literals).
+    for literal in _STRING_LITERAL_RE.findall(line) if '"' in line else ():
         pos = literal.find("\\")
         while pos != -1:
             nxt = literal[pos + 1] if pos + 1 < len(literal) else ""
@@ -222,12 +250,16 @@ def validate_line(line: str, line_num: int) -> None:
                     line_num, f"invalid escape sequence '\\{nxt}' in string literal"
                 )
 
-    # V11: language-tag syntax.
-    for tag in _LANGTAG_OCCURRENCE_RE.findall(line):
-        if not _LANGTAG_RE.match(tag):
-            raise NTriplesError(line_num, f"invalid language tag '{tag}'")
+    # V11: language-tag syntax (only when an '@' occurs at all).
+    if "@" in line:
+        for tag in _LANGTAG_OCCURRENCE_RE.findall(line):
+            if not _LANGTAG_RE.match(tag):
+                raise NTriplesError(line_num, f"invalid language tag '{tag}'")
 
     # V12: Turtle-only ';' / ',' outside strings and IRIs.
+    # Fast path: no ';' or ',' anywhere ⇒ nothing to scan for.
+    if ";" not in line and "," not in line:
+        return
     in_string = False
     in_iri = False
     escaped = False
@@ -417,21 +449,67 @@ def tokenize_line(line: str, line_num: int) -> Optional[Triple]:
     return Triple(subj, pred, kind, obj, lang, dt, line_num)
 
 
+# Fast-path line shape: escape-free, scheme-led whitespace-free IRIs,
+# well-formed bnode labels, escape-free literal with optional langtag or
+# datatype. Everything this regex ACCEPTS also passes V4-V12 and tokenizes
+# identically (char classes exclude whitespace/backslash in IRIs, ':' and
+# bad leading chars in bnode labels, '"'/'\\' in literal bodies; the
+# langtag subpattern IS the V11 grammar). Lines it rejects fall back to
+# the full validator+scanner — the fast path can only deny itself, never
+# accept something the strict path rejects.
+_IRI_F = r"[A-Za-z][A-Za-z0-9+.\-]*:[^>\s\\]*"
+_BN_F = r"[A-Za-z0-9_][^\s<>.;,:\\]*"
+_FAST_LINE = re.compile(
+    rf'(?:<({_IRI_F})>|_:({_BN_F}))'
+    rf'[ \t]*<({_IRI_F})>[ \t]*'
+    rf'(?:<({_IRI_F})>|_:({_BN_F})|"([^"\\]*)"'
+    rf'(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\^\^<({_IRI_F})>)?)'
+    rf'[ \t]*\.'
+)
+
+
+def _fast_line(line: str, line_num: int) -> Optional[Triple]:
+    m = _FAST_LINE.fullmatch(line)
+    if m is None:
+        return None
+    g = m.groups()
+    subj = g[0] if g[0] is not None else "_:" + g[1]
+    if g[3] is not None:
+        return Triple(subj, g[2], "iri", g[3], None, None, line_num)
+    if g[4] is not None:
+        return Triple(subj, g[2], "bnode", "_:" + g[4], None, None, line_num)
+    return Triple(subj, g[2], "literal", g[5], g[6], g[7], line_num)
+
+
 def parse_document(content: str) -> list[Triple]:
     """Full strict parse: validate (V1-V12), strip comments (V13), tokenize (P1).
 
     Raises :class:`NTriplesError` with the first offending line number;
     the caller decides whether that becomes an exception (library API) or
     an ``errors`` row (batch pipeline).
+
+    Fused single pass (split/trim/comment-strip each line exactly once):
+    the reference validates the whole document before tokenizing any line,
+    but since any error rejects the whole document, per-line
+    validate-then-tokenize produces identical documents-accepted /
+    triples-emitted decisions; only the *reported line number* can differ
+    on documents with both a tokenizer-only and a later validator error.
     """
-    validate_document(content)
     triples: list[Triple] = []
+    max_chars = MAX_LINE_LENGTH // 4
     for idx, raw in enumerate(content.split("\n")):
-        line_num = idx + 1
         trimmed = php_trim(raw)
-        if not trimmed or trimmed.startswith("#"):
+        if not trimmed or trimmed[0] == "#":
             continue
-        t = tokenize_line(strip_trailing_comment(trimmed), line_num)
+        line_num = idx + 1
+        # V1: byte-measured 1 MiB guard (chars ≤ 4 bytes in UTF-8)
+        if len(raw) > max_chars and len(raw.encode("utf-8", "surrogatepass")) > MAX_LINE_LENGTH:
+            raise NTriplesError(line_num, "line exceeds maximum length")
+        stripped = strip_trailing_comment(trimmed)
+        t = _fast_line(stripped, line_num)
+        if t is None:
+            _validate_stripped(stripped, line_num)
+            t = tokenize_line(stripped, line_num)
         if t is not None:
             triples.append(t)
     return triples

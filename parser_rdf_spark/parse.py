@@ -1,21 +1,24 @@
-"""Stage 2: the fused detect → validate → parse mapInPandas stage.
+"""Stage 2: the fused detect → validate → parse mapInArrow stage.
 
-ONE Arrow round-trip per page batch (SURVEY.md §4 item 4): detection (D1-
-D10), strict validation (V1-V13), tokenization (P1-P4), doc-scoped blank-
-node rewriting (P5), per-doc prefix extraction (E14) and resource counts
-(P6) all happen inside a single ``mapInPandas`` pass over the ``text``
-column. Everything downstream of this stage is pure Column/SQL expressions
-— zero Python after stage 2 (BASELINE.json:15 "no per-row Python" refers
-to per-row *Python UDF calls*; this stage is Arrow-batched with the
-per-document tokenizer loops inside the batch, the idiomatic-Spark shape
-for a parser).
+ONE Arrow round-trip per page batch (SURVEY.md §4 item 4): stage-1 HTML→
+text extraction (when ``text`` is null), detection (D1-D10), strict
+validation (V1-V13), tokenization (P1-P4), doc-scoped blank-node rewriting
+(P5), per-doc prefix extraction (E14) and resource counts (P6) all happen
+inside a single ``mapInArrow`` pass over the page batch. Everything
+downstream of this stage is pure Column/SQL expressions — zero Python
+after stage 2.
 
-Output is a single wide DataFrame (schemas.PARSED) with rec_type
-'triple' rows plus exactly one 'doc' row per input page carrying
-format/error/metadata/prefixes. Split it with :func:`triples_of`,
-:func:`errors_of`, :func:`docmeta_of` — and persist/checkpoint the parsed
-frame first if you fan out to several consumers, so the 100-TB text scan
-happens once.
+Output shape is deliberately **one nested row per document**: the page's
+triples travel as an Arrow list<struct> column assembled directly with
+pyarrow from flat Python lists (C-speed, no per-triple Python row
+objects, no pandas layer), and :func:`triples_of` explodes them JVM-side
+with a codegen'd generator. Measured on this box, shipping per-triple
+rows through pandas cost ~2× the whole parse compute; the nested shape
+removes most of that boundary tax.
+
+Split the parsed frame with :func:`triples_of`, :func:`errors_of`,
+:func:`docmeta_of` — and persist/checkpoint it first when fanning out to
+several consumers, so the 100-TB text scan happens once.
 """
 
 from __future__ import annotations
@@ -23,17 +26,27 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator, Optional
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import formats as _formats
+from .html_text import html_bytes_to_text
 from .schemas import PARSED
 
-_PARSED_COLS = [f.name for f in PARSED.fields]
-
 DEFAULT_GRAPH = "_:default"  # E21 sentinel (reference: src/RdfParser.php:136-154)
+
+_ARROW_SCHEMA: Optional[pa.Schema] = None
+
+
+def _arrow_schema() -> pa.Schema:
+    global _ARROW_SCHEMA
+    if _ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _ARROW_SCHEMA = to_arrow_schema(PARSED)
+    return _ARROW_SCHEMA
 
 
 def doc_hash(url: str) -> str:
@@ -41,72 +54,91 @@ def doc_hash(url: str) -> str:
     return hashlib.blake2b(url.encode("utf-8"), digest_size=8).hexdigest()
 
 
-def _parse_batch(pdf: pd.DataFrame, fmt: Optional[str], scope: bool, empty_guard: bool) -> pd.DataFrame:
-    cols: dict[str, list] = {c: [] for c in _PARSED_COLS}
+def _parse_batch(
+    urls: list, texts: list, htmls: list, fmt: Optional[str], scope: bool, empty_guard: bool
+) -> pa.RecordBatch:
+    schema = _arrow_schema()
+    n = len(urls)
 
-    t_append = {
-        c: cols[c].append
-        for c in (
-            "doc_url",
-            "rec_type",
-            "graph",
-            "subj",
-            "pred",
-            "obj_kind",
-            "obj_value",
-            "obj_lang",
-            "obj_datatype",
-            "line_no",
-        )
-    }
-    _doc_only = ("format", "error_stage", "error_line", "error_message",
-                 "resource_count", "n_triples", "prefixes")
+    formats: list = [None] * n
+    error_stage: list = [None] * n
+    error_line: list = [None] * n
+    error_message: list = [None] * n
+    resource_count: list = [None] * n
+    n_triples: list = [None] * n
+    prefixes: list = [None] * n
 
-    urls = pdf["url"].tolist()
-    texts = pdf["text"].tolist()
-    for url, text in zip(urls, texts):
+    # flat triple columns + per-doc offsets (arrow list assembly)
+    offsets = [0]
+    subj: list = []
+    pred: list = []
+    obj_kind: list = []
+    obj_value: list = []
+    obj_lang: list = []
+    obj_datatype: list = []
+    line_no: list = []
+
+    for i in range(n):
+        text = texts[i]
+        if not isinstance(text, str) and htmls[i] is not None:
+            # fused stage 1: byte-identical text extraction (html_text.py)
+            text = html_bytes_to_text(bytes(htmls[i]))
         res = _formats.parse_rdf_document(
             text if isinstance(text, str) else "", fmt, empty_guard=empty_guard
         )
         triples = res.triples
         if scope and triples:
-            triples = _formats.scope_bnodes(triples, doc_hash(url))
+            triples = _formats.scope_bnodes(triples, doc_hash(urls[i]))
         for t in triples:
-            t_append["doc_url"](url)
-            t_append["rec_type"]("triple")
-            t_append["graph"](DEFAULT_GRAPH)
-            t_append["subj"](t.subj)
-            t_append["pred"](t.pred)
-            t_append["obj_kind"](t.obj_kind)
-            t_append["obj_value"](t.obj_value)
-            t_append["obj_lang"](t.obj_lang)
-            t_append["obj_datatype"](t.obj_datatype)
-            t_append["line_no"](t.line_no)
-        n_t = len(triples)
-        for c in _doc_only:
-            cols[c].extend([None] * n_t)
+            subj.append(t.subj)
+            pred.append(t.pred)
+            obj_kind.append(t.obj_kind)
+            obj_value.append(t.obj_value)
+            obj_lang.append(t.obj_lang)
+            obj_datatype.append(t.obj_datatype)
+            line_no.append(t.line_no)
+        offsets.append(len(subj))
+        formats[i] = res.format
+        if res.ok:
+            resource_count[i] = res.resource_count
+            n_triples[i] = len(triples)
+            prefixes[i] = res.prefixes
+        else:
+            error_stage[i] = res.error_stage
+            error_line[i] = res.error_line
+            error_message[i] = res.error_message
 
-        # the single 'doc' row
-        t_append["doc_url"](url)
-        t_append["rec_type"]("doc")
-        t_append["graph"](DEFAULT_GRAPH)
-        for c in ("subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"):
-            cols[c].append(None)
-        cols["line_no"].append(None)
-        cols["format"].append(res.format)
-        cols["error_stage"].append(res.error_stage)
-        cols["error_line"].append(res.error_line)
-        cols["error_message"].append(res.error_message)
-        cols["resource_count"].append(res.resource_count if res.ok else None)
-        cols["n_triples"].append(n_t if res.ok else None)
-        cols["prefixes"].append(res.prefixes if res.ok else None)
+    triple_type = schema.field("triples").type
+    struct_type = triple_type.value_type
+    triple_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(subj, type=pa.string()),
+            pa.array(pred, type=pa.string()),
+            pa.array(obj_kind, type=pa.string()),
+            pa.array(obj_value, type=pa.string()),
+            pa.array(obj_lang, type=pa.string()),
+            pa.array(obj_datatype, type=pa.string()),
+            pa.array(line_no, type=pa.int32()),
+        ],
+        fields=list(struct_type),
+    )
+    triples_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), triple_struct)
 
-    out = pd.DataFrame(cols)
-    out["line_no"] = out["line_no"].astype("Int32")
-    out["error_line"] = out["error_line"].astype("Int32")
-    out["resource_count"] = out["resource_count"].astype("Int64")
-    out["n_triples"] = out["n_triples"].astype("Int64")
-    return out
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array([DEFAULT_GRAPH] * n, type=pa.string()),
+            pa.array(formats, type=pa.string()),
+            pa.array(error_stage, type=pa.string()),
+            pa.array(error_line, type=pa.int32()),
+            pa.array(error_message, type=pa.string()),
+            pa.array(resource_count, type=pa.int64()),
+            pa.array(n_triples, type=pa.int64()),
+            pa.array(prefixes, type=schema.field("prefixes").type),
+            triples_arr,
+        ],
+        schema=schema,
+    )
 
 
 def parse_pages(
@@ -115,7 +147,7 @@ def parse_pages(
     scope_bnodes: bool = True,
     empty_guard: bool = True,
 ) -> DataFrame:
-    """pages(url, …, text, …) → PARSED frame.
+    """pages(url, …, text[, html], …) → PARSED frame (one row per page).
 
     ``fmt`` is the D2 explicit-format override; unknown names raise
     FormatDetectionError *here*, before any job is submitted.
@@ -128,25 +160,40 @@ def parse_pages(
             f"Available: {', '.join(_formats.supported_formats())}"
         )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _parse_batch(pdf, fmt, scope_bnodes, empty_guard)
+    has_html = "html" in pages.columns
 
-    # column-prune before the Python boundary: only url+text cross Arrow.
-    return pages.select("url", "text").mapInPandas(run, schema=PARSED)
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            urls = rb.column(0).to_pylist()
+            texts = rb.column(1).to_pylist()
+            htmls = rb.column(2).to_pylist() if rb.num_columns > 2 else [None] * len(urls)
+            yield _parse_batch(urls, texts, htmls, fmt, scope_bnodes, empty_guard)
+
+    # column-prune before the Python boundary: url+text (+html only when
+    # stage 1 still has pages to extract) cross Arrow — nothing else.
+    cols = ["url", "text"] + (["html"] if has_html else [])
+    return pages.select(*cols).mapInArrow(run, schema=PARSED)
 
 
 def triples_of(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(F.col("rec_type") == "triple").select(
-        "doc_url", "graph", "subj", "pred",
-        "obj_kind", "obj_value", "obj_lang", "obj_datatype", "line_no",
+    """Explode the nested triples JVM-side → the flat triples relation."""
+    return parsed.select(
+        "doc_url", "graph", F.explode("triples").alias("t")
+    ).select(
+        "doc_url",
+        "graph",
+        F.col("t.subj").alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj_kind").alias("obj_kind"),
+        F.col("t.obj_value").alias("obj_value"),
+        F.col("t.obj_lang").alias("obj_lang"),
+        F.col("t.obj_datatype").alias("obj_datatype"),
+        F.col("t.line_no").alias("line_no"),
     )
 
 
 def errors_of(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(
-        (F.col("rec_type") == "doc") & F.col("error_stage").isNotNull()
-    ).select(
+    return parsed.filter(F.col("error_stage").isNotNull()).select(
         "doc_url",
         F.col("error_stage").alias("stage"),
         F.col("error_line").alias("line"),
@@ -155,7 +202,7 @@ def errors_of(parsed: DataFrame) -> DataFrame:
 
 
 def docmeta_of(parsed: DataFrame) -> DataFrame:
-    return parsed.filter(F.col("rec_type") == "doc").select(
+    return parsed.select(
         "doc_url", "format", "error_stage", "error_line", "error_message",
         "resource_count", "n_triples", "prefixes",
     )
@@ -164,15 +211,14 @@ def docmeta_of(parsed: DataFrame) -> DataFrame:
 def prefixes_of(parsed: DataFrame) -> DataFrame:
     """Long-form prefixes table (doc_url, prefix, namespace)."""
     return (
-        docmeta_of(parsed)
-        .filter(F.col("prefixes").isNotNull())
+        parsed.filter(F.col("prefixes").isNotNull())
         .select("doc_url", F.explode("prefixes").alias("prefix", "namespace"))
     )
 
 
 def detected_of(parsed: DataFrame) -> DataFrame:
     """D4 canParse surface: (url, format, error)."""
-    return docmeta_of(parsed).select(
+    return parsed.select(
         F.col("doc_url").alias("url"),
         "format",
         F.col("error_stage").alias("error"),

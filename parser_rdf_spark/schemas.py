@@ -34,16 +34,15 @@ PAGES = StructType(
 )
 
 # ---------------------------------------------------------------------------
-# stage-2 fused parse output: one row per triple plus exactly one 'doc' row
-# per input page (carrying format/error/metadata/prefixes). A single output
-# schema keeps the whole detect+validate+parse stage inside ONE mapInPandas
-# (one Arrow round-trip per page batch — SURVEY.md §4 item 4).
+# stage-2 fused parse output: ONE nested row per input page. The page's
+# triples travel as an Arrow list-of-struct column (built at C speed with
+# pyarrow inside ONE mapInArrow pass — a single Arrow round-trip per page
+# batch, SURVEY.md §4 item 4) and are exploded JVM-side by triples_of()
+# (codegen'd generator — far cheaper than shipping one Python-assembled
+# row per triple through the boundary).
 # ---------------------------------------------------------------------------
-PARSED = StructType(
+TRIPLE_STRUCT = StructType(
     [
-        StructField("doc_url", StringType(), False),
-        StructField("rec_type", StringType(), False),  # 'triple' | 'doc'
-        StructField("graph", StringType(), True),  # '_:default' when unnamed
         StructField("subj", StringType(), True),
         StructField("pred", StringType(), True),
         StructField("obj_kind", StringType(), True),  # 'iri'|'bnode'|'literal'
@@ -51,7 +50,13 @@ PARSED = StructType(
         StructField("obj_lang", StringType(), True),
         StructField("obj_datatype", StringType(), True),
         StructField("line_no", IntegerType(), True),
-        # doc-row fields
+    ]
+)
+
+PARSED = StructType(
+    [
+        StructField("doc_url", StringType(), False),
+        StructField("graph", StringType(), True),  # '_:default' when unnamed
         StructField("format", StringType(), True),
         StructField("error_stage", StringType(), True),
         StructField("error_line", IntegerType(), True),
@@ -59,6 +64,7 @@ PARSED = StructType(
         StructField("resource_count", LongType(), True),
         StructField("n_triples", LongType(), True),
         StructField("prefixes", MapType(StringType(), StringType()), True),
+        StructField("triples", ArrayType(TRIPLE_STRUCT), True),
     ]
 )
 

@@ -22,8 +22,16 @@ def build_session(
     app_name: str = "parser-rdf-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: int = 16 * 1024 * 1024,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``max_partition_bytes`` default is deliberately small (16 MiB vs
+    Spark's 128 MiB): the fused parse stage is CPU-bound at roughly
+    2-4 MB/s/core of page text, so a 128 MiB scan partition is ~1 minute
+    of single-core work — terrible parallelism and straggler exposure.
+    16 MiB ≈ a few seconds per task. ``openCostInBytes`` is lowered in
+    step so many small parquet files don't bin-pack into a handful of
+    scan partitions (the default 4 MiB padding swamps sub-MB files)."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -32,9 +40,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        .config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 16, 65536)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
