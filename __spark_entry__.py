@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parser_rdf_spark import multimodal as mm
 from parser_rdf_spark import w3c_fixtures as w3c
 from parser_rdf_spark import textops
 from parser_rdf_spark.extract import (
@@ -297,6 +298,40 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_media_stats(spark, sf_dir):
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return mm.media_stats(media).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "kind",
+        F.col("payload_len").cast("bigint").alias("payload_len"),
+        "payload_md5",
+    )
+
+
+def _ascii_docs(spark, sf_dir):
+    # byte-length == char-length ⇒ byte slicing and char slicing agree,
+    # which is what lets the DuckDB (VARCHAR) oracle mirror the binary op
+    docs = _docs(spark, sf_dir)
+    return docs.filter(F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+
+
+def _q_video_frames(spark, sf_dir):
+    media = mm.media_from_documents(_ascii_docs(spark, sf_dir))
+    return mm.sample_frames(media, frame_len=64, every_n=2).select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "frame_md5",
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.embedding_near_dup(emb, threshold=0.45).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+
+
 # -- rows-only ops (no SQL equivalent: xxhash64/blake2b hashing) -------------
 
 def _q_minhash_near_dup(spark, sf_dir):
@@ -317,6 +352,29 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_ann_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return textops.ann_lsh_topk(emb, k=3, n_planes=10)
+
+
+def _q_simhash_near_dup(spark, sf_dir):
+    return textops.simhash_near_dups(_docs(spark, sf_dir), max_hamming=16)
+
+
+def _q_media_decode(spark, sf_dir):
+    # synthetic FAKE-header corpus: the decode plumbing (Arrow batches,
+    # schema, stub gating) is what's exercised; blake2b payloads have no
+    # SQL equivalent → rows-only
+    dec = mm.decode_media(mm.synth_media(spark, n=60))
+    return dec.select("media_id", "kind", "width", "height",
+                      "sample_rate", "n_samples", "n_frames", "decoder")
+
+
+def _q_image_resize(spark, sf_dir):
+    dec = mm.decode_media(mm.synth_media(spark, n=60))
+    return mm.resize_images(dec, out_w=4, out_h=4)
+
+
+def _q_media_embed_ann(spark, sf_dir):
+    emb = mm.embed_media(mm.synth_media(spark, n=60), dim=16)
+    return textops.ann_bruteforce_topk(emb, k=2, id_col="media_id", vec_col="embedding")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -341,11 +399,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
+        # multimodal binary-column ops
+        "media_stats": _q_media_stats,
+        "video_frame_sample": _q_video_frames,
+        "embedding_near_dup": _q_embedding_near_dup,
         # rows-only (hash functions have no DuckDB equivalent)
         "minhash_lsh_near_dup": _q_minhash_near_dup,
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh,
+        "simhash_near_dup_pairs": _q_simhash_near_dup,
+        "media_decode_dims": _q_media_decode,
+        "image_resize_4x4": _q_image_resize,
+        "media_embed_ann": _q_media_embed_ann,
     }
 
 
@@ -562,5 +628,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1, 2"
+        ),
+        "media_stats": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS payload_len, "
+            "md5(text) AS payload_md5 FROM documents"
+        ),
+        "video_frame_sample": (
+            # ASCII-only docs ⇒ byte slicing == char slicing, so VARCHAR
+            # substring mirrors the engine's binary frame chunking
+            "WITH vids AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)"
+            "    AND length(text) >= 64) "
+            ", frames AS ("
+            "  SELECT doc_id, text, unnest(range(0, CAST(length(text) // 64 AS BIGINT), 2)) AS i"
+            "  FROM vids) "
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(i AS BIGINT) AS frame_idx, "
+            "md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5 "
+            "FROM frames"
+        ),
+        "embedding_near_dup": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
     }

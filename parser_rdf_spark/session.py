@@ -50,4 +50,34 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+_PKG_ZIP: str | None = None
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the in-process
+    equivalent of ``spark-submit --py-files``, BASELINE.json:14): without
+    it, workers resolve imports through their own cwd and the fused
+    mapInArrow stage dies with ModuleNotFoundError whenever the driver
+    isn't launched from the repo root."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, path = tempfile.mkstemp(prefix="parser_rdf_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as z:
+            for fname in sorted(os.listdir(pkg_dir)):
+                if fname.endswith(".py"):
+                    z.write(
+                        os.path.join(pkg_dir, fname),
+                        arcname=f"parser_rdf_spark/{fname}",
+                    )
+        _PKG_ZIP = path
+    spark.sparkContext.addPyFile(_PKG_ZIP)

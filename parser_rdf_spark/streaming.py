@@ -1,0 +1,103 @@
+"""Structured Streaming ingestion path.
+
+The reference is strictly batch (one ``parse()`` call per document —
+SURVEY.md §2.7); at web scale the pages table is *continuously appended*
+(new WARC dumps land hourly), so the engine also exposes the same fused
+detect→validate→parse stage as a Structured Streaming job:
+
+    readStream(pages parquet dir) → parse_pages (mapInArrow, unchanged)
+      → triples_of → writeStream(parquet, checkpointed)
+
+Because :func:`parser_rdf_spark.parse.parse_pages` is a narrow stateless
+map with no driver-side actions, the *exact same code object* serves both
+the batch and streaming paths — the streaming wrapper only adds source,
+sink, trigger, and checkpoint. Incremental semantics (only new files are
+processed on re-run) come from the checkpoint's file-source log, which is
+also the streaming face of the north-rule resume requirement: kill the
+job, restart with the same checkpoint dir, and it continues from the
+last committed batch.
+
+``triple_rates`` adds the canonical stateful-streaming op: a watermarked
+event-time (warc_ts) windowed count of parsed triples per format — late
+pages beyond the watermark are dropped, state is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parse import parse_pages, triples_of
+from .schemas import PAGES
+
+
+def read_page_stream(spark: SparkSession, pages_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a pages parquet directory (the sandbox
+    stand-in for an Iceberg incremental-read stream)."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+def stream_triples(pages_stream: DataFrame, fmt: str | None = None) -> DataFrame:
+    """The streaming face of stage 1+2: identical plan, unbounded source."""
+    return triples_of(parse_pages(pages_stream, fmt=fmt))
+
+
+def run_to_parquet(
+    triples_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Checkpointed parquet sink; ``availableNow`` drains everything
+    currently in the source then stops (the batch-shaped trigger used in
+    tests and backfills — a live job would use a processingTime trigger).
+    Returns the StreamingQuery; caller awaits termination."""
+    writer = (
+        triples_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def triple_rates(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked windowed rollup: triples parsed per (event-time window,
+    format). State is bounded by the watermark; late pages past it are
+    dropped — the standard late-data contract.
+
+    parse_pages prunes its input to url/text/html before the Arrow
+    boundary, so event time rides through the stage inside the url
+    fragment (#ts=epoch) and is re-materialized after — streams can't
+    re-join on url without a second stateful operator.
+    """
+    tagged = pages_stream.withColumn(
+        "url",
+        F.concat(
+            "url", F.lit("#ts="), F.unix_timestamp(F.coalesce("warc_ts", F.current_timestamp()))
+        ),
+    )
+    parsed = parse_pages(tagged)
+    return (
+        parsed.select(
+            F.to_timestamp(
+                F.regexp_extract("doc_url", r"#ts=(\d+)$", 1).cast("long")
+            ).alias("event_ts"),
+            "format",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        )
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "format")
+        .agg(F.sum("n_triples").alias("triples"), F.count(F.lit(1)).alias("pages"))
+        .select(F.col("w.start").alias("window_start"), "format", "triples", "pages")
+    )

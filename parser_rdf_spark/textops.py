@@ -198,20 +198,12 @@ def ann_bruteforce_topk(
     )
 
 
-def ann_lsh_topk(
-    embeddings: DataFrame,
-    k: int = 3,
-    n_planes: int = 12,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
+def _lsh_buckets(
+    embeddings: DataFrame, n_planes: int, id_col: str, vec_col: str, seed: int
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH bucketing, then exact cosine only
-    within buckets. Deterministic planes derived from xxhash64(seed, dim,
-    plane) — no rand(), resume-safe. Recall < 1 by design; the candidate
-    set shrinks O(N²) → O(N²/2^planes) per bucket family."""
-    from pyspark.sql.window import Window
-
+    """Random-hyperplane LSH signature per vector → (id, v, bucket).
+    Deterministic planes derived from blake2b(seed, plane, dim) — no
+    rand(), resume-safe."""
     dim_df = embeddings.select(F.size(vec_col).alias("d")).first()
     d = dim_df["d"]
     # deterministic pseudo-random plane matrix as a SQL literal array
@@ -230,7 +222,25 @@ def ann_lsh_topk(
         f"CASE WHEN aggregate(zip_with(pl, {vec_col}, (p, v) -> p * cast(v as double)), 0D, (a, x) -> a + x) >= 0 THEN 1L ELSE 0L END), "
         f"0L, (acc, b) -> acc * 2 + b)"
     )
-    bucketed = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing, then exact cosine only
+    within buckets. Recall < 1 by design; the candidate set shrinks
+    O(N²) → O(N²/2^planes) per bucket family."""
+    from pyspark.sql.window import Window
+
+    bucketed = _lsh_buckets(embeddings, n_planes, id_col, vec_col, seed)
     a = bucketed.select(F.col("bucket").alias("ba"), F.col("id").alias("query_id"), F.col("v").alias("qv"))
     b = bucketed.select(F.col("bucket").alias("bb"), F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
@@ -242,6 +252,39 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    cosine ≥ threshold, id_a < id_b.
+
+    Baseline path (``n_planes=None``): all-pairs crossJoin with JVM-side
+    fold arithmetic — exact, O(N²), the DuckDB-oracle surface. Scale
+    path: pass ``n_planes`` to pre-block pairs with the same
+    random-hyperplane LSH bucketing as :func:`ann_lsh_topk` (high-cosine
+    pairs land in the same bucket with high probability), shrinking the
+    candidate set ~2^planes× before the exact cosine check."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes is None:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = _lsh_buckets(embeddings, n_planes, id_col, vec_col, seed)
+        pa = bucketed.select(F.col("bucket").alias("ba"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+        pb = bucketed.select(F.col("bucket").alias("bb"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = pa.join(pb, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.withColumn("cosine", _cosine("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
     )
 
 

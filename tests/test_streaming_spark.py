@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion: same fused parse stage, checkpointed
+incremental file source, watermarked windowed rollup."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parser_rdf_spark import streaming as st
+from parser_rdf_spark import w3c_fixtures as w3c
+from parser_rdf_spark.parse import parse_pages, triples_of
+from parser_rdf_spark.schemas import PAGES
+
+
+def _write_pages(spark, path, docs, ts_hour=0):
+    ts = datetime(2026, 1, 1, ts_hour, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [(url, ts, None, text, "en") for url, text in docs.items()], schema=PAGES
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (
+        str(tmp_path / "pages"),
+        str(tmp_path / "triples_out"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+BATCH1 = {f"https://s.example.org/{n}": w3c.FIXTURES[n] for n in w3c.POSITIVE[:10]}
+BATCH2 = {"https://s.example.org/quartet-nt": w3c.SAMPLES["sample.nt"],
+          "https://s.example.org/quartet-ttl": w3c.SAMPLES["sample.ttl"]}
+
+
+def test_stream_equals_batch_and_resumes_incrementally(spark, dirs):
+    pages_dir, out_dir, ckpt = dirs
+    _write_pages(spark, pages_dir, BATCH1)
+
+    q = st.run_to_parquet(
+        st.stream_triples(st.read_page_stream(spark, pages_dir)), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir)
+    want1 = triples_of(parse_pages(spark.read.parquet(pages_dir)))
+    assert got1.count() == want1.count()
+    assert got1.select("subj", "pred", "obj_value").subtract(
+        want1.select("subj", "pred", "obj_value")
+    ).count() == 0
+
+    # append a second batch; same checkpoint → only new files processed
+    _write_pages(spark, pages_dir, BATCH2, ts_hour=3)
+    q = st.run_to_parquet(
+        st.stream_triples(st.read_page_stream(spark, pages_dir)), out_dir, ckpt
+    )
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    want2 = triples_of(parse_pages(spark.read.parquet(pages_dir)))
+    # append-mode sink with no reprocessing: counts match the full batch
+    # run exactly (re-reading batch 1 would double those rows)
+    assert got2.count() == want2.count()
+
+
+def test_triple_rates_windowed_rollup(spark, dirs):
+    pages_dir, _, _ = dirs
+    _write_pages(spark, pages_dir, BATCH1, ts_hour=0)
+    _write_pages(spark, pages_dir, BATCH2, ts_hour=3)
+
+    rates = st.triple_rates(st.read_page_stream(spark, pages_dir), window="1 hour")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rates_t").collect()
+    got = {(r["window_start"].hour, r["format"]): (r["triples"], r["pages"]) for r in rows}
+
+    # batch-path oracle: same parse, grouped by (hour from url tag, format)
+    parsed = parse_pages(spark.read.parquet(pages_dir))
+    batch = {}
+    for r in parsed.collect():
+        hour = 3 if "quartet" in r["doc_url"] else 0
+        key = (hour, r["format"])
+        t, p = batch.get(key, (0, 0))
+        batch[key] = (t + (r["n_triples"] or 0), p + 1)
+    assert got == batch
+    assert sum(p for _, p in got.values()) == 12
+    assert (0, "n-triples") in got and (3, "turtle") in got

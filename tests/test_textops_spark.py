@@ -1,0 +1,48 @@
+"""Near-dup operators: embedding-cosine pairs and SimHash Hamming pairs."""
+
+import pytest
+
+from parser_rdf_spark import textops
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 0 and 1 identical; 2 nearly identical to 0; 3 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_bruteforce(spark, emb):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in textops.embedding_near_dup(emb, threshold=0.99).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_embedding_near_dup_lsh_blocks_identical_vectors(spark, emb):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in textops.embedding_near_dup(emb, threshold=0.99, n_planes=6).collect()
+    }
+    # identical vectors always share every hyperplane side ⇒ same bucket
+    assert (0, 1) in pairs
+    assert pairs <= {(0, 1), (0, 2), (1, 2)}
+
+
+def test_simhash_near_dups_finds_edited_doc(spark):
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = base.replace("tok42", "tok42x")
+    other = " ".join(f"zzz{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in textops.simhash_near_dups(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
