@@ -102,8 +102,15 @@ def main() -> None:
 
     parsed.unpersist()
 
-    # q4-q6: training-data ops on the sf tables
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    # q4-q6: training-data ops on the sf tables. The sf tables are single
+    # smallish parquet files → one scan partition; the per-doc ops are
+    # CPU-bound, so spread them across cores first (at production scale
+    # the table arrives in thousands of files and this is a no-op).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(cpus * 2)
+        .persist()
+    )
     docs.count()
 
     t0 = time.time()
@@ -117,7 +124,7 @@ def main() -> None:
     _ = textops.lang_id(docs).count()
     queries["text_analysis"] = round(time.time() - t0, 3)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
     t0 = time.time()
     qs = emb.filter(F.col("vec_id") < 100)
     _ = textops.ann_bruteforce_topk(emb, queries=qs, k=5).count()

@@ -115,21 +115,25 @@ def minhash_signatures(
     """64-bit minhash signatures over character shingles, entirely JVM-side:
     sliding-window substrings → per-permutation ``min(xxhash64(shingle,
     seed))``. Output: (id, sig: array<bigint>).
+
+    Perf: shingle strings are substring'd and string-hashed exactly ONCE;
+    the ``num_hashes`` permutations are derived by re-hashing the 64-bit
+    shingle hash with a per-permutation seed (long-hashing is ~10× cheaper
+    than string-hashing, so total cost is 1 string pass + N long passes
+    instead of N string passes).
     """
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"transform(sequence(1, greatest(1, length({text_col}) - {shingle_len - 1})), "
-            f"i -> substring({text_col}, i, {shingle_len}))"
-        ).alias("shingles"),
+            f"i -> xxhash64(substring({text_col}, i, {shingle_len})))"
+        ).alias("hs"),
     )
-    sig = shingled.select(
+    sig = hashed.select(
         "id",
         F.array(
             *[
-                F.expr(
-                    f"array_min(transform(shingles, s -> xxhash64(s, {seed}L)))"
-                ).alias(f"h{seed}")
+                F.expr(f"array_min(transform(hs, h -> xxhash64(h, {seed}L)))")
                 for seed in range(num_hashes)
             ]
         ).alias("sig"),
@@ -144,14 +148,22 @@ def minhash_lsh_blocking(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_len: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: signatures are cut
     into ``bands`` bands of ``num_hashes/bands`` rows; two ids sharing any
     (band, band-hash) bucket become a candidate pair.
 
-    Returns (id_a, id_b) with id_a < id_b, distinct. The self-join is on
-    (band, bucket) — high-cardinality keys, so the shuffle is well spread;
-    degenerate buckets (all-identical docs) are the caller's concern.
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Shape: ONE groupBy on (band, bucket) + in-bucket pair generation with
+    array lambdas — not a self-join. A self-join would recompute the
+    signature stage on both sides (the dominant cost) and shuffle twice;
+    this computes signatures once and shuffles banded rows once. Buckets
+    larger than ``max_bucket`` are dropped: a bucket every document falls
+    into generates O(k²) pairs and zero blocking information (standard
+    LSH practice; raise the cap if recall on mega-clusters matters more
+    than cost).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
@@ -166,14 +178,24 @@ def minhash_lsh_blocking(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(F.col("band").alias("b1"), F.col("bucket").alias("k1"), F.col("id").alias("id_a"))
-    right = banded.select(F.col("band").alias("b2"), F.col("bucket").alias("k2"), F.col("id").alias("id_b"))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
     return (
-        left.join(
-            right,
-            (F.col("b1") == F.col("b2")) & (F.col("k1") == F.col("k2")) & (F.col("id_a") < F.col("id_b")),
+        pairs.select(
+            F.least("p.a", "p.b").alias("id_a"), F.greatest("p.a", "p.b").alias("id_b")
         )
-        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -189,13 +211,19 @@ def connected_components(
     max_iters: int = 50,
     checkpoint_every: int = 5,
 ) -> DataFrame:
-    """Hash-min connected components over an undirected edge list.
+    """Hash-min connected components with pointer doubling over an
+    undirected edge list.
 
     Iterative DataFrame self-join with checkpointing (the exact pattern
-    the north rule names): each vertex repeatedly adopts the minimum
-    component id among itself and its neighbors; lineage is truncated
-    with ``localCheckpoint`` every ``checkpoint_every`` rounds; the loop
-    exits as soon as an iteration changes nothing.
+    the north rule names). Each round a vertex (1) adopts the minimum
+    label among itself and its neighbors, then (2) jumps through its
+    label's label (path compression: L'(v) = min(L(v), L(L(v)))). The
+    jump makes label distance to the component minimum roughly halve per
+    round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — the difference between ~7 and ~40+ shuffles on chainy
+    web-link graphs. Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds; the loop exits as soon as a round
+    changes nothing.
 
     Returns (vertex: string, component: string, component_id: long) where
     ``component`` is the lexicographic minimum vertex of the component and
@@ -205,6 +233,7 @@ def connected_components(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("vertex"))
@@ -214,24 +243,37 @@ def connected_components(
     )
 
     for i in range(max_iters):
-        # each vertex adopts min(own label, neighbors' labels)
+        # (1) each vertex adopts min(own label, neighbors' labels)
         neigh = (
             sym.join(labels.withColumnRenamed("vertex", "b2"), sym.b == F.col("b2"))
             .groupBy("a")
             .agg(F.min("component").alias("neigh_min"))
         )
-        stepped = labels.join(neigh, labels.vertex == neigh.a, "left").select(
+        # persisted: the pointer-jump below reads cand twice (probe +
+        # label map); without it the whole min-step recomputes per read
+        cand = labels.join(neigh, labels.vertex == neigh.a, "left").select(
             "vertex",
             F.least(
                 F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
             ).alias("component"),
             F.col("component").alias("_old"),
+        ).persist()
+        # (2) pointer jump: follow the label's own label one hop
+        comp_map = cand.select(
+            F.col("vertex").alias("_cv"), F.col("component").alias("_cc")
         )
-        if (i + 1) % checkpoint_every == 0:
-            stepped = stepped.localCheckpoint(eager=True)
-        else:
-            stepped = stepped.persist()
+        stepped = cand.join(comp_map, cand.component == F.col("_cv"), "left").select(
+            "vertex",
+            F.least(F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))).alias("component"),
+            "_old",
+        )
+        # checkpoint EVERY round: the pointer jump references cand twice,
+        # so un-truncated lineage doubles per round (2^k plan blowup —
+        # persist alone caches data but not the plan). checkpoint_every
+        # is kept for API stability but clamped to 1 by this shape.
+        stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("component") != F.col("_old")).count()
+        cand.unpersist()
         labels.unpersist()
         labels = stepped.drop("_old")
         if changed == 0:
