@@ -416,8 +416,17 @@ def extract_properties(
     else:
         res = res.filter(~is_bnode).withColumn("uri", F.col("subj"))
 
-    domains = _resolve_class_expression(triples, res, "domain_arr", "domain")
-    ranges = _resolve_class_expression(triples, res, "range_arr", "range_formal")
+    # The class-expression walk only ever reads owl:unionOf and
+    # rdf:first/rdf:rest triples. Filter them out ONCE (predicate pushdown
+    # makes this a cheap scan; the result is tiny — ontology list spine
+    # only) and checkpoint, so the two resolutions and every iterative
+    # round join against the small frame instead of re-scanning the full
+    # triples relation.
+    aux = triples.filter(
+        F.col("pred").isin(RDF_FIRST, RDF_REST, OWL_UNIONOF)
+    ).localCheckpoint(eager=True)
+    domains = _resolve_class_expression(aux, res, "domain_arr", "domain")
+    ranges = _resolve_class_expression(aux, res, "range_arr", "range_formal")
 
     out = (
         res.join(domains, ["doc_url", "subj"], "left")
