@@ -67,6 +67,23 @@ ex:PersonShape a sh:NodeShape ;
     sh:property [ sh:path ex:name ; sh:minCount "1" ; sh:maxCount "2" ] .
 """
 
+_UNIONOF_DOC = """\
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.org/> .
+ex:author a owl:ObjectProperty ;
+    rdfs:label "author"@en ;
+    rdfs:domain [ owl:unionOf ( ex:Book ex:Article ex:Thesis ) ] ;
+    rdfs:range ex:Person .
+ex:pages a owl:DatatypeProperty ;
+    rdfs:label "pages"@en ;
+    rdfs:comment "The range is xsd:integer page count." .
+ex:note a owl:AnnotationProperty ;
+    rdfs:label "note"@en ;
+    rdfs:comment "Free-form note; range is a plain literal value." .
+"""
+
 _CC_EDGES = [
     ("http://e/a", "http://e/b"), ("http://e/b", "http://e/c"),
     ("http://e/d", "http://e/e"), ("http://e/f", "http://e/f"),
@@ -206,6 +223,21 @@ def _q_shacl_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_class").alias("target_class"),
         F.element_at("constraints", "minCount").alias("min_count_constraint"),
         F.size("property_shapes").cast("bigint").alias("n_property_shapes"),
+    )
+
+
+def _q_property_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (owl:unionOf rdf-list flattening) + E13 (range-from-comment
+    fallback) + E10 (property-type determination) on a golden fixture."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/unionof/doc1": _UNIONOF_DOC}
+    )
+    props = extract_properties(triples_of(parse_pages(pages)))
+    return props.select(
+        "uri",
+        "property_type",
+        F.array_join("domain", "|").alias("domain_joined"),
+        F.array_join("range", "|").alias("range_joined"),
     )
 
 
@@ -387,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_prefixes": _q_quartet_prefixes,
         "resource_counts": _q_quartet_resource_counts,
         "extract_shacl_shapes": _q_shacl_shapes,
+        "property_class_expressions": _q_property_class_expressions,
         "connected_components": _q_connected_components,
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
@@ -575,6 +608,17 @@ def oracle_sql() -> dict[str, str]:
         "extract_prefixes": _golden_values_prefixes(),
         "resource_counts": _RESOURCE_COUNTS_SQL,
         "extract_shacl_shapes": _SHACL_SHAPES_SQL,
+        "property_class_expressions": (
+            "SELECT * FROM (VALUES "
+            "('http://example.org/author', 'object', "
+            " 'http://example.org/Book|http://example.org/Article|http://example.org/Thesis', "
+            " 'http://example.org/Person'), "
+            "('http://example.org/pages', 'datatype', '', "
+            " 'http://www.w3.org/2001/XMLSchema#integer'), "
+            "('http://example.org/note', 'annotation', '', "
+            " 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString')"
+            ") AS t(uri, property_type, domain_joined, range_joined)"
+        ),
         "connected_components": _CC_SQL,
         "entity_linking_dictionary": _LINKING_SQL,
         "edges_materialize": _golden_values_edges(),
