@@ -84,6 +84,27 @@ ex:note a owl:AnnotationProperty ;
     rdfs:comment "Free-form note; range is a plain literal value." .
 """
 
+_HTML_STRUCTURED_DOC = """\
+<!DOCTYPE html>
+<html><head>
+<script type="application/ld+json">
+{"@context": "https://schema.org", "@id": "https://example.org/carol",
+ "@type": "Person", "name": "Carol Danvers"}
+</script>
+</head>
+<body prefix="foaf: http://xmlns.com/foaf/0.1/" vocab="https://schema.org/">
+<div itemscope itemtype="https://schema.org/Person" itemid="https://example.org/alice">
+  <span itemprop="name">Alice Liddell</span>
+  <meta itemprop="birthDate" content="1852-05-04">
+  <a itemprop="url" href="https://alice.example.org/">home</a>
+</div>
+<div about="https://example.org/bob" typeof="Person">
+  <span property="name">Bob Smith</span>
+  <span property="foaf:nick" content="bobby"></span>
+</div>
+</body></html>
+"""
+
 _CC_EDGES = [
     ("http://e/a", "http://e/b"), ("http://e/b", "http://e/c"),
     ("http://e/d", "http://e/e"), ("http://e/f", "http://e/f"),
@@ -239,6 +260,22 @@ def _q_property_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_join("domain", "|").alias("domain_joined"),
         F.array_join("range", "|").alias("range_joined"),
     )
+
+
+def _q_html_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML structured-data extraction (microdata + RDFa Lite + embedded
+    JSON-LD) through the fused parse stage — the north star's
+    'RDF/RDFa/microdata/JSON-LD extraction' surface. No reference
+    counterpart (the reference parses standalone RDF strings only)."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/html/doc1": _HTML_STRUCTURED_DOC}
+    )
+    t = triples_of(parse_pages(pages))
+    # named terms only: bnode labels are doc-scoped on the Spark side but
+    # raw in the pure-Python golden, so they can't hash-compare
+    return t.filter(
+        (F.col("obj_kind") != "bnode") & ~F.col("subj").startswith("_:")
+    ).select("subj", "pred", "obj_kind", "obj_value")
 
 
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_counts": _q_quartet_resource_counts,
         "extract_shacl_shapes": _q_shacl_shapes,
         "property_class_expressions": _q_property_class_expressions,
+        "html_structured_data": _q_html_structured_data,
         "connected_components": _q_connected_components,
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
@@ -599,6 +637,21 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, lang, {case} AS lang_guess FROM documents"
 
 
+def _golden_values_html() -> str:
+    from parser_rdf_spark import htmldata
+
+    triples, _ = htmldata.parse_document(_HTML_STRUCTURED_DOC)
+    rows = [
+        f"({_sql_quote(t.subj)}, {_sql_quote(t.pred)}, {_sql_quote(t.obj_kind)}, {_sql_quote(t.obj_value)})"
+        for t in triples
+        if t.obj_kind != "bnode" and not t.subj.startswith("_:")
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(subj, pred, obj_kind, obj_value)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "w3c_conformance_decisions": _golden_values_w3c(),
@@ -608,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_prefixes": _golden_values_prefixes(),
         "resource_counts": _RESOURCE_COUNTS_SQL,
         "extract_shacl_shapes": _SHACL_SHAPES_SQL,
+        "html_structured_data": _golden_values_html(),
         "property_class_expressions": (
             "SELECT * FROM (VALUES "
             "('http://example.org/author', 'object', "

@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from . import jsonld, ntriples, rdfxml, turtle
+from . import htmldata, jsonld, ntriples, rdfxml, turtle
 from .ntriples import Triple
 
 COMMON_PREFIXES: dict[str, str] = {
@@ -51,12 +51,16 @@ def _parse_ntriples(content: str) -> tuple[list[Triple], dict[str, str]]:
 
 
 # Priority order is observable behavior (reference: src/RdfParser.php:219-227;
-# priority tests tests/Unit/RdfParserTest.php:219-231).
+# priority tests tests/Unit/RdfParserTest.php:219-231). The html handler
+# (structured-data extraction: embedded JSON-LD / microdata / RDFa Lite)
+# is new engine surface with no reference counterpart — appended LAST so
+# every RDF serialization keeps its reference-fixed priority.
 _DEFAULT_HANDLERS: list[FormatHandler] = [
     FormatHandler("json-ld", jsonld.can_handle, jsonld.parse_document),
     FormatHandler("turtle", turtle.can_handle, turtle.parse_document),
     FormatHandler("n-triples", ntriples.can_handle, _parse_ntriples),
     FormatHandler("rdf/xml", rdfxml.can_handle, rdfxml.parse_document),
+    FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
 ]
 
 _handlers: list[FormatHandler] = list(_DEFAULT_HANDLERS)

@@ -55,6 +55,8 @@ def _expand(term: str, st: _State, vocab: bool = False) -> Optional[str]:
         return None
     if term in st.context:
         return st.context[term]
+    if vocab and "@vocab" in st.context:
+        return st.context["@vocab"] + term
     return None
 
 
@@ -173,9 +175,16 @@ def parse_document(content: str) -> tuple[list[Triple], dict[str, str]]:
             for k, v in ctx.items():
                 if isinstance(k, str) and isinstance(v, str):
                     st.context[k] = v
+        elif isinstance(ctx, str) and _ABS_IRI_RE.match(ctx):
+            # remote-context URL (e.g. "https://schema.org"): resolution is
+            # out of scope (spec-completeness:178), but web JSON-LD leans on
+            # it everywhere — treat it as an @vocab base so bare terms
+            # expand to <base>/term instead of being dropped
+            st.context["@vocab"] = ctx if ctx.endswith(("/", "#")) else ctx + "/"
         _process_node(st, node)
     prefixes = {
-        k: v for k, v in st.context.items() if _ABS_IRI_RE.match(v)
+        k: v for k, v in st.context.items()
+        if not k.startswith("@") and _ABS_IRI_RE.match(v)
     }
     return st.triples, prefixes
 

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import formats as _formats
+from . import htmldata as _htmldata
 from .html_text import html_bytes_to_text
 from .schemas import PARSED
 
@@ -86,6 +87,16 @@ def _parse_batch(
         res = _formats.parse_rdf_document(
             text if isinstance(text, str) else "", fmt, empty_guard=empty_guard
         )
+        if (
+            res.error_stage == "format_detection"
+            and fmt is None
+            and htmls[i] is not None
+        ):
+            # the tag-stripped text isn't RDF, but the raw HTML may still
+            # carry structured data (microdata / RDFa / embedded JSON-LD)
+            raw = bytes(htmls[i]).decode("utf-8", errors="replace")
+            if _htmldata.can_handle(raw):
+                res = _formats.parse_rdf_document(raw, "html", empty_guard=empty_guard)
         triples = res.triples
         if scope and triples:
             triples = _formats.scope_bnodes(triples, doc_hash(urls[i]))

@@ -1,0 +1,150 @@
+"""HTML structured-data extraction: microdata, RDFa Lite, embedded
+JSON-LD — pure-Python core + the fused Spark path's raw-html fallback."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parser_rdf_spark import htmldata
+from parser_rdf_spark.formats import detect_format, parse_rdf_document, supported_formats
+from parser_rdf_spark.parse import parse_pages, triples_of
+from parser_rdf_spark.schemas import PAGES
+
+SCHEMA = "https://schema.org/"
+
+MICRODATA_DOC = """<!DOCTYPE html>
+<html><body>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://example.org/alice">
+  <span itemprop="name">Alice Liddell</span>
+  <meta itemprop="birthDate" content="1852-05-04">
+  <a itemprop="url" href="https://alice.example.org/">home</a>
+  <img itemprop="image" src="https://example.org/alice.jpg">
+  <div itemprop="address" itemscope itemtype="https://schema.org/PostalAddress">
+    <span itemprop="addressLocality">Oxford</span>
+  </div>
+</div>
+</body></html>"""
+
+RDFA_DOC = """<!DOCTYPE html>
+<html><body prefix="foaf: http://xmlns.com/foaf/0.1/" vocab="https://schema.org/">
+<div about="https://example.org/bob" typeof="Person">
+  <span property="name">Bob Smith</span>
+  <span property="foaf:nick" content="bobby"></span>
+  <a property="url" href="https://bob.example.org/">site</a>
+</div>
+</body></html>"""
+
+LDJSON_DOC = """<!DOCTYPE html>
+<html><head>
+<script type="application/ld+json">
+{"@context": "https://schema.org", "@id": "https://example.org/carol",
+ "@type": "Person", "name": "Carol Danvers",
+ "knows": {"@id": "https://example.org/bob"}}
+</script>
+<script type="application/ld+json">
+{"@context": {"ex": "http://example.org/"}, "@id": "ex:dave",
+ "@type": "ex:Robot", "ex:label": "Dave"}
+</script>
+</head><body><p>hello</p></body></html>"""
+
+
+def _spo(triples):
+    return {(t.subj, t.pred, t.obj_value) for t in triples}
+
+
+def test_detection_priority_html_last():
+    assert supported_formats()[-1] == "html"
+    assert detect_format(MICRODATA_DOC) == "html"
+    # RDF serializations still win
+    assert detect_format('<?xml version="1.0"?><rdf:RDF/>') == "rdf/xml"
+    assert detect_format("<http://a> <http://b> <http://c> .") == "n-triples"
+
+
+def test_microdata_extraction():
+    triples, _ = htmldata.parse_document(MICRODATA_DOC)
+    got = _spo(triples)
+    alice = "https://example.org/alice"
+    assert (alice, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", SCHEMA + "Person") in got
+    assert (alice, SCHEMA + "name", "Alice Liddell") in got
+    assert (alice, SCHEMA + "birthDate", "1852-05-04") in got
+    assert (alice, SCHEMA + "url", "https://alice.example.org/") in got
+    assert (alice, SCHEMA + "image", "https://example.org/alice.jpg") in got
+    nested = [t for t in triples if t.pred == SCHEMA + "address"]
+    assert len(nested) == 1 and nested[0].obj_kind == "bnode"
+    addr = nested[0].obj_value
+    assert (addr, SCHEMA + "addressLocality", "Oxford") in got
+
+
+def test_rdfa_extraction():
+    triples, prefixes = htmldata.parse_document(RDFA_DOC)
+    got = _spo(triples)
+    bob = "https://example.org/bob"
+    assert (bob, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", SCHEMA + "Person") in got
+    assert (bob, SCHEMA + "name", "Bob Smith") in got
+    assert (bob, "http://xmlns.com/foaf/0.1/nick", "bobby") in got
+    assert (bob, SCHEMA + "url", "https://bob.example.org/") in got
+    assert prefixes["foaf"] == "http://xmlns.com/foaf/0.1/"
+
+
+def test_embedded_jsonld_blocks():
+    triples, _ = htmldata.parse_document(LDJSON_DOC)
+    got = _spo(triples)
+    assert ("https://example.org/carol", SCHEMA + "name", "Carol Danvers") in got
+    assert ("https://example.org/carol", SCHEMA + "knows", "https://example.org/bob") in got
+    assert ("http://example.org/dave", "http://example.org/label", "Dave") in got
+
+
+def test_broken_ldjson_block_is_isolated():
+    doc = LDJSON_DOC.replace('"Carol Danvers"', '"Carol Danvers')  # broken JSON
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    assert ("http://example.org/dave", "http://example.org/label", "Dave") in got
+    assert not any("carol" in s for s, _, _ in got)
+
+
+def test_malformed_html_never_raises():
+    junk = "<html><body><div itemscope itemprop='x'><span>unclosed"
+    triples, _ = htmldata.parse_document(junk)
+    assert isinstance(triples, list)
+    res = parse_rdf_document("<html><p>no structured data</p></html>")
+    assert res.format == "html" and res.triples == []
+
+
+def test_plain_text_not_detected_as_html():
+    assert not htmldata.can_handle("just a plain sentence with no tags")
+    assert detect_format("just a plain sentence") is None
+
+
+def _html_pages(spark, docs):
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    return spark.createDataFrame(
+        [(url, ts, payload.encode(), None, "en") for url, payload in docs.items()],
+        schema=PAGES,
+    )
+
+
+def test_spark_raw_html_fallback(spark):
+    """html column pages whose stripped text is not RDF fall back to
+    structured-data extraction on the raw bytes."""
+    pages = _html_pages(spark, {"https://p/md": MICRODATA_DOC, "https://p/ld": LDJSON_DOC})
+    parsed = parse_pages(pages)
+    t = triples_of(parsed)
+    rows = {(r["doc_url"], r["pred"], r["obj_value"]) for r in t.collect()}
+    assert ("https://p/md", SCHEMA + "name", "Alice Liddell") in rows
+    assert ("https://p/ld", SCHEMA + "name", "Carol Danvers") in rows
+    fmts = {r["doc_url"]: r["format"] for r in parsed.select("doc_url", "format").collect()}
+    assert fmts == {"https://p/md": "html", "https://p/ld": "html"}
+
+
+def test_spark_bnode_scoping_across_pages(spark):
+    """The same microdata doc on two urls must not share bnode labels."""
+    pages = _html_pages(spark, {"https://p/1": MICRODATA_DOC, "https://p/2": MICRODATA_DOC})
+    t = triples_of(parse_pages(pages))
+    bnodes = (
+        t.filter(F.col("obj_kind") == "bnode")
+        .select("doc_url", "obj_value").distinct().collect()
+    )
+    labels = {r["obj_value"] for r in bnodes}
+    assert len(labels) == 2  # one address bnode per page, doc-scoped
