@@ -39,7 +39,8 @@ SEED = 42
 
 
 def _pages_cache(spark, n_docs: int, cpus: int):
-    path = f"/tmp/spark_graft_bench/pages_n{n_docs}_s{SEED}"
+    # _v2: corpus version (structured-data HTML page class added)
+    path = f"/tmp/spark_graft_bench/pages_n{n_docs}_s{SEED}_v2"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)

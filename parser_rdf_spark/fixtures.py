@@ -123,6 +123,32 @@ def _nt_filler(i: int, entities_per_doc: int = 4) -> str:
     return "".join(parts)
 
 
+def _html_filler(i: int, entities_per_doc: int = 3) -> str:
+    """Common-Crawl-style HTML page carrying all three structured-data
+    carriers (embedded JSON-LD, microdata, RDFa Lite) plus boilerplate —
+    the html/structured-data share of the bench corpus. ~9 triples/doc,
+    entity ids varied so triple counts grow linearly."""
+    e = i * entities_per_doc
+    price = f"{(i % 90) + 10}.99"
+    return f"""<!DOCTYPE html><html><head><title>Page {i}</title>
+<script type="application/ld+json">
+{{"@context":"https://schema.org","@id":"https://data.example.org/prod{e}","@type":"Product","name":"Product {e}","offers":{{"@type":"Offer","price":"{price}","priceCurrency":"USD"}}}}
+</script></head>
+<body vocab="https://schema.org/">
+<nav><a href="/">home</a> <a href="/about">about</a></nav>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://data.example.org/person{e + 1}">
+  <span itemprop="name">Person {e + 1}</span>
+  <meta itemprop="birthDate" content="19{50 + (i % 50):02d}-01-01">
+  <a itemprop="url" href="https://host{i % 97}.example.org/~p{e + 1}">profile</a>
+</div>
+<div about="https://data.example.org/org{e + 2}" typeof="Organization">
+  <span property="name">Org {e + 2}</span>
+  <span property="numberOfEmployees" content="{i % 5000}"></span>
+</div>
+<footer>{FILLER_TEXT}</footer>
+</body></html>"""
+
+
 def _host(i: int, seed: int) -> str:
     """Zipf-like host assignment: ~40% of pages land on host0 (the
     mega-host), the rest spread over 97 hosts."""
@@ -165,7 +191,9 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 partitions: int | None = None) -> DataFrame:
     """Distributed deterministic bench corpus of ``n_docs`` pages.
 
-    Mix: 70% N-Triples filler (varied subjects), 10% feature Turtle docs,
+    Mix: 60% N-Triples filler (varied subjects), 10% HTML pages carrying
+    structured data (JSON-LD + microdata + RDFa — the Common-Crawl-real
+    case, exercising the raw-html fallback), 10% feature Turtle docs,
     10% quartet replicas, 10% non-RDF filler. Generated via
     ``spark.range`` + one mapInPandas (no driver-side materialization),
     so a 100k-doc corpus never touches the driver.
@@ -185,20 +213,35 @@ def synth_pages(spark: SparkSession, n_docs: int, seed: int = 42,
             urls, tss, htmls, texts, langs = [], [], [], [], []
             for i in pdf["id"].tolist():
                 bucket = i % 10
-                if bucket < 7:
+                text: str | None
+                if bucket < 6:
                     tag, payload = f"ntfiller/{i}", _nt_filler(i)
+                    html = f"<html><body><pre>{payload}</pre></body></html>".encode()
+                    text = payload
+                elif bucket < 7:
+                    # structured-data HTML: raw page in html, text left for
+                    # the fused stage-1 extraction + raw-html fallback
+                    tag, payload = f"htmlpage/{i}", _html_filler(i)
+                    html = payload.encode()
+                    text = None
                 elif bucket < 8:
                     name, payload = feature_items[i % len(feature_items)]
                     tag = f"feature/{name}/{i}"
+                    html = f"<html><body><pre>{payload}</pre></body></html>".encode()
+                    text = payload
                 elif bucket < 9:
                     name, payload = samples[i % len(samples)]
                     tag = f"quartet/{name}/{i}"
+                    html = f"<html><body><pre>{payload}</pre></body></html>".encode()
+                    text = payload
                 else:
                     tag, payload = f"filler/{i}", FILLER_TEXT + f" doc {i}"
+                    html = f"<html><body><pre>{payload}</pre></body></html>".encode()
+                    text = payload
                 urls.append(f"https://{_host(i, seed)}/{tag}")
                 tss.append(t0 + timedelta(minutes=int(i)))
-                htmls.append(f"<html><body><pre>{payload}</pre></body></html>".encode())
-                texts.append(payload)
+                htmls.append(html)
+                texts.append(text)
                 langs.append(["en", "nl", "es", "zh", "de"][i % 5])
             yield pd.DataFrame(
                 {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}

@@ -33,9 +33,13 @@ def build_session(
     step so many small parquet files don't bin-pack into a handful of
     scan partitions (the default 4 MiB padding swamps sub-MB files)."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        # master="submit" defers to spark-submit's --master (cluster mode);
+        # anything else is the in-process/local path
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
