@@ -326,6 +326,16 @@ def _q_token_stats(spark, sf_dir):
     )
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    return textops.bpe_token_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.col("n_word_tokens").cast("bigint").alias("n_word_tokens"),
+        F.col("n_number_tokens").cast("bigint").alias("n_number_tokens"),
+        F.col("n_symbol_tokens").cast("bigint").alias("n_symbol_tokens"),
+    )
+
+
 def _q_quality_score(spark, sf_dir):
     return textops.quality_score(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": _q_exact_dedup,
         "dedup_keep_first": _q_dedup_keep_first,
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -690,6 +701,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, "
             "CAST((length(text) - len(string_split(text, ' ')) + 1) * 100 "
             "  // len(string_split(text, ' ')) AS BIGINT) AS avg_token_len_x100 "
+            "FROM documents"
+        ),
+        "bpe_token_stats": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            r"CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens, "
+            "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens, "
+            r"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_symbol_tokens "
             "FROM documents"
         ),
         "quality_score": (

@@ -309,6 +309,27 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / single
+    symbols — the shape GPT-2-style pre-tokenizers split on), alongside
+    the class breakdown. All JVM-side regexp_extract_all; counts are the
+    pre-tokenizer upper bound on BPE token count."""
+    def n(pat: str) -> F.Column:
+        # F.lit pattern column — no SQL string-literal escape mangling
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return documents.select(
+        "doc_id",
+        n(_BPE_ISH).alias("n_bpe_tokens"),
+        n("[A-Za-z]+").alias("n_word_tokens"),
+        n("[0-9]+").alias("n_number_tokens"),
+        n(r"[^A-Za-z0-9\s]").alias("n_symbol_tokens"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Integer-arithmetic quality heuristic (0-100): length band +
     stopword-ratio band + repetition band. Deliberately int-only so the

@@ -139,6 +139,13 @@ faster this round (20k → 206k triples/s single-core); a slower parser
 would show prettier efficiency and 5× worse absolute throughput at every
 cluster size.
 
+Shared-VM variance note: the 8→32 pair swings 0.52-0.88 across sessions
+with co-tenant load. Control experiment (same day as a 0.52 reading): the
+*unchanged* N-Triples-only subset of the corpus also measured 0.58 at
+8→32 — i.e. the low readings are machine state, not an engine
+regression. The 2→8 pair (which stays below the DRAM wall) is the stable
+software-scaling signal and holds ≥0.87 in every session.
+
 Reproduce: `python scripts/scaling_bench.py {n_docs}`.
 
 ## Per-operator timings (bench.py, local[32], sf0.1, 50k synthetic pages)

@@ -88,6 +88,48 @@ def test_rdfa_extraction():
     assert prefixes["foaf"] == "http://xmlns.com/foaf/0.1/"
 
 
+def test_rdfa_about_property_same_element():
+    doc = ('<html><body vocab="https://schema.org/">'
+           '<meta about="https://e.org/y" property="name" content="Zoe"/></body></html>')
+    triples, _ = htmldata.parse_document(doc)
+    assert _spo(triples) == {("https://e.org/y", SCHEMA + "name", "Zoe")}
+
+
+def test_rdfa_resource_is_object():
+    doc = ('<html><body vocab="https://schema.org/"><div about="https://e.org/book">'
+           '<span property="author" resource="https://e.org/jane"></span></div></body></html>')
+    triples, _ = htmldata.parse_document(doc)
+    assert _spo(triples) == {("https://e.org/book", SCHEMA + "author", "https://e.org/jane")}
+
+
+def test_rdfa_property_typeof_chaining():
+    doc = ('<html><body vocab="https://schema.org/"><div about="https://e.org/doc">'
+           '<div property="author" typeof="Person"><span property="name">Kim</span>'
+           "</div></div></body></html>")
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    bnodes = {s for s, p, _ in got if s.startswith("_:")}
+    assert len(bnodes) == 1
+    bn = bnodes.pop()
+    assert ("https://e.org/doc", SCHEMA + "author", bn) in got
+    assert (bn, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", SCHEMA + "Person") in got
+    assert (bn, SCHEMA + "name", "Kim") in got
+
+
+def test_unquoted_url_attrs_and_comment_script_cdata_ignored():
+    doc = """<!DOCTYPE html><html>
+<!-- <div itemscope> inside a comment -->
+<body vocab=https://schema.org/>
+<div about=https://e.org/x typeof=Person><span property=name>Ann &amp; Bob</span></div>
+<script type="text/javascript">var s = "<div itemscope>"; if (1<2) {}</script>
+<![CDATA[ <div itemprop="bogus"> ]]>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    assert ("https://e.org/x", SCHEMA + "name", "Ann & Bob") in got
+    assert len(got) == 2  # type + name; nothing from comment/script/CDATA
+
+
 def test_embedded_jsonld_blocks():
     triples, _ = htmldata.parse_document(LDJSON_DOC)
     got = _spo(triples)
