@@ -433,6 +433,11 @@ def _q_ann_lsh(spark, sf_dir):
     return textops.ann_lsh_topk(emb, k=3, n_planes=10)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.ann_ivf_topk(emb, k=3, n_lists=8, n_probe=3)
+
+
 def _q_simhash_near_dup(spark, sf_dir):
     return textops.simhash_near_dups(_docs(spark, sf_dir), max_hamming=16)
 
@@ -490,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "simhash_near_dup_pairs": _q_simhash_near_dup,
         "media_decode_dims": _q_media_decode,
         "image_resize_4x4": _q_image_resize,

@@ -255,6 +255,68 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: a KMeans coarse quantizer (deterministic seed)
+    partitions vectors into ``n_lists`` inverted lists; each query scores
+    exact cosine only against the ``n_probe`` nearest lists. The classic
+    alternative to LSH bucketing — recall degrades gracefully with
+    n_probe, and the per-query candidate set is ~n_probe/n_lists of the
+    corpus. Centroids broadcast (tiny); the probe join keys on list id,
+    a high-cardinality-enough key at real n_lists (#lists ~ sqrt(N))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    feat = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feat)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _dist_sq(vec_col_name: str, center: list[float]) -> F.Column:
+        c_sql = "array(" + ", ".join(f"{x}D" for x in center) + ")"
+        return F.expr(
+            f"aggregate(zip_with({c_sql}, {vec_col_name}, (c, x) -> (c - cast(x as double)) * (c - cast(x as double))), 0D, (a, d) -> a + d)"
+        )
+
+    dists = F.array(*[_dist_sq("v", c) for c in centers])
+    # inverted-list assignment = argmin distance; probe lists = n_probe smallest
+    assigned = feat.select("id", "v", dists.alias("dists")).select(
+        "id", "v",
+        F.expr("CAST(array_position(dists, array_min(dists)) AS INT) - 1").alias("list_id"),
+        "dists",
+    )
+    base = assigned.select(F.col("list_id").alias("b_list"), F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    probes = assigned.select(
+        "id", "v",
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort(transform(dists, (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}), s -> s.i)"
+            )
+        ).alias("p_list"),
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "p_list")
+    scored = (
+        probes.join(base, (F.col("p_list") == F.col("b_list")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", _cosine("qv", "nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -35,6 +35,30 @@ def test_embedding_near_dup_lsh_blocks_identical_vectors(spark, emb):
     assert pairs <= {(0, 1), (0, 2), (1, 2)}
 
 
+def test_ann_ivf_full_probe_equals_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in textops.ann_bruteforce_topk(emb, k=2).collect()
+    }
+    # probing every inverted list == exhaustive search
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in textops.ann_ivf_topk(emb, k=2, n_lists=4, n_probe=4).collect()
+    }
+    assert full == exact
+    # partial probe: a valid top-k per query, recall below-but-near exact
+    part = textops.ann_ivf_topk(emb, k=2, n_lists=4, n_probe=2).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
 def test_simhash_near_dups_finds_edited_doc(spark):
     base = " ".join(f"tok{i}" for i in range(200))
     edited = base.replace("tok42", "tok42x")
