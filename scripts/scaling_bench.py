@@ -156,12 +156,15 @@ pass are stable):
 
 | query | before | after | change |
 |---|---|---|---|
-| parse_triples | 7.4 | 7.2 | — (optimized last pass) |
-| extract_entities | 12-37 | 8.4 (3.7 agg + 1.2 classes + 6.5 props, isolated) | unionOf walk joins a pre-filtered aux frame |
-| link_and_components | 25.5 | 16.2 | CC pointer doubling: 5 rounds vs ~40 |
-| dedup_exact_minhash | 14.1 | 6.3-10.7 | 1 string-hash pass + groupBy pair gen (was self-join recomputing signatures) |
+| parse_triples (740k triples, v2 corpus w/ HTML pages) | 7.4 | 4.3 | regex tag scanner for the HTML share |
+| extract_entities | 12-37 | 13.5 | unionOf walk joins a pre-filtered aux frame |
+| link_and_components | 25.5 | 12.3 | CC pointer doubling: 5 rounds vs ~40 |
+| dedup_exact_minhash | 14.1 | 3.9 | 1 string-hash pass + groupBy pair gen (was self-join recomputing signatures) |
 | ann_cosine_topk | 4.3 | 2.1 | partitioning fix |
-| text_analysis | 0.4-3.5 | 0.4-3.5 | noise-bound |
+| text_analysis | 0.4-3.5 | 0.8 | noise-bound |
+
+Headline at these settings: 172k triples extracted/sec (50k pages,
+local[32], includes detect+validate+parse+HTML-structured-data).
 
 Two scale-relevant lessons recorded this pass:
 - single-file sf tables scan as ONE partition; CPU-bound per-row ops
