@@ -271,6 +271,7 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
 
     frontier = heads.select("doc_url", "head", F.col("head").alias("node"), F.lit(0).alias("pos"))
     collected: list[DataFrame] = []
+    cached: list[DataFrame] = []
     for i in range(max_iters):
         if frontier.isEmpty():
             break
@@ -288,6 +289,7 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
             .select("doc_url", "head", "pos", "member", "member_kind", "next_node", "next_kind")
         )
         step = step.localCheckpoint(eager=True) if (i % 8 == 7) else step.persist()
+        cached.append(step)
         collected.append(step.select("doc_url", "head", "pos", "member", "member_kind"))
         frontier = step.filter(
             F.col("next_node").isNotNull()
@@ -302,6 +304,12 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
     out = collected[0]
     for df in collected[1:]:
         out = out.unionByName(df)
+    # materialize the union once, then release every per-round cache —
+    # otherwise each extractor call leaks up to max_iters persisted frames
+    # for the application lifetime
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out
 
 

@@ -116,6 +116,8 @@ _ATTR_RE = re.compile(
 # marker-free tags (the overwhelming majority on real pages) cost only
 # the scan regex and a depth increment
 _MARKERS = ("item", "property", "typeof", "about", "vocab", "prefix", "resource")
+_SCRIPT_CLOSE_RE = re.compile(r"</script", re.IGNORECASE)
+_STYLE_CLOSE_RE = re.compile(r"</style", re.IGNORECASE)
 
 
 def _unescape(v: str) -> str:
@@ -192,7 +194,6 @@ class _Extractor:
         return a
 
     def feed(self, content: str) -> None:
-        lower = content.lower()
         n = len(content)
         pos = 0
         while pos < n:
@@ -211,8 +212,13 @@ class _Extractor:
                 attrs_str = attrs_str or ""
                 if tag in ("script", "style"):
                     # slice raw content straight to the closing tag — the
-                    # body is never tokenized
-                    close = lower.find(f"</{tag}", pos)
+                    # body is never tokenized. Case-insensitive regex on
+                    # the ORIGINAL string: a content.lower() copy can
+                    # change length ('İ' → 2 chars) and desync offsets
+                    cm = (_SCRIPT_CLOSE_RE if tag == "script" else _STYLE_CLOSE_RE).search(
+                        content, pos
+                    )
+                    close = cm.start() if cm else -1
                     raw = content[pos: close if close != -1 else n]
                     if tag == "script" and "ld+json" in attrs_str.lower():
                         self.jsonld_blocks.append(raw)

@@ -62,7 +62,9 @@ def _expand(term: str, st: _State, vocab: bool = False) -> Optional[str]:
 
 def _emit(st: _State, subj: str, pred: str, obj_kind: str, obj_value: str,
           lang: Optional[str] = None, dt: Optional[str] = None) -> None:
-    st.triples.append(Triple(subj, pred, obj_kind, obj_value, lang, dt, 0))
+    # line_no = emission sequence: JSON has no lines, but downstream
+    # 'first value in document order' semantics (E5/E16) sort on line_no
+    st.triples.append(Triple(subj, pred, obj_kind, obj_value, lang, dt, len(st.triples)))
 
 
 def _node_subject(node: dict[str, Any], st: _State) -> str:
@@ -76,6 +78,8 @@ def _node_subject(node: dict[str, Any], st: _State) -> str:
 
 
 def _process_value(st: _State, subj: str, pred: str, value: Any) -> None:
+    if value is None:
+        return  # JSON-LD expansion drops null values (ubiquitous on the web)
     if isinstance(value, list):
         for v in value:
             _process_value(st, subj, pred, v)
@@ -83,6 +87,8 @@ def _process_value(st: _State, subj: str, pred: str, value: Any) -> None:
     if isinstance(value, dict):
         if "@value" in value:
             val = value["@value"]
+            if val is None:
+                return
             lang = value.get("@language")
             dt = value.get("@type")
             dt_iri = _expand(dt, st) if isinstance(dt, str) else None

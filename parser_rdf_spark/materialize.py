@@ -172,7 +172,10 @@ class GraphWriter:
             chunk = bucketed.filter(F.col("url_bucket") == b).drop("url_bucket")
             parsed = parse_pages(chunk)
             triples = triples_of(parsed)
-            edges = build_edges(triples, pages=chunk, n_buckets=self.pred_buckets)
+            # persisted: the write, the row-count verification, and the
+            # metrics rollup all read edges — without this each consumer
+            # re-runs the parse stage (the dominant cost) from scratch
+            edges = build_edges(triples, pages=chunk, n_buckets=self.pred_buckets).persist()
 
             edge_path = os.path.join(self.root, "edges")
             (
@@ -182,12 +185,20 @@ class GraphWriter:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(edge_path)
             )
-            n = spark.read.parquet(edge_path).filter(F.col("url_bucket") == b).count()
+            n = edges.count()
 
+            # metrics partitioned+overwritten per url_bucket: a crash
+            # between this write and _mark_processed re-runs the bucket,
+            # and dynamic overwrite replaces (not duplicates) its rows
             metrics = partition_metrics(edges, "edges", "pred", run_id)
-            metrics.withColumn("url_bucket", F.lit(b)).write.mode("append").parquet(
-                os.path.join(self.root, "metrics")
+            (
+                metrics.withColumn("url_bucket", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("url_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(self.root, "metrics"))
             )
+            edges.unpersist()
 
             self._mark_processed(b, run_id, n)
             total_triples += n

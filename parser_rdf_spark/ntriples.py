@@ -438,7 +438,12 @@ def tokenize_line(line: str, line_num: int) -> Optional[Triple]:
     else:
         raise NTriplesError(line_num, "object must be an IRI, blank node, or literal")
 
-    # terminal dot, then nothing (comments were stripped earlier)
+    # terminal dot, then nothing. Dot-free trailing comments were stripped
+    # by V3; a comment CONTAINING a dot survives the (reference-identical)
+    # last-dot strip and is rejected here — matching the reference's parse
+    # path, where the unstripped residue fails EasyRdf's line grammar
+    # (tests/Unit/NTriplesStrictValidationTest.php:174 only pins the
+    # dot-free accept case).
     i = _skip_ws(line, i)
     if i >= n or line[i] != ".":
         raise NTriplesError(line_num, "expected '.' after object")

@@ -24,6 +24,7 @@ several consumers, so the 100-TB text scan happens once.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator, Optional
 
 import pyarrow as pa
@@ -119,6 +120,64 @@ def _parse_batch(
             error_line[i] = res.error_line
             error_message[i] = res.error_message
 
+    try:
+        return _assemble(
+            schema, urls, formats, error_stage, error_line, error_message,
+            resource_count, n_triples, prefixes, offsets,
+            subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no,
+        )
+    except (UnicodeEncodeError, pa.lib.ArrowInvalid):
+        # A hostile page smuggled a lone UTF-16 surrogate through an
+        # escape sequence (\uD800 passes the hex-only V10 check; Arrow
+        # then refuses the string). Never kill the batch: identify the
+        # offending documents, turn them into error rows, re-assemble.
+        bad: set[int] = set()
+        for i in range(n):
+            lo, hi = offsets[i], offsets[i + 1]
+            cols = (subj, pred, obj_value, obj_lang, obj_datatype)
+            if any(
+                s is not None and _SURROGATE_RE.search(s)
+                for col in cols
+                for s in col[lo:hi]
+            ) or (
+                prefixes[i]
+                and any(
+                    _SURROGATE_RE.search(k) or _SURROGATE_RE.search(v)
+                    for k, v in prefixes[i].items()
+                )
+            ):
+                bad.add(i)
+        n_offsets = [0]
+        n_cols: list[list] = [[], [], [], [], [], [], []]
+        old_cols = (subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no)
+        for i in range(n):
+            if i in bad:
+                error_stage[i] = "parse"
+                error_line[i] = None
+                error_message[i] = "document contains lone UTF-16 surrogates"
+                resource_count[i] = None
+                n_triples[i] = None
+                prefixes[i] = None
+            else:
+                lo, hi = offsets[i], offsets[i + 1]
+                for dst, src in zip(n_cols, old_cols):
+                    dst.extend(src[lo:hi])
+            n_offsets.append(len(n_cols[0]))
+        return _assemble(
+            schema, urls, formats, error_stage, error_line, error_message,
+            resource_count, n_triples, prefixes, n_offsets, *n_cols,
+        )
+
+
+_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
+def _assemble(
+    schema, urls, formats, error_stage, error_line, error_message,
+    resource_count, n_triples, prefixes, offsets,
+    subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no,
+) -> pa.RecordBatch:
+    n = len(urls)
     triple_type = schema.field("triples").type
     struct_type = triple_type.value_type
     triple_struct = pa.StructArray.from_arrays(

@@ -56,7 +56,9 @@ class _State:
 
 def _emit(st: _State, subj: str, pred: str, kind: str, value: str,
           lang: Optional[str] = None, dt: Optional[str] = None) -> None:
-    st.triples.append(Triple(subj, pred, kind, value, lang, dt, 0))
+    # line_no = emission sequence (document order) so downstream
+    # 'first value' semantics (E5/E16 sort on line_no) stay deterministic
+    st.triples.append(Triple(subj, pred, kind, value, lang, dt, len(st.triples)))
 
 
 def _node_subject(el: ET.Element, st: _State) -> str:

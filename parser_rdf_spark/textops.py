@@ -135,15 +135,28 @@ def simhash(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
-    (a pair within distance ≤3 shares at least one of 4 bands)."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on
+    ``max_hamming + 1`` bit-bands: a pair within distance d ≤ max_hamming
+    differs in at most d bands (pigeonhole), so it shares at least one —
+    the band count DERIVES from the threshold, keeping recall exact for
+    any max_hamming (not just the default 3)."""
+    n_bands = min(max_hamming + 1, 16)
+    width = 64 // n_bands
     sh = simhash(documents)
+    if n_bands == 1:
+        bands = [F.col("simhash")]
+    else:
+        bands = [
+            F.expr(
+                f"(simhash >> {b * width}) & "
+                f"{(1 << (64 - b * width)) - 1 if b == n_bands - 1 else (1 << width) - 1}"
+            )
+            for b in range(n_bands)
+        ]
     banded = sh.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(*[F.expr(f"(simhash >> {16 * b}) & 65535") for b in range(4)])
-        ).alias("band", "key"),
+        F.posexplode(F.array(*bands)).alias("band", "key"),
     )
     a = banded.select(F.col("band").alias("b1"), F.col("key").alias("k1"),
                       F.col("doc_id").alias("id_a"), F.col("simhash").alias("s1"))

@@ -33,6 +33,8 @@ _ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": 
 # PN_LOCAL / PN_PREFIX approximation: broad unicode letters via \w plus
 # the punctuation Turtle allows in local names.
 _PNAME_RE = re.compile(r"([A-Za-z_][\w.\-]*)?:([\w.\-%:]*)", re.UNICODE)
+_PNAME_DECL_RE = re.compile(r"([A-Za-z_][\w.\-]*)?:")
+_BNODE_RE = re.compile(r"_:([A-Za-z0-9_][\w.\-]*)")
 _INTEGER_RE = re.compile(r"[+-]?[0-9]+")
 _DECIMAL_RE = re.compile(r"[+-]?[0-9]*\.[0-9]+")
 _DOUBLE_RE = re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+")
@@ -195,7 +197,9 @@ class TurtleParser:
         if ch == "<":
             return _Term("iri", self._read_iriref())
         if self.s.startswith("_:", self.i):
-            m = re.match(r"_:([A-Za-z0-9_][\w.\-]*)", self.s[self.i :])
+            # pos-anchored match — self.s[self.i:] would copy the whole
+            # remaining document per bnode token (O(n²) on bnode-heavy docs)
+            m = _BNODE_RE.match(self.s, self.i)
             if not m:
                 raise self._err("invalid blank node label")
             label = m.group(1)
@@ -323,11 +327,11 @@ class TurtleParser:
         if is_at or is_sparql:
             self.i += 7 if is_at else 6
             self._skip_ws()
-            m = re.match(r"([A-Za-z_][\w.\-]*)?:", self.s[self.i :])
+            m = _PNAME_DECL_RE.match(self.s, self.i)
             if not m:
                 raise self._err("expected prefix name")
             prefix = m.group(1) or ""
-            self.i += m.end()
+            self.i = m.end()
             self._skip_ws()
             if self.i >= self.n or self.s[self.i] != "<":
                 raise self._err("expected namespace IRI")

@@ -103,9 +103,16 @@ def main() -> int:
     # stage 4b: vertices labelled with component ids + their metrics
     vertices = build_vertices(edges, components=components)
     vertices.write.mode("overwrite").parquet(os.path.join(args.out, "vertices"))
-    partition_metrics(vertices, "vertices", "iri", args.run_id).write.mode(
-        "append"
-    ).parquet(os.path.join(args.out, "metrics"))
+    # url_bucket=-1: vertices are corpus-global; keeps the metrics table's
+    # partition layout uniform with the per-bucket edge metrics
+    (
+        partition_metrics(vertices, "vertices", "iri", args.run_id)
+        .withColumn("url_bucket", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("url_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(args.out, "metrics"))
+    )
 
     summary = {
         "run_id": args.run_id,

@@ -190,3 +190,23 @@ def test_spark_bnode_scoping_across_pages(spark):
     )
     labels = {r["obj_value"] for r in bnodes}
     assert len(labels) == 2  # one address bnode per page, doc-scoped
+
+
+def test_case_expanding_chars_dont_desync_script_slicing():
+    """'İ' (U+0130) doubles in length under str.lower(); offset math from a
+    lowered copy would corrupt the JSON-LD slice after it."""
+    doc = ('<html><body><p>İstanbul Ünïversity</p>'
+           '<script type="application/ld+json">'
+           '{"@context": {"ex": "http://e.org/"}, "@id": "ex:i", "ex:name": "ok"}'
+           "</script></body></html>")
+    triples, _ = htmldata.parse_document(doc)
+    assert {(t.subj, t.obj_value) for t in triples} == {("http://e.org/i", "ok")}
+
+
+def test_jsonld_null_values_dropped():
+    doc = ('<html><script type="application/ld+json">'
+           '{"@context": {"ex": "http://e.org/"}, "@id": "ex:n", '
+           '"ex:a": null, "ex:b": {"@value": null}, "ex:c": "keep"}'
+           "</script></html>")
+    triples, _ = htmldata.parse_document(doc)
+    assert [(t.pred, t.obj_value) for t in triples] == [("http://e.org/c", "keep")]

@@ -170,3 +170,24 @@ def test_bnode_scoping_prevents_cross_doc_collisions(spark):
         for r in triples_of(parse_pages(pages_df(spark, docs))).collect()
     }
     assert len(subjects) == 2  # same label, two docs → two distinct scoped bnodes
+
+
+def test_lone_surrogate_page_becomes_error_row_not_job_kill(spark):
+    """A \\uD800 escape passes the hex-only V10 check and yields a Python
+    lone-surrogate string; Arrow refuses it. The batch must survive with
+    the hostile doc as an error row and its neighbors intact."""
+    from conftest import pages_df
+    from parser_rdf_spark.parse import docmeta_of, parse_pages, triples_of
+
+    docs = {
+        "https://d/good": "<http://e/s> <http://e/p> <http://e/o> .",
+        "https://d/evil": '<http://e/s> <http://e/p> "\\uD800" .',
+        "https://d/good2": '<http://e/s2> <http://e/p> "fine" .',
+    }
+    parsed = parse_pages(pages_df(spark, docs))
+    meta = {r["doc_url"]: r for r in docmeta_of(parsed).collect()}
+    assert meta["https://d/good"]["n_triples"] == 1
+    assert meta["https://d/good2"]["n_triples"] == 1
+    assert meta["https://d/evil"]["error_stage"] == "parse"
+    assert "surrogate" in meta["https://d/evil"]["error_message"]
+    assert triples_of(parsed).count() == 2
