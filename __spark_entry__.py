@@ -262,6 +262,34 @@ def _q_property_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_BNODE_CLASS_DOC = """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://example.org/> .
+ex:Named a rdfs:Class ; rdfs:label "Named"@en .
+_:anon a rdfs:Class ; rdfs:label "Anonymous"@en .
+"""
+
+
+def _q_skolemized_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 blank-node gate + skolemizer: bnode-subject classes are dropped
+    by default and surface as urn:bnode: IRIs when skolemizing
+    (reference: src/Extractors/ClassExtractor.php:75-82)."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/bnode/doc1": _BNODE_CLASS_DOC}
+    )
+    t = triples_of(parse_pages(pages))
+    plain = extract_classes(t).select("uri", "label", F.lit(False).alias("skolemized"))
+    skol = extract_classes(t, include_skolemized=True).select(
+        # the skolem label embeds the doc-hash-scoped bnode label; expose
+        # only the stable prefix so the oracle is deterministic
+        F.when(F.col("uri").startswith("urn:bnode:"), F.lit("urn:bnode:<scoped>"))
+        .otherwise(F.col("uri")).alias("uri"),
+        "label",
+        F.lit(True).alias("skolemized"),
+    )
+    return plain.unionByName(skol)
+
+
 def _q_html_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML structured-data extraction (microdata + RDFa Lite + embedded
     JSON-LD) through the fused parse stage — the north star's
@@ -473,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_shacl_shapes": _q_shacl_shapes,
         "property_class_expressions": _q_property_class_expressions,
         "html_structured_data": _q_html_structured_data,
+        "skolemized_blank_node_classes": _q_skolemized_classes,
         "connected_components": _q_connected_components,
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
@@ -679,6 +708,13 @@ def oracle_sql() -> dict[str, str]:
         "resource_counts": _RESOURCE_COUNTS_SQL,
         "extract_shacl_shapes": _SHACL_SHAPES_SQL,
         "html_structured_data": _golden_values_html(),
+        "skolemized_blank_node_classes": (
+            "SELECT * FROM (VALUES "
+            "('http://example.org/Named', 'Named', false), "
+            "('http://example.org/Named', 'Named', true), "
+            "('urn:bnode:<scoped>', 'Anonymous', true)"
+            ") AS t(uri, label, skolemized)"
+        ),
         "property_class_expressions": (
             "SELECT * FROM (VALUES "
             "('http://example.org/author', 'object', "

@@ -313,22 +313,39 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
     return out
 
 
-def _resolve_class_expression(triples: DataFrame, res: DataFrame, arr_col: str, out_col: str) -> DataFrame:
+def _resolve_class_expressions(
+    triples: DataFrame, res: DataFrame, specs: list[tuple[str, str]]
+) -> DataFrame:
     """E12: named IRI values kept; bnode values resolved through
     owl:unionOf → rdf-list members (bnode members dropped); dedupe
     preserving order: per original value position, the named value or its
     union members in list order (reference:
-    src/Extractors/PropertyExtractor.php:164-218)."""
-    exploded = res.select(
-        "doc_url", "subj", F.posexplode(arr_col).alias("pos", "entry")
-    ).select(
-        "doc_url", "subj", "pos",
+    src/Extractors/PropertyExtractor.php:164-218).
+
+    ``specs = [(arr_col, role), …]`` are resolved in ONE pass — the
+    iterative rdf-list walk (the expensive part) runs once for every
+    array column instead of once per column. Output is long-form:
+    (doc_url, subj, role, members).
+    """
+    parts = [
+        res.select(
+            "doc_url", "subj", F.lit(role).alias("role"),
+            F.posexplode(arr_col).alias("pos", "entry"),
+        )
+        for arr_col, role in specs
+    ]
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+    exploded = exploded.select(
+        "doc_url", "subj", "role", "pos",
         F.col("entry.obj_kind").alias("val_kind"),
         F.col("entry.obj_value").alias("val"),
     )
 
     named = exploded.filter(F.col("val_kind") == "iri").select(
-        "doc_url", "subj", "pos", F.lit(0).alias("sub_pos"), F.col("val").alias("member")
+        "doc_url", "subj", "role", "pos",
+        F.lit(0).alias("sub_pos"), F.col("val").alias("member"),
     )
 
     bnode_vals = exploded.filter(F.col("val_kind") == "bnode")
@@ -342,7 +359,7 @@ def _resolve_class_expression(triples: DataFrame, res: DataFrame, arr_col: str, 
             (bnode_vals.doc_url == F.col("t_doc")) & (bnode_vals.val == F.col("t_subj")),
             "inner",
         )
-        .select("doc_url", "subj", "pos", "head")
+        .select("doc_url", "subj", "role", "pos", "head")
     )
     members = resolve_rdf_lists(triples, union_heads.select("doc_url", "head").distinct())
     union_members = (
@@ -350,16 +367,16 @@ def _resolve_class_expression(triples: DataFrame, res: DataFrame, arr_col: str, 
             members.withColumnRenamed("pos", "list_pos"), ["doc_url", "head"], "inner"
         )
         .filter(F.col("member_kind") == "iri")
-        .select("doc_url", "subj", "pos", (F.col("list_pos") + 1).alias("sub_pos"), "member")
+        .select("doc_url", "subj", "role", "pos", (F.col("list_pos") + 1).alias("sub_pos"), "member")
     )
 
     return (
         named.unionByName(union_members)
-        .groupBy("doc_url", "subj")
+        .groupBy("doc_url", "subj", "role")
         .agg(
             F.expr(
                 "array_distinct(transform(sort_array(collect_list(struct(pos, sub_pos, member))), x -> x.member))"
-            ).alias(out_col)
+            ).alias("members")
         )
     )
 
@@ -433,8 +450,15 @@ def extract_properties(
     aux = triples.filter(
         F.col("pred").isin(RDF_FIRST, RDF_REST, OWL_UNIONOF)
     ).localCheckpoint(eager=True)
-    domains = _resolve_class_expression(aux, res, "domain_arr", "domain")
-    ranges = _resolve_class_expression(aux, res, "range_arr", "range_formal")
+    resolved = _resolve_class_expressions(
+        aux, res, [("domain_arr", "domain"), ("range_arr", "range")]
+    )
+    domains = resolved.filter(F.col("role") == "domain").select(
+        "doc_url", "subj", F.col("members").alias("domain")
+    )
+    ranges = resolved.filter(F.col("role") == "range").select(
+        "doc_url", "subj", F.col("members").alias("range_formal")
+    )
 
     out = (
         res.join(domains, ["doc_url", "subj"], "left")
