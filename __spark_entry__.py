@@ -662,8 +662,6 @@ FROM triples LEFT JOIN dict ON triples.obj_value = dict.surface
 
 _STOP_SQL = "['" + "', '".join(textops._STOPWORDS) + "']"
 
-_LANG_SQL_CASES = None  # built below
-
 
 def _lang_id_sql() -> str:
     score = {

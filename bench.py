@@ -53,7 +53,10 @@ def _pages_cache(spark, n_docs: int, cpus: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    import re as _re
+
+    m = _re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
 
     spark = build_session(
         app_name="parser-rdf-spark-bench",
@@ -139,7 +142,10 @@ def main() -> None:
             {
                 "metric": "triples_extracted_per_sec",
                 "value": round(n_triples / t_parse, 1),
+                # "unit" describes the per-query timings dict (driver
+                # contract shape); the headline value's own unit:
                 "unit": "sec",
+                "value_unit": "triples/sec",
                 "queries": queries,
                 "sf": sf,
                 "n_docs": N_DOCS,

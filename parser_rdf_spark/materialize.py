@@ -155,7 +155,7 @@ class GraphWriter:
         ``fail_after_buckets`` is a test hook: raise after N buckets to
         simulate a mid-job kill.
         """
-        from .parse import parse_pages, triples_of
+        from .parse import docmeta_of, parse_pages, triples_of
 
         done = self.processed_buckets()
         bucketed = pages.withColumn(
@@ -172,10 +172,38 @@ class GraphWriter:
             chunk = bucketed.filter(F.col("url_bucket") == b).drop("url_bucket")
             parsed = parse_pages(chunk)
             triples = triples_of(parsed)
+
+            # materialize the FULL triples relation (literals included)
+            # alongside edges: the parse stage is the dominant cost of the
+            # job, and downstream consumers (ontology extraction, linking)
+            # read the written table instead of re-parsing the corpus
+            (
+                triples.withColumn("url_bucket", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("url_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(self.root, "triples"))
+            )
+            written = spark.read.parquet(os.path.join(self.root, "triples")).filter(
+                F.col("url_bucket") == b
+            ).drop("url_bucket")
+
+            # per-doc metadata (format, error channel, prefixes, counts):
+            # the other half of the parse output, so nothing downstream
+            # ever needs the raw pages again
+            (
+                docmeta_of(parsed).withColumn("url_bucket", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("url_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(self.root, "docmeta"))
+            )
+
             # persisted: the write, the row-count verification, and the
             # metrics rollup all read edges — without this each consumer
-            # re-runs the parse stage (the dominant cost) from scratch
-            edges = build_edges(triples, pages=chunk, n_buckets=self.pred_buckets).persist()
+            # re-runs the stage from scratch (edges now derive from the
+            # just-written parquet, so even this re-read skips the parse)
+            edges = build_edges(written, pages=chunk, n_buckets=self.pred_buckets).persist()
 
             edge_path = os.path.join(self.root, "edges")
             (
@@ -208,6 +236,14 @@ class GraphWriter:
 
     def edges(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "edges"))
+
+    def triples(self, spark: SparkSession) -> DataFrame:
+        """The materialized full triples relation (literals included) —
+        read this instead of re-parsing the corpus downstream."""
+        return spark.read.parquet(os.path.join(self.root, "triples"))
+
+    def docmeta(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "docmeta"))
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "metrics"))

@@ -71,17 +71,23 @@ def _ship_package(spark: SparkSession) -> None:
     global _PKG_ZIP
     if _PKG_ZIP is None:
         import tempfile
-        import zipfile
 
-        pkg_dir = os.path.dirname(os.path.abspath(__file__))
         fd, path = tempfile.mkstemp(prefix="parser_rdf_spark_", suffix=".zip")
         os.close(fd)
-        with zipfile.ZipFile(path, "w") as z:
-            for fname in sorted(os.listdir(pkg_dir)):
-                if fname.endswith(".py"):
-                    z.write(
-                        os.path.join(pkg_dir, fname),
-                        arcname=f"parser_rdf_spark/{fname}",
-                    )
+        build_pkg_zip(path)
         _PKG_ZIP = path
     spark.sparkContext.addPyFile(_PKG_ZIP)
+
+
+def build_pkg_zip(path: str) -> str:
+    """Build the deployment zip of this package (single source of truth
+    for both the in-process addPyFile shipping and explicit
+    ``spark-submit --py-files`` artifacts)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(path, "w") as z:
+        for fname in sorted(os.listdir(pkg_dir)):
+            if fname.endswith(".py"):
+                z.write(os.path.join(pkg_dir, fname), arcname=f"parser_rdf_spark/{fname}")
+    return path

@@ -139,9 +139,12 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     ``max_hamming + 1`` bit-bands: a pair within distance d ≤ max_hamming
     differs in at most d bands (pigeonhole), so it shares at least one —
     the band count DERIVES from the threshold, keeping recall exact for
-    any max_hamming (not just the default 3)."""
-    n_bands = min(max_hamming + 1, 16)
-    width = 64 // n_bands
+    any max_hamming up to 63 (a 64-bit fingerprint supports at most 64
+    bands; beyond that the guarantee is impossible and we raise)."""
+    if max_hamming >= 64:
+        raise ValueError("max_hamming must be < 64 for a 64-bit SimHash")
+    n_bands = max_hamming + 1
+    width = max(64 // n_bands, 1)
     sh = simhash(documents)
     if n_bands == 1:
         bands = [F.col("simhash")]

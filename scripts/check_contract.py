@@ -80,9 +80,13 @@ def main() -> int:
 
     print()
     t0 = time.time()
-    res = entrymod.entry(spark)
-    n = res.count()
-    print(f"entry(): {n} rows, schema={res.schema.simpleString()} [{time.time()-t0:.1f}s]")
+    try:
+        res = entrymod.entry(spark)
+        n = res.count()
+        print(f"entry(): {n} rows, schema={res.schema.simpleString()} [{time.time()-t0:.1f}s]")
+    except Exception as e:  # noqa: BLE001 — entry failure must not eat the summary
+        failures.append(("entry()", str(e)[:200]))
+        print(f"FAIL  entry(): {str(e)[:200]}")
 
     spark.stop()
     if failures:

@@ -2,26 +2,24 @@
 
     python scripts/make_pyfiles_zip.py [/tmp/parser_rdf_spark.zip]
 
-(The in-process session factory ships the same zip automatically via
-addPyFile; this script exists for explicit spark-submit invocations.)
+Delegates to session.build_pkg_zip — the same builder the in-process
+session factory ships through addPyFile, so the two artifacts can't
+drift.
 """
 
 from __future__ import annotations
 
 import os
 import sys
-import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parser_rdf_spark.session import build_pkg_zip  # noqa: E402
 
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/parser_rdf_spark.zip"
-    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "parser_rdf_spark")
-    with zipfile.ZipFile(out, "w") as z:
-        for fname in sorted(os.listdir(pkg)):
-            if fname.endswith(".py"):
-                z.write(os.path.join(pkg, fname), arcname=f"parser_rdf_spark/{fname}")
-    print(out)
+    print(build_pkg_zip(out))
 
 
 if __name__ == "__main__":

@@ -56,7 +56,6 @@ def main() -> int:
     from parser_rdf_spark.extract import extract_all
     from parser_rdf_spark.linking import canonicalize_triples, connected_components
     from parser_rdf_spark.materialize import GraphWriter, build_vertices, partition_metrics
-    from parser_rdf_spark.parse import parse_pages, prefixes_of, triples_of
     from parser_rdf_spark.session import build_session
 
     spark = build_session(app_name=f"kg-pipeline-{args.run_id}", master=args.master)
@@ -69,10 +68,11 @@ def main() -> int:
                          pred_buckets=args.pred_buckets)
     result = writer.run(spark, pages, args.run_id, fail_after_buckets=args.fail_after)
 
-    # stage 2.5: ontology extraction over the full corpus (one parse pass,
-    # shared resource-aggregate shuffle via extract_all)
-    parsed = parse_pages(pages).persist()
-    triples = triples_of(parsed)
+    # stage 2.5: ontology extraction reads the triples/docmeta tables the
+    # bucket loop just materialized — the corpus is parsed exactly ONCE,
+    # and a resumed run re-parses only the unfinished buckets
+    triples = writer.triples(spark)
+    docmeta = writer.docmeta(spark)
     if args.entities:
         entities = spark.read.parquet(args.entities)
         triples = canonicalize_triples(triples, entities).select(
@@ -81,13 +81,18 @@ def main() -> int:
             F.col("obj_canonical").alias("obj_value"), "obj_lang",
             "obj_datatype", "line_no",
         )
-    triples = triples.persist()
-    tables = extract_all(triples)
+    tables = extract_all(triples, docmeta=docmeta)
     for name, df in tables.items():
         if name.startswith("_"):
             continue  # shared resource aggregate, internal
         df.write.mode("overwrite").parquet(os.path.join(args.out, name))
-    prefixes_of(parsed).write.mode("overwrite").parquet(os.path.join(args.out, "prefixes"))
+    tables["_res"].unpersist()
+    (
+        docmeta.filter(F.col("prefixes").isNotNull())
+        .select("doc_url", F.explode("prefixes").alias("prefix", "namespace"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(args.out, "prefixes"))
+    )
 
     # stage 3: cross-document IRI resolution — connected components over
     # equivalence edges (owl:sameAs + rdfs:seeAlso)

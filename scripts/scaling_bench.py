@@ -4,7 +4,7 @@ driver note: the same job at local[8] vs local[32] on the same input).
 
 Each measurement runs in its own subprocess (a JVM cannot change its
 master), pinned to the same deterministic corpus. Writes
-BENCH/BASELINE.md with docs/sec, triples/sec at both levels and
+BENCH/BASELINE.md with wall seconds and triples/sec at both levels and
 efficiency = T_N / (T_4N * 4).
 
 Usage: python scripts/scaling_bench.py [n_docs]
@@ -95,6 +95,12 @@ def main() -> None:
     for n_low, n_high in ((2, 8), (8, 32)):
         low = run_level(n_low, n_docs, pages_path)
         high = run_level(n_high, n_docs, pages_path)
+        # the report asserts the job is deterministic across levels —
+        # enforce it rather than state it
+        assert low["n_triples"] == high["n_triples"], (
+            f"non-deterministic parse: local[{n_low}]={low['n_triples']} "
+            f"vs local[{n_high}]={high['n_triples']}"
+        )
         pairs[(n_low, n_high)] = (low, high, low["wall"] / (high["wall"] * 4))
     (low2, high2, eff2) = pairs[(2, 8)]
     (low, high, efficiency) = pairs[(8, 32)]
