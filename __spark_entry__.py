@@ -262,6 +262,25 @@ def _q_property_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_NQUADS_DOC = """\
+<http://e/s1> <http://e/p> <http://e/o1> <http://g/one> .
+<http://e/s2> <http://e/p> "default graph" .
+<http://e/s3> <http://e/p> "also named" <http://g/two> .
+<http://e/s4> <http://e/p> <http://e/o4> <http://g/one> .
+"""
+
+
+def _q_nquads_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads parse (new engine surface, no reference counterpart):
+    per-statement named graphs land in the triples relation; docs reach
+    the handler via the n-triples-sniff retry fallback."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/nq/doc1": _NQUADS_DOC}
+    )
+    t = triples_of(parse_pages(pages))
+    return t.select("graph", "subj", "pred", "obj_kind", "obj_value")
+
+
 _BNODE_CLASS_DOC = """\
 @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
 @prefix ex: <http://example.org/> .
@@ -502,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_class_expressions": _q_property_class_expressions,
         "html_structured_data": _q_html_structured_data,
         "skolemized_blank_node_classes": _q_skolemized_classes,
+        "nquads_named_graphs": _q_nquads_named_graphs,
         "connected_components": _q_connected_components,
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
@@ -706,6 +726,14 @@ def oracle_sql() -> dict[str, str]:
         "resource_counts": _RESOURCE_COUNTS_SQL,
         "extract_shacl_shapes": _SHACL_SHAPES_SQL,
         "html_structured_data": _golden_values_html(),
+        "nquads_named_graphs": (
+            "SELECT * FROM (VALUES "
+            "('http://g/one', 'http://e/s1', 'http://e/p', 'iri', 'http://e/o1'), "
+            "('_:default', 'http://e/s2', 'http://e/p', 'literal', 'default graph'), "
+            "('http://g/two', 'http://e/s3', 'http://e/p', 'literal', 'also named'), "
+            "('http://g/one', 'http://e/s4', 'http://e/p', 'iri', 'http://e/o4')"
+            ") AS t(graph, subj, pred, obj_kind, obj_value)"
+        ),
         "skolemized_blank_node_classes": (
             "SELECT * FROM (VALUES "
             "('http://example.org/Named', 'Named', false), "

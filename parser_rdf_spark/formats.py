@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from . import htmldata, jsonld, ntriples, rdfxml, turtle
+from . import htmldata, jsonld, nquads, ntriples, rdfxml, turtle
 from .ntriples import Triple
 
 COMMON_PREFIXES: dict[str, str] = {
@@ -60,6 +60,11 @@ _DEFAULT_HANDLERS: list[FormatHandler] = [
     FormatHandler("turtle", turtle.can_handle, turtle.parse_document),
     FormatHandler("n-triples", ntriples.can_handle, _parse_ntriples),
     FormatHandler("rdf/xml", rdfxml.can_handle, rdfxml.parse_document),
+    # new engine surface (no reference counterpart), appended after the
+    # reference-pinned four: n-quads is shadowed by the n-triples sniffer
+    # for detection and reached via explicit fmt= or the parse-stage
+    # retry fallback; html never collides with the RDF sniffers
+    FormatHandler("n-quads", nquads.can_handle, nquads.parse_document),
     FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
 ]
 
@@ -237,8 +242,13 @@ def scope_bnodes(triples: list[Triple], doc_hash: str) -> list[Triple]:
             obj = f"_:d{doc_hash}-{t.obj_value[2:]}"
         else:
             obj = t.obj_value
-        if subj is not t.subj or obj is not t.obj_value:
-            out.append(Triple(subj, t.pred, t.obj_kind, obj, t.obj_lang, t.obj_datatype, t.line_no))
+        graph = t.graph
+        if graph is not None and graph.startswith("_:"):
+            graph = f"_:d{doc_hash}-{graph[2:]}"
+        if subj is not t.subj or obj is not t.obj_value or graph is not t.graph:
+            out.append(
+                Triple(subj, t.pred, t.obj_kind, obj, t.obj_lang, t.obj_datatype, t.line_no, graph)
+            )
         else:
             out.append(t)
     return out

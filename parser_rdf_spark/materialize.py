@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 DEFAULT_PRED_BUCKETS = 64
 
 
+def _triples_disk_schema():
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .schemas import TRIPLES
+
+    return StructType(list(TRIPLES.fields) + [StructField("url_bucket", IntegerType(), True)])
+
+
 def pred_bucket_col(n_buckets: int = DEFAULT_PRED_BUCKETS) -> F.Column:
     """Iceberg-style bucket transform on predicate (BASELINE.json:6)."""
     return F.pmod(F.xxhash64("pred"), F.lit(n_buckets)).cast("int")
@@ -184,9 +192,14 @@ class GraphWriter:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(os.path.join(self.root, "triples"))
             )
-            written = spark.read.parquet(os.path.join(self.root, "triples")).filter(
-                F.col("url_bucket") == b
-            ).drop("url_bucket")
+            # explicit schema: an EMPTY bucket writes a file-less parquet
+            # dir and schema inference would fail the whole run
+            written = (
+                spark.read.schema(_triples_disk_schema())
+                .parquet(os.path.join(self.root, "triples"))
+                .filter(F.col("url_bucket") == b)
+                .drop("url_bucket")
+            )
 
             # per-doc metadata (format, error channel, prefixes, counts):
             # the other half of the parse output, so nothing downstream

@@ -71,6 +71,9 @@ class Triple(NamedTuple):
     obj_lang: Optional[str]
     obj_datatype: Optional[str]
     line_no: int
+    # N-Quads graph term (IRI or bnode label); None = the doc's default
+    # graph (E21 sentinel applied downstream)
+    graph: Optional[str] = None
 
 
 def php_trim(s: str) -> str:
@@ -395,13 +398,17 @@ def _scan_literal(line: str, i: int, line_num: int) -> tuple[str, Optional[str],
     return value, lang, datatype, j
 
 
-def tokenize_line(line: str, line_num: int) -> Optional[Triple]:
+def tokenize_line(line: str, line_num: int, allow_graph: bool = False) -> Optional[Triple]:
     """Strict single-triple tokenizer (replaces the reference's EasyRdf).
 
     ``line`` must already be comment-stripped and trimmed. Returns None for
     blank/comment lines. Raises :class:`NTriplesError` on anything that is
     not exactly ``subject predicate object .`` — matching the EasyRdf-level
     rejections of the reference's parse path.
+
+    ``allow_graph=True`` is the N-Quads grammar: an optional fourth term
+    (IRI or blank node graph label) before the terminal dot. Strict
+    N-Triples (the default) rejects four-term lines, as the reference does.
     """
     if not line or line.startswith("#"):
         return None
@@ -438,6 +445,15 @@ def tokenize_line(line: str, line_num: int) -> Optional[Triple]:
     else:
         raise NTriplesError(line_num, "object must be an IRI, blank node, or literal")
 
+    graph: Optional[str] = None
+    if allow_graph:
+        i = _skip_ws(line, i)
+        if i < n and line[i] == "<":
+            graph, i = _scan_iri(line, i, line_num)
+        elif line.startswith("_:", i):
+            glabel, i = _scan_bnode(line, i, line_num)
+            graph = "_:" + glabel
+
     # terminal dot, then nothing. Dot-free trailing comments were stripped
     # by V3; a comment CONTAINING a dot survives the (reference-identical)
     # last-dot strip and is rejected here — matching the reference's parse
@@ -451,7 +467,7 @@ def tokenize_line(line: str, line_num: int) -> Optional[Triple]:
     if i < n:
         raise NTriplesError(line_num, "unexpected content after terminal '.'")
 
-    return Triple(subj, pred, kind, obj, lang, dt, line_num)
+    return Triple(subj, pred, kind, obj, lang, dt, line_num, graph)
 
 
 # Fast-path line shape: escape-free, scheme-led whitespace-free IRIs,
@@ -486,7 +502,7 @@ def _fast_line(line: str, line_num: int) -> Optional[Triple]:
     return Triple(subj, g[2], "literal", g[5], g[6], g[7], line_num)
 
 
-def parse_document(content: str) -> list[Triple]:
+def parse_document(content: str, allow_graph: bool = False) -> list[Triple]:
     """Full strict parse: validate (V1-V12), strip comments (V13), tokenize (P1).
 
     Raises :class:`NTriplesError` with the first offending line number;
@@ -511,10 +527,10 @@ def parse_document(content: str) -> list[Triple]:
         if len(raw) > max_chars and len(raw.encode("utf-8", "surrogatepass")) > MAX_LINE_LENGTH:
             raise NTriplesError(line_num, "line exceeds maximum length")
         stripped = strip_trailing_comment(trimmed)
-        t = _fast_line(stripped, line_num)
+        t = None if allow_graph else _fast_line(stripped, line_num)
         if t is None:
             _validate_stripped(stripped, line_num)
-            t = tokenize_line(stripped, line_num)
+            t = tokenize_line(stripped, line_num, allow_graph=allow_graph)
         if t is not None:
             triples.append(t)
     return triples

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from . import formats as _formats
 from . import htmldata as _htmldata
+from . import nquads as _nquads
 from .html_text import html_bytes_to_text
 from .schemas import PARSED
 
@@ -79,6 +80,7 @@ def _parse_batch(
     obj_lang: list = []
     obj_datatype: list = []
     line_no: list = []
+    graph_term: list = []
 
     for i in range(n):
         text = texts[i]
@@ -98,6 +100,16 @@ def _parse_batch(
             raw = bytes(htmls[i]).decode("utf-8", errors="replace")
             if _htmldata.can_handle(raw):
                 res = _formats.parse_rdf_document(raw, "html", empty_guard=empty_guard)
+        elif (
+            not res.ok
+            and res.format == "n-triples"
+            and fmt is None
+            and isinstance(text, str)
+            and _nquads.can_handle(text)
+        ):
+            # four-term lines satisfy the (reference-pinned) n-triples
+            # sniffer but fail its strict parse — retry as N-Quads
+            res = _formats.parse_rdf_document(text, "n-quads", empty_guard=empty_guard)
         triples = res.triples
         if scope and triples:
             triples = _formats.scope_bnodes(triples, doc_hash(urls[i]))
@@ -109,6 +121,7 @@ def _parse_batch(
             obj_lang.append(t.obj_lang)
             obj_datatype.append(t.obj_datatype)
             line_no.append(t.line_no)
+            graph_term.append(t.graph)
         offsets.append(len(subj))
         formats[i] = res.format
         if res.ok:
@@ -125,6 +138,7 @@ def _parse_batch(
             schema, urls, formats, error_stage, error_line, error_message,
             resource_count, n_triples, prefixes, offsets,
             subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no,
+            graph_term,
         )
     except (UnicodeEncodeError, pa.lib.ArrowInvalid):
         # A hostile page smuggled a lone UTF-16 surrogate through an
@@ -134,7 +148,7 @@ def _parse_batch(
         bad: set[int] = set()
         for i in range(n):
             lo, hi = offsets[i], offsets[i + 1]
-            cols = (subj, pred, obj_value, obj_lang, obj_datatype)
+            cols = (subj, pred, obj_value, obj_lang, obj_datatype, graph_term)
             if any(
                 s is not None and _SURROGATE_RE.search(s)
                 for col in cols
@@ -148,8 +162,8 @@ def _parse_batch(
             ):
                 bad.add(i)
         n_offsets = [0]
-        n_cols: list[list] = [[], [], [], [], [], [], []]
-        old_cols = (subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no)
+        n_cols: list[list] = [[], [], [], [], [], [], [], []]
+        old_cols = (subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no, graph_term)
         for i in range(n):
             if i in bad:
                 error_stage[i] = "parse"
@@ -176,6 +190,7 @@ def _assemble(
     schema, urls, formats, error_stage, error_line, error_message,
     resource_count, n_triples, prefixes, offsets,
     subj, pred, obj_kind, obj_value, obj_lang, obj_datatype, line_no,
+    graph_term,
 ) -> pa.RecordBatch:
     n = len(urls)
     triple_type = schema.field("triples").type
@@ -189,6 +204,7 @@ def _assemble(
             pa.array(obj_lang, type=pa.string()),
             pa.array(obj_datatype, type=pa.string()),
             pa.array(line_no, type=pa.int32()),
+            pa.array(graph_term, type=pa.string()),
         ],
         fields=list(struct_type),
     )
@@ -246,12 +262,15 @@ def parse_pages(
 
 
 def triples_of(parsed: DataFrame) -> DataFrame:
-    """Explode the nested triples JVM-side → the flat triples relation."""
+    """Explode the nested triples JVM-side → the flat triples relation.
+
+    ``graph`` is the statement's named graph (N-Quads fourth term) when
+    present, else the document's default graph (E21 sentinel)."""
     return parsed.select(
         "doc_url", "graph", F.explode("triples").alias("t")
     ).select(
         "doc_url",
-        "graph",
+        F.coalesce(F.col("t.graph"), F.col("graph")).alias("graph"),
         F.col("t.subj").alias("subj"),
         F.col("t.pred").alias("pred"),
         F.col("t.obj_kind").alias("obj_kind"),

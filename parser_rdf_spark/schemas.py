@@ -50,6 +50,8 @@ TRIPLE_STRUCT = StructType(
         StructField("obj_lang", StringType(), True),
         StructField("obj_datatype", StringType(), True),
         StructField("line_no", IntegerType(), True),
+        # per-statement named graph (N-Quads); null = doc default graph
+        StructField("graph", StringType(), True),
     ]
 )
 
