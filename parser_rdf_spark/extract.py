@@ -649,16 +649,31 @@ def resource_counts(triples: DataFrame) -> DataFrame:
     )
 
 
+def extract_restrictions(triples) -> "DataFrame":
+    """E20: typed, ALWAYS-empty restrictions table.
+
+    The reference's ``extractRestrictions`` is a constant-``[]`` hook for
+    subclasses (reference src/RdfParser.php:214-217) — parity means the
+    surface exists and is empty, not that anything is extracted. An empty
+    DataFrame costs no scan and no shuffle.
+    """
+    from .schemas import RESTRICTIONS
+
+    return triples.sparkSession.createDataFrame([], RESTRICTIONS)
+
+
 def extract_all(
     triples, docmeta=None, include_skolemized: bool = False
 ) -> dict[str, "DataFrame"]:
-    """Run all three extractors off ONE persisted resource aggregate —
-    a single groupBy shuffle feeds classes, properties, and shapes.
+    """Run all extractors off ONE persisted resource aggregate —
+    a single groupBy shuffle feeds classes, properties, and shapes
+    (restrictions is the E20 constant-empty parity surface).
     Caller owns unpersisting ``result['_res']``."""
     res = resource_aggregate(triples).persist()
     return {
         "classes": extract_classes(triples, include_skolemized, res=res),
         "properties": extract_properties(triples, include_skolemized, res=res),
         "shapes": extract_shapes(triples, docmeta=docmeta, res=res),
+        "restrictions": extract_restrictions(triples),
         "_res": res,
     }

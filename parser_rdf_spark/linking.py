@@ -159,11 +159,15 @@ def minhash_lsh_blocking(
     Shape: ONE groupBy on (band, bucket) + in-bucket pair generation with
     array lambdas — not a self-join. A self-join would recompute the
     signature stage on both sides (the dominant cost) and shuffle twice;
-    this computes signatures once and shuffles banded rows once. Buckets
-    larger than ``max_bucket`` are dropped: a bucket every document falls
-    into generates O(k²) pairs and zero blocking information (standard
-    LSH practice; raise the cap if recall on mega-clusters matters more
-    than cost).
+    this computes signatures once and shuffles banded rows once.
+
+    Mega-bucket handling: a bucket with > ``max_bucket`` ids would expand
+    to O(k²) pairs — at web scale a 1M-identical-doc cluster would emit
+    5·10¹¹ pairs from one bucket. Instead of dropping such buckets (which
+    silently loses every pair and disconnects duplicate mega-clusters),
+    oversized buckets emit a STAR pairing: every id pairs with the
+    bucket's minimum id. O(k) pairs, and downstream connected components
+    still unions the whole cluster through the representative.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
@@ -181,14 +185,16 @@ def minhash_lsh_blocking(
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") > 1)
     )
+    all_pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+    )
+    star_pairs = F.expr("transform(ids, x -> struct(array_min(ids) AS a, x AS b))")
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
-            )
+            F.when(F.size("ids") <= F.lit(max_bucket), all_pairs).otherwise(star_pairs)
         ).alias("p")
     )
     return (

@@ -132,6 +132,23 @@ class GraphWriter:
         self.pred_buckets = pred_buckets
         self._ckpt_dir = os.path.join(root, "_checkpoints")
         os.makedirs(self._ckpt_dir, exist_ok=True)
+        # Pin the bucketing config on first use: resuming with a different
+        # url_buckets than the one the checkpoints/staging were written
+        # with would silently mix two incompatible bucket layouts.
+        cfg_path = os.path.join(self._ckpt_dir, "writer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if cfg["url_buckets"] != url_buckets or cfg["pred_buckets"] != pred_buckets:
+                raise ValueError(
+                    f"GraphWriter config mismatch at {root}: checkpointed "
+                    f"(url_buckets={cfg['url_buckets']}, pred_buckets={cfg['pred_buckets']}) "
+                    f"vs requested ({url_buckets}, {pred_buckets}); resume with the "
+                    "original config or start a fresh root"
+                )
+        else:
+            with open(cfg_path, "w") as f:
+                json.dump({"url_buckets": url_buckets, "pred_buckets": pred_buckets}, f)
 
     # -- checkpoint bookkeeping (tiny driver-side JSON lines; an Iceberg
     # deployment would use snapshot metadata instead) --------------------
@@ -155,6 +172,37 @@ class GraphWriter:
                 "n_triples": n_triples, "ts": time.time(),
             }) + "\n")
 
+    # -- input staging ----------------------------------------------------
+    def _stage_pages(self, spark: SparkSession, pages: DataFrame) -> DataFrame:
+        """ONE full-input pass that writes pages partitioned by url_bucket,
+        so every per-bucket read below is partition-PRUNED instead of a
+        full-corpus rescan (pre-fix, `filter(pmod(xxhash64(url)) == b)`
+        computed the bucket on the fly and each of the B bucket iterations
+        scanned 100% of the input — B full corpus scans at 100 TB).
+
+        No shuffle: each input task writes its rows into up to B partition
+        dirs (more, smaller files in exchange for skipping a full-corpus
+        exchange). On a real deployment the Iceberg pages table would
+        already be partitioned by `bucket(B, url)` and this staging write
+        is the no-op you'd delete — the resume loop only needs *a*
+        bucket-partitioned copy of the input, not this particular one.
+
+        Idempotent/resumable: skipped when the previous run's staging
+        completed (`_SUCCESS` marker); a kill mid-staging rewrites it.
+        """
+        staged_path = os.path.join(self.root, "_staged_pages")
+        if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+            (
+                pages.withColumn(
+                    "url_bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(self.url_buckets)).cast("int"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("url_bucket")
+                .parquet(staged_path)
+            )
+        return spark.read.parquet(staged_path)
+
     # -- the run ----------------------------------------------------------
     def run(self, spark: SparkSession, pages: DataFrame, run_id: str,
             fail_after_buckets: int | None = None) -> RunResult:
@@ -166,19 +214,22 @@ class GraphWriter:
         from .parse import docmeta_of, parse_pages, triples_of
 
         done = self.processed_buckets()
-        bucketed = pages.withColumn(
-            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(self.url_buckets)).cast("int")
-        )
         processed = skipped = 0
         total_triples = 0
+        staged = None
         for b in range(self.url_buckets):
             if b in done:
                 skipped += 1
                 continue
             if fail_after_buckets is not None and processed >= fail_after_buckets:
                 raise RuntimeError(f"simulated failure after {processed} buckets")
-            chunk = bucketed.filter(F.col("url_bucket") == b).drop("url_bucket")
-            parsed = parse_pages(chunk)
+            if staged is None:  # stage lazily: a fully-resumed run never rescans
+                staged = self._stage_pages(spark, pages)
+            chunk = staged.filter(F.col("url_bucket") == b).drop("url_bucket")
+            # persist: the triples write and the docmeta write below both
+            # consume `parsed`; without this each write re-executes the
+            # fused parse stage — the dominant job cost — twice per bucket
+            parsed = parse_pages(chunk).persist()
             triples = triples_of(parsed)
 
             # materialize the FULL triples relation (literals included)
@@ -211,6 +262,7 @@ class GraphWriter:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(os.path.join(self.root, "docmeta"))
             )
+            parsed.unpersist()
 
             # persisted: the write, the row-count verification, and the
             # metrics rollup all read edges — without this each consumer

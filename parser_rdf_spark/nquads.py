@@ -25,23 +25,25 @@ import re
 from . import ntriples
 from .ntriples import Triple
 
-# a quad-shaped line: subject, predicate, some object, a graph term, dot
+# a quad-shaped line: subject, predicate, some object, a graph term, dot.
+# re.ASCII: same non-/u byte semantics for \s/\S as the N-Triples sniffer.
 _QUAD_SNIFF_RE = re.compile(
-    r"^(?:<[^>]+>|_:\S+)\s+<[^>]+>\s+.+\s+(?:<[^>]+>|_:\S+)\s*\.\s*(?:#.*)?$"
+    r"^(?:<[^>]+>|_:\S+)\s+<[^>]+>\s+.+\s+(?:<[^>]+>|_:\S+)\s*\.\s*(?:#.*)?$",
+    re.ASCII,
 )
 
 
 def can_handle(content: str) -> bool:
-    """≥1 four-term line among the first 10 non-comment lines (same
-    10-line cap discipline as the N-Triples sniffer, D5)."""
-    checked = 0
-    for raw in content.split("\n"):
+    """≥1 four-term line among the first 10 RAW lines — identical cap
+    discipline to the N-Triples sniffer (D5): slice the first 10 raw
+    lines of the trimmed document first, then skip blanks/comments, so
+    the two detection windows never diverge on comment-heavy documents.
+    """
+    lines = ntriples.php_trim(content).split("\n")
+    for raw in lines[:10]:
         line = ntriples.php_trim(raw)
         if not line or line.startswith("#"):
             continue
-        checked += 1
-        if checked > 10:
-            break
         if _QUAD_SNIFF_RE.match(line):
             return True
     return False

@@ -32,19 +32,22 @@ MAX_LINE_LENGTH = 1_048_576  # 1 MiB, byte-measured (reference :20)
 _PHP_TRIM = " \t\n\r\x00\x0b"
 
 # D5 sniff regex (reference :37); applied to the first 10 raw lines only.
-_DETECT_RE = re.compile(r"^(?:<[^>]+>|_:\S+)\s*<[^>]+>\s*.+\s*\.\s*(?:#.*)?$")
+# re.ASCII: the reference compiles its PCRE patterns WITHOUT the /u flag, so
+# \s / \S there match only ASCII whitespace bytes — U+2028/U+2029/U+00A0 etc.
+# are "non-space" to the reference. Mirror that byte-level decision exactly.
+_DETECT_RE = re.compile(r"^(?:<[^>]+>|_:\S+)\s*<[^>]+>\s*.+\s*\.\s*(?:#.*)?$", re.ASCII)
 
 # V7: absolute-IRI scheme requirement (reference :208).
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
 
 # V9: blank-node label sniffing (reference :305) — the label charset the
 # reference uses stops at whitespace and < > . ; , delimiters.
-_BNODE_RE = re.compile(r"_:([^\s<>.;,]+)")
+_BNODE_RE = re.compile(r"_:([^\s<>.;,]+)", re.ASCII)  # non-/u PCRE: ASCII \s only
 _BNODE_START_RE = re.compile(r"^[a-zA-Z0-9_]")
 
 # V10/V11 helper regexes (reference :326, :364, :366).
 _STRING_LITERAL_RE = re.compile(r'"((?:[^"\\]|\\.)*)"', re.DOTALL)
-_LANGTAG_OCCURRENCE_RE = re.compile(r'"(?:[^"\\]|\\.)*"@([^\s.^]+)')
+_LANGTAG_OCCURRENCE_RE = re.compile(r'"(?:[^"\\]|\\.)*"@([^\s.^]+)', re.ASCII)
 _LANGTAG_RE = re.compile(r"^[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
 
 _HEX = set("0123456789abcdefABCDEF")
@@ -52,6 +55,13 @@ _HEX = set("0123456789abcdefABCDEF")
 _ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "\\": "\\"}
 
 _BNODE_LABEL_STOP = set(" \t\r\n\x0b\x0c<>.;,")
+
+# V5 (reference src/Handlers/NTriplesHandler.php:202): preg_match('/\s/', $iri)
+# without /u — only ASCII whitespace bytes reject an IRI. A reference doc can
+# therefore legally carry U+2028/U+00A0/U+2000-200A inside an IRI and the
+# reference ACCEPTS it; we must too (pinned by a Hypothesis-found regression
+# test in tests/test_ntriples_pure.py).
+_ASCII_WS_RE = re.compile(r"\s", re.ASCII)
 
 
 class NTriplesError(ValueError):
@@ -217,7 +227,7 @@ def _validate_stripped(line: str, line_num: int) -> None:
 
     # V5/V7/V8 over extracted IRIs.
     for iri in _extract_iris(line):
-        if re.search(r"\s", iri):
+        if _ASCII_WS_RE.search(iri):
             raise NTriplesError(line_num, "IRI contains whitespace")
         if not _SCHEME_RE.match(iri):
             raise NTriplesError(line_num, "relative IRIs are not allowed in N-Triples")
@@ -485,7 +495,8 @@ _FAST_LINE = re.compile(
     rf'[ \t]*<({_IRI_F})>[ \t]*'
     rf'(?:<({_IRI_F})>|_:({_BN_F})|"([^"\\]*)"'
     rf'(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\^\^<({_IRI_F})>)?)'
-    rf'[ \t]*\.'
+    rf'[ \t]*\.',
+    re.ASCII,  # match the strict path's non-/u byte semantics for \s
 )
 
 

@@ -165,6 +165,20 @@ PREFIXES = StructType(
     ]
 )
 
+# E20: the reference's extractRestrictions is a constant-[] subclass hook
+# (reference src/RdfParser.php:214-217) — the table exists for API parity
+# and is ALWAYS empty; the schema is what an OWL-restriction subclass
+# extractor would emit.
+RESTRICTIONS = StructType(
+    [
+        StructField("doc_url", StringType(), False),
+        StructField("uri", StringType(), False),
+        StructField("on_property", StringType(), True),
+        StructField("restriction_type", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # stages 3-4
 # ---------------------------------------------------------------------------

@@ -59,7 +59,18 @@ def build_session(
     return spark
 
 
-_PKG_ZIP: str | None = None
+# (mtime-fingerprint, zip-path) of the last build; rebuilt whenever any
+# package file changes so long-lived driver processes never ship stale code
+_PKG_ZIP: tuple[tuple, str] | None = None
+
+
+def _pkg_fingerprint() -> tuple:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    return tuple(
+        (fname, os.path.getmtime(os.path.join(pkg_dir, fname)))
+        for fname in sorted(os.listdir(pkg_dir))
+        if fname.endswith(".py")
+    )
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -69,14 +80,31 @@ def _ship_package(spark: SparkSession) -> None:
     mapInArrow stage dies with ModuleNotFoundError whenever the driver
     isn't launched from the repo root."""
     global _PKG_ZIP
-    if _PKG_ZIP is None:
+    fp = _pkg_fingerprint()
+    if _PKG_ZIP is None or _PKG_ZIP[0] != fp:
+        import atexit
         import tempfile
 
         fd, path = tempfile.mkstemp(prefix="parser_rdf_spark_", suffix=".zip")
         os.close(fd)
         build_pkg_zip(path)
-        _PKG_ZIP = path
-    spark.sparkContext.addPyFile(_PKG_ZIP)
+        if _PKG_ZIP is not None:
+            try:
+                os.unlink(_PKG_ZIP[1])
+            except OSError:
+                pass
+        else:
+            atexit.register(_cleanup_pkg_zip)
+        _PKG_ZIP = (fp, path)
+    spark.sparkContext.addPyFile(_PKG_ZIP[1])
+
+
+def _cleanup_pkg_zip() -> None:
+    if _PKG_ZIP is not None:
+        try:
+            os.unlink(_PKG_ZIP[1])
+        except OSError:
+            pass
 
 
 def build_pkg_zip(path: str) -> str:

@@ -323,3 +323,25 @@ def test_cross_format_golden_classes_and_properties(spark):
         assert r.label == "name"
         assert r.domain == ["http://example.org/Person"]
     parsed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# E20: restrictions parity surface
+# ---------------------------------------------------------------------------
+
+def test_extract_all_exposes_empty_restrictions_surface(spark):
+    """E20: the reference's extractRestrictions is a constant-[] subclass
+    hook (reference src/RdfParser.php:214-217) — the table must exist,
+    be typed, and be empty."""
+    from parser_rdf_spark.extract import extract_all
+    from parser_rdf_spark.schemas import RESTRICTIONS
+
+    docs = {"https://e.org/d": "<http://e/a> <http://e/p> <http://e/b> ."}
+    tables = extract_all(triples_of(parse_pages(pages_df(spark, docs))))
+    assert set(tables) >= {"classes", "properties", "shapes", "restrictions"}
+    assert tables["restrictions"].schema == RESTRICTIONS
+    assert tables["restrictions"].count() == 0
+    # the empty frame is a driver-local relation: no file scan, no shuffle
+    plan = tables["restrictions"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan
+    tables["_res"].unpersist()

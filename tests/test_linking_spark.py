@@ -119,6 +119,28 @@ def test_minhash_lsh_blocks_near_duplicates(spark):
     assert ("a", "c") not in pairs and ("b", "c") not in pairs
 
 
+def test_minhash_mega_bucket_emits_star_not_silence(spark):
+    """A bucket larger than max_bucket must still CONNECT its members
+    (star pairing against the bucket-min id), never silently drop every
+    pair — identical-doc mega-clusters are the common case in web data."""
+    text = "identical replicated document body shared by every member of the mega cluster"
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", text) for i in range(20)], "id string, text string"
+    )
+    pairs = minhash_lsh_blocking(df, "text", "id", num_hashes=32, bands=8, max_bucket=5)
+    rows = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # star shape: every doc pairs with the representative (min id) —
+    # O(k) pairs, and connected components still unions the cluster
+    assert rows == {("d00", f"d{i:02d}") for i in range(1, 20)}
+    comps = connected_components(
+        pairs.selectExpr("id_a as src", "id_b as dst")
+    )
+    assert len({r.component for r in comps.collect()}) == 1
+    # small buckets keep the exact all-pairs expansion
+    all_pairs = minhash_lsh_blocking(df, "text", "id", num_hashes=32, bands=8, max_bucket=1000)
+    assert all_pairs.count() == 20 * 19 // 2
+
+
 def test_end_to_end_linking_from_parsed_pages(spark, entities):
     docs = {
         "https://site1.example.org/page": '<http://ex.org/alice> <http://ex.org/knows> <http://ex.org/bob> .',

@@ -92,6 +92,43 @@ def test_graphwriter_resume_after_kill(spark, tmp_path):
     assert w.edges(spark).count() == 16
 
 
+def test_staged_pages_prune_per_bucket_reads(spark, tmp_path):
+    """The per-bucket parse read must scan ONLY that bucket's staged files
+    (pre-fix each bucket iteration rescanned 100% of the input: B full
+    corpus scans to parse the corpus once)."""
+    pages = pages_df(spark, _docs(16))
+    root = tmp_path / "g5"
+    w = GraphWriter(str(root), url_buckets=4)
+    w.run(spark, pages, run_id="r1")
+
+    # staging happened exactly once, partitioned by url_bucket
+    import glob
+    bucket_dirs = glob.glob(str(root / "_staged_pages" / "url_bucket=*"))
+    assert len(bucket_dirs) > 0
+
+    # a bucket-scoped read over the staged table partition-prunes to that
+    # bucket's directory — not a filter over a full scan
+    staged = spark.read.parquet(str(root / "_staged_pages"))
+    chunk = staged.filter(F.col("url_bucket") == 1)
+    plan = chunk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "url_bucket" in seg and "= 1" in seg
+
+    # staged pages roundtrip losslessly (the parse stage consumes these)
+    orig = {r.url: r.text for r in pages.collect()}
+    back = {r.url: r.text for r in staged.drop("url_bucket").collect()}
+    assert back == orig
+
+    # a fully-resumed run never restages (staging is lazy): remove the
+    # staged copy, rerun — all buckets skip and nothing is rewritten
+    import shutil
+    shutil.rmtree(str(root / "_staged_pages"))
+    res = w.run(spark, pages, run_id="r2")
+    assert res.buckets_processed == 0 and res.buckets_skipped == 4
+    assert not (root / "_staged_pages").exists()
+
+
 def test_predicate_bucket_pruning_reads_subset(spark, tmp_path):
     pages = pages_df(spark, _docs(16))
     w = GraphWriter(str(tmp_path / "g3"), url_buckets=2)
@@ -124,3 +161,15 @@ def test_scan_plan_prunes_partitions_and_pushes_filters(spark, tmp_path):
     assert "subj" in seg, plan2[:2000]
     # column pruning: the scan reads only the needed columns
     assert "ReadSchema" in plan2 and "warc_ts" not in plan2.split("ReadSchema")[1][:300]
+
+
+def test_graphwriter_rejects_config_mismatch_on_resume(spark, tmp_path):
+    """Resuming with a different url_buckets than the checkpointed run
+    would silently mix two incompatible bucket layouts — hard error."""
+    pages = pages_df(spark, _docs(8))
+    root = str(tmp_path / "g6")
+    GraphWriter(root, url_buckets=4).run(spark, pages, run_id="r1")
+    with pytest.raises(ValueError, match="config mismatch"):
+        GraphWriter(root, url_buckets=8)
+    # same config reopens fine
+    assert GraphWriter(root, url_buckets=4).processed_buckets() == {0, 1, 2, 3}

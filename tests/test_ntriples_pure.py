@@ -41,6 +41,29 @@ def test_negative_error_carries_line_number():
     assert "line 2" in str(e.value)
 
 
+@pytest.mark.parametrize("ws", ["\u2028", "\u2029", "\u00a0", "\u2003", "\u200a"])
+def test_unicode_whitespace_in_iri_is_accepted(ws):
+    """V5 parity pin (Hypothesis-found counterexample, round 1).
+
+    The reference's preg_match('/\\s/', $iri) runs WITHOUT the /u flag
+    (reference src/Handlers/NTriplesHandler.php:202), so only ASCII
+    whitespace bytes reject an IRI: U+2028/U+2029/U+00A0/U+2000-200A are
+    accepted by the reference and must be accepted here (re.ASCII).
+    """
+    doc = f'<a:b{ws}c> <http://example/p> "x" .'
+    triples = parse_document(doc)
+    assert len(triples) == 1
+    assert triples[0].subj == f"a:b{ws}c"
+    assert can_handle(doc)
+
+
+@pytest.mark.parametrize("ws", [" ", "\t", "\x0b", "\x0c"])
+def test_ascii_whitespace_in_iri_still_rejected(ws):
+    # escape-free whitespace inside <...> stays a validation error (V5)
+    with pytest.raises(NTriplesError):
+        parse_document(f'<a:b{ws}c> <http://example/p> "x" .')
+
+
 def test_minimal_whitespace_parses_fully():
     triples = parse_document(w3c.FIXTURES["minimal_whitespace"])
     assert len(triples) == 6
