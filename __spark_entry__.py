@@ -22,6 +22,7 @@ SURVEY.md §2 plus the training-data ops. Two oracle styles:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -458,7 +459,136 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
-# -- rows-only ops (no SQL equivalent: xxhash64/blake2b hashing) -------------
+# -- approximate-path verification (LSH/IVF recall vs exact ground truth) ----
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs, brute force, emitted with
+    an INTEGER similarity (n_inter*10000 div n_union) and an integer
+    threshold test (2·inter ≥ union ⟺ jaccard ≥ 0.5) so the DuckDB
+    oracle — an independent SQL implementation over the same documents —
+    compares float-free."""
+    docs = _docs(spark, sf_dir)
+    p = textops.ngram_jaccard_pairs(docs, threshold=0.0)
+    return p.filter(2 * F.col("n_inter") >= F.col("n_union")).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.expr("CAST(n_inter * 10000 DIV n_union AS BIGINT)").alias("jac_x10000"),
+    )
+
+
+def _count1(df, name):
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+
+def _q_minhash_recall(spark, sf_dir):
+    """MinHash-LSH blocking recall against exact n-gram-Jaccard ground
+    truth: every true pair (jaccard ≥ 0.5) must appear among the LSH
+    candidates. n_true_pairs is recomputed independently by the DuckDB
+    oracle; the candidate/caught counts are deterministic (xxhash64) and
+    pinned."""
+    docs = _docs(spark, sf_dir)
+    truth = (
+        textops.ngram_jaccard_pairs(docs, threshold=0.0)
+        .filter(2 * F.col("n_inter") >= F.col("n_union"))
+        .select("id_a", "id_b")
+    )
+    cands = minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8)
+    caught = truth.join(cands, ["id_a", "id_b"])
+    return (
+        _count1(cands, "n_candidate_pairs")
+        .crossJoin(_count1(truth, "n_true_pairs"))
+        .crossJoin(_count1(caught, "n_caught"))
+        .select(
+            "n_candidate_pairs",
+            "n_true_pairs",
+            "n_caught",
+            (F.col("n_caught") * 100 / F.col("n_true_pairs")).cast("bigint").alias("recall_pct"),
+        )
+    )
+
+
+def _planted_embeddings(spark, sf_dir, eps=0.05):
+    """ANN evaluation corpus: the sf embeddings plus a deterministic
+    perturbed twin (vec_id + 10000, cosine ≈ 0.975) for each vec_id < 100.
+
+    The base corpus's nearest neighbors are statistically random (unit
+    vectors, top-3 cosine ≈ 0.34 vs noise σ = 0.125), so recall there
+    measures nothing an ANN structure can deliver; the planted twins are
+    the high-cosine regime approximate search exists for. No external
+    data: noise is xxhash64-derived from (vec_id, dim index)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, i) -> cast(cast(x as double) + {eps} * "
+            "(cast(xxhash64(vec_id, i) as double) / 9.223372036854775807e18) as float))"
+        ).alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """Multi-table hyperplane-LSH top-1 recall vs brute-force ground truth
+    on the planted-twin corpus. Fully deterministic (blake2b planes) —
+    all three outputs pinned."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    brute = textops.ann_bruteforce_topk(corpus, k=1).filter(F.col("query_id") >= 10000)
+    lsh = (
+        textops.ann_lsh_topk(corpus, k=1, n_planes=8, n_tables=8)
+        .filter(F.col("query_id") >= 10000)
+        .select("query_id", "neighbor_id")
+    )
+    hits = brute.join(lsh, ["query_id", "neighbor_id"])
+    return (
+        _count1(brute, "n_queries")
+        .crossJoin(_count1(hits, "n_hit_top1"))
+        .select(
+            "n_queries",
+            "n_hit_top1",
+            (F.col("n_hit_top1") * 100 / F.col("n_queries")).cast("bigint").alias("recall_pct"),
+        )
+    )
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """IVF-flat top-1 recall vs brute force on the planted-twin corpus.
+    KMeans centroids can shift with partitioning, so the pin is a
+    thresholded recall_ok (≥95%), not the exact hit count."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    brute = textops.ann_bruteforce_topk(corpus, k=1).filter(F.col("query_id") >= 10000)
+    ivf = (
+        textops.ann_ivf_topk(corpus, k=1, n_lists=8, n_probe=2)
+        .filter(F.col("query_id") >= 10000)
+        .select("query_id", "neighbor_id")
+    )
+    hits = brute.join(ivf, ["query_id", "neighbor_id"])
+    return (
+        _count1(brute, "n_queries")
+        .crossJoin(_count1(hits, "n_hit_top1"))
+        .select(
+            "n_queries",
+            (F.col("n_hit_top1") >= 95).cast("bigint").alias("recall_ok"),
+        )
+    )
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """The LSH-blocked near-dup SCALE path cross-checked against the exact
+    all-pairs result at threshold 0.9 on the planted-twin corpus: pair
+    sets must agree (the blocked path may only lose what OR-amplification
+    loses — pinned at zero here)."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    exact = textops.embedding_near_dup(corpus, threshold=0.9)
+    lsh = textops.embedding_near_dup(corpus, threshold=0.9, n_planes=8, n_tables=8)
+    common = exact.join(lsh, ["id_a", "id_b"])
+    return (
+        _count1(exact, "n_exact")
+        .crossJoin(_count1(lsh, "n_lsh"))
+        .crossJoin(_count1(common, "n_common"))
+    )
+
+
+# -- rows-only ops (raw surfaces of the approximate paths) -------------------
 
 def _q_minhash_near_dup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -469,15 +599,9 @@ def _q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
 
-def _q_ngram_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    cands = minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8)
-    return textops.ngram_jaccard_pairs(docs, candidates=cands, threshold=0.5)
-
-
 def _q_ann_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return textops.ann_lsh_topk(emb, k=3, n_planes=10)
+    return textops.ann_lsh_topk(emb, k=3, n_planes=8, n_tables=8)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -539,16 +663,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "video_frame_sample": _q_video_frames,
         "embedding_near_dup": _q_embedding_near_dup,
-        # rows-only (hash functions have no DuckDB equivalent)
-        "minhash_lsh_near_dup": _q_minhash_near_dup,
-        "simhash_fingerprints": _q_simhash,
+        # approximate-path verification (recall vs exact ground truth)
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
+        "minhash_lsh_recall": _q_minhash_recall,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        # golden-pinned (blake2b has no DuckDB equivalent; oracles are
+        # independent pure-Python recomputations emitted as VALUES)
+        "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_near_dup,
         "media_decode_dims": _q_media_decode,
         "image_resize_4x4": _q_image_resize,
         "media_embed_ann": _q_media_embed_ann,
+        # rows-only raw surfaces (verified via their *_recall companions)
+        "minhash_lsh_near_dup": _q_minhash_near_dup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
@@ -716,6 +847,194 @@ def _golden_values_html() -> str:
     )
 
 
+# -- round-2 oracle builders -------------------------------------------------
+
+# Word-3-gram Jaccard in DuckDB — an INDEPENDENT SQL implementation of the
+# same definition the Spark op computes (split on ' ', grams of 3, distinct,
+# integer threshold 2·inter ≥ union ⟺ jaccard ≥ 0.5, integer similarity).
+_NGRAM_GRAMS_CTE = (
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "grams AS (SELECT doc_id, list_distinct(list_transform("
+    "  range(1, greatest(1, len(w) - 2) + 1), i -> array_to_string(w[i:i+2], ' '))) AS g "
+    "FROM toks), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  len(list_intersect(a.g, b.g)) AS n_inter, "
+    "  len(list_distinct(list_concat(a.g, b.g))) AS n_union "
+    "  FROM grams a JOIN grams b ON a.doc_id < b.doc_id) "
+)
+
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _simhash_py(text: str) -> int:
+    """Independent pure-Python SimHash (per-token loop — deliberately the
+    naive definition, not the vectorized implementation under test)."""
+    import hashlib
+
+    toks = text.split()
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for tok in toks:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    fp = 0
+    for i in range(64):
+        if votes[i] > 0:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+_SIMHASH_FPS: list[tuple[int, int]] | None = None
+
+
+def _simhash_fps() -> list[tuple[int, int]]:
+    global _SIMHASH_FPS
+    if _SIMHASH_FPS is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        _SIMHASH_FPS = [
+            (int(i), _simhash_py(x))
+            for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        ]
+    return _SIMHASH_FPS
+
+
+def _simhash_golden_sql() -> str:
+    rows = ", ".join(f"({i}, {fp})" for i, fp in _simhash_fps())
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash "
+        f"FROM (VALUES {rows}) AS t(doc_id, simhash)"
+    )
+
+
+def _simhash_pairs_golden_sql() -> str:
+    """BRUTE-FORCE all-pairs Hamming ≤ 16 over the independent Python
+    fingerprints. The banded Spark op guarantees exact recall for
+    d ≤ max_hamming (pigeonhole) — so brute force IS its expected output,
+    and this oracle checks that guarantee, not just regression."""
+    fps = _simhash_fps()
+    rows = []
+    for i in range(len(fps)):
+        ia, fa = fps[i]
+        for j in range(i + 1, len(fps)):
+            ib, fb = fps[j]
+            d = ((fa ^ fb) & ((1 << 64) - 1)).bit_count()
+            if d <= 16:
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                rows.append(f"({a}, {b}, {d})")
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(hamming AS INT) AS hamming "
+        f"FROM (VALUES {', '.join(rows)}) AS t(id_a, id_b, hamming)"
+    )
+
+
+def _media_decode_golden_sql() -> str:
+    """Re-derive the fake-decoder output for the synthetic media corpus in
+    plain Python (same payload grammar, no Spark, no Arrow) — pins the
+    mapInPandas plumbing: schema, null channels, batch round-trip."""
+    from parser_rdf_spark import multimodal as mmod
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(60):
+        kind = kinds[i % 3]
+        d = mmod._decode_fake(i, kind, mmod.synth_payload(i, kind))
+        vals = [str(i), _sql_quote(kind)]
+        for c in ("width", "height", "sample_rate", "n_samples", "n_frames"):
+            vals.append("NULL" if d[c] is None else str(d[c]))
+        vals.append(_sql_quote(d["decoder"]))
+        rows.append("(" + ", ".join(vals) + ")")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(sample_rate AS INT) AS sample_rate, CAST(n_samples AS INT) AS n_samples, "
+        "CAST(n_frames AS INT) AS n_frames, decoder "
+        f"FROM (VALUES {', '.join(rows)}) AS t(media_id, kind, width, height, "
+        "sample_rate, n_samples, n_frames, decoder)"
+    )
+
+
+def _image_resize_golden_sql() -> str:
+    """Block-mean resize recomputed driver-side over the same decoded
+    buffers (identical numpy arithmetic — a golden pin of the Arrow
+    round-trip, not an independent algorithm)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from parser_rdf_spark import multimodal as mmod
+
+    rows = []
+    for i in range(0, 60, 3):  # image kind: media_id % 3 == 0
+        d = mmod._decode_fake(i, "image", mmod.synth_payload(i, "image"))
+        w, h, buf = d["width"], d["height"], d["pixels"]
+        img = np.frombuffer(buf, dtype=np.uint8, count=w * h).reshape(h, w)
+        ys = np.array_split(np.arange(h), 4)
+        xs = np.array_split(np.arange(w), 4)
+        small = np.array(
+            [[int(img[np.ix_(y, x)].mean()) for x in xs] for y in ys], dtype=np.uint8
+        )
+        rows.append(f"({i}, 4, 4, {_sql_quote(_hl.md5(small.tobytes()).hexdigest())})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width, "
+        "CAST(height AS INT) AS height, resized_md5 "
+        f"FROM (VALUES {', '.join(rows)}) AS t(media_id, width, height, resized_md5)"
+    )
+
+
+def _media_embed_ann_golden_sql() -> str:
+    """Embed + brute-force cosine top-2 recomputed in pure Python with the
+    same sequential-fold double arithmetic as the JVM expression (so the
+    ranking is bit-identical)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from parser_rdf_spark import multimodal as mmod
+
+    kinds = ["image", "audio", "video"]
+    embs = {}
+    for i in range(60):
+        payload = mmod.synth_payload(i, kinds[i % 3])
+        raw = mmod._keystream(
+            int.from_bytes(_hl.blake2b(payload, digest_size=8).digest(), "big"), 16 * 4
+        )
+        v = np.frombuffer(raw, dtype=np.uint32).astype(np.float64)
+        v = (v / 2**31) - 1.0
+        v /= np.linalg.norm(v) or 1.0
+        embs[i] = [float(x) for x in v.astype(np.float32)]
+
+    def cosine(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    rows = []
+    for q in range(60):
+        scored = sorted(
+            ((cosine(embs[q], embs[n]), n) for n in range(60) if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, n) in enumerate(scored[:2], start=1):
+            rows.append(f"({q}, {n}, {rank})")
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS INT) AS rank "
+        f"FROM (VALUES {', '.join(rows)}) AS t(query_id, neighbor_id, rank)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "w3c_conformance_decisions": _golden_values_w3c(),
@@ -841,4 +1160,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
+        # approximate-path verification: ngram truth is an independent
+        # DuckDB implementation; recall summaries pin deterministic counts
+        # (LSH planes/minhash are blake2b/xxhash64-seeded — no RNG) with
+        # ground-truth components recomputed in SQL where expressible
+        "ngram_jaccard_near_dup": (
+            _NGRAM_GRAMS_CTE
+            + "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+            "CAST(n_inter * 10000 // n_union AS BIGINT) AS jac_x10000 "
+            "FROM pairs WHERE 2 * n_inter >= n_union"
+        ),
+        "minhash_lsh_recall": (
+            _NGRAM_GRAMS_CTE
+            + "SELECT CAST(4125 AS BIGINT) AS n_candidate_pairs, "
+            "CAST(count(*) AS BIGINT) AS n_true_pairs, "
+            "CAST(count(*) AS BIGINT) AS n_caught, "  # recall pinned at 100%
+            "CAST(100 AS BIGINT) AS recall_pct "
+            "FROM pairs WHERE 2 * n_inter >= n_union"
+        ),
+        "ann_lsh_recall": (
+            "SELECT CAST(100 AS BIGINT) AS n_queries, "
+            "CAST(100 AS BIGINT) AS n_hit_top1, CAST(100 AS BIGINT) AS recall_pct"
+        ),
+        "ann_ivf_recall": (
+            "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok"
+        ),
+        "embedding_near_dup_lsh": (
+            "SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_lsh, "
+            "CAST(100 AS BIGINT) AS n_common"
+        ),
+        # golden pins: independent pure-Python recomputations as VALUES
+        "simhash_fingerprints": _simhash_golden_sql(),
+        "simhash_near_dup_pairs": _simhash_pairs_golden_sql(),
+        "media_decode_dims": _media_decode_golden_sql(),
+        "image_resize_4x4": _image_resize_golden_sql(),
+        "media_embed_ann": _media_embed_ann_golden_sql(),
     }

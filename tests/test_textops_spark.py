@@ -70,3 +70,40 @@ def test_simhash_near_dups_finds_edited_doc(spark):
              for r in textops.simhash_near_dups(docs, max_hamming=8).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_vectorized_matches_per_token_reference(spark):
+    """The batched/vocab-deduped SimHash must be bit-identical to the
+    straightforward per-token definition (64-bit blake2b per token, bits
+    vote, sign of vote is the fingerprint)."""
+    import hashlib
+
+    def reference_simhash(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= 1 << i
+        # two's-complement into int64 (Spark LongType)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "single"),
+        (3, "repeat repeat repeat repeat different"),
+        (4, "unicode tökens über ますこと mixed in"),
+        (5, "  leading and   multiple   spaces  "),
+        (6, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in textops.simhash(df).collect()}
+    want = {i: reference_simhash(t) for i, t in docs}
+    assert got == want
