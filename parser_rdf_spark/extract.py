@@ -255,62 +255,79 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
     """E12 helper: walk rdf:first/rdf:rest chains from ``heads(doc_url,
     head)`` → (doc_url, head, pos, member, member_kind).
 
-    Iterative DataFrame self-join; ``localCheckpoint`` every 8 rounds
-    truncates lineage (SURVEY.md §4 item 2). Ontology lists are short, so
-    the frontier drains after a few rounds; the cap is a safety net
-    against cyclic rdf:rest chains in hostile web data.
+    rdf-list spines are DOC-LOCAL (a chain never crosses documents), so
+    the whole walk collapses to ONE aggregation + ONE join: build per-doc
+    lookup maps (node → first-value, node → next-node) and walk every
+    chain inside a single SQL ``aggregate`` over a bounded ``sequence`` —
+    no driver-side iteration, no per-round jobs, no lineage growth. The
+    previous implementation self-joined once per list POSITION (up to 32
+    Spark jobs plus an isEmpty probe each round); this runs exactly one.
+
+    Walk semantics match the iterative version: a node without rdf:first
+    ends the chain; the chain continues only through a bnode rdf:rest
+    that isn't rdf:nil. The step bound is the per-doc spine size (a cycle
+    therefore emits at most |spine| rows instead of looping). On
+    malformed spines with DUPLICATE rdf:first/rdf:rest per node the
+    lowest line number wins deterministically.
+
+    ``max_iters`` is kept for API compatibility; the per-doc spine bound
+    subsumes it.
     """
-    firsts = triples.filter(F.col("pred") == RDF_FIRST).select(
-        F.col("doc_url").alias("f_doc"), F.col("subj").alias("f_node"),
-        F.col("obj_value").alias("member"), F.col("obj_kind").alias("member_kind"),
-    )
-    rests = triples.filter(F.col("pred") == RDF_REST).select(
-        F.col("doc_url").alias("r_doc"), F.col("subj").alias("r_node"),
-        F.col("obj_value").alias("next_node"), F.col("obj_kind").alias("next_kind"),
-    )
-
-    frontier = heads.select("doc_url", "head", F.col("head").alias("node"), F.lit(0).alias("pos"))
-    collected: list[DataFrame] = []
-    cached: list[DataFrame] = []
-    for i in range(max_iters):
-        if frontier.isEmpty():
-            break
-        step = (
-            frontier.join(
-                firsts,
-                (frontier.doc_url == firsts.f_doc) & (frontier.node == firsts.f_node),
-                "inner",
-            )
-            .join(
-                rests,
-                (F.col("doc_url") == rests.r_doc) & (F.col("node") == rests.r_node),
-                "left",
-            )
-            .select("doc_url", "head", "pos", "member", "member_kind", "next_node", "next_kind")
+    firsts = (
+        triples.filter(F.col("pred") == RDF_FIRST)
+        .groupBy("doc_url", "subj")
+        .agg(
+            F.expr(
+                "min_by(struct(obj_value AS member, obj_kind AS member_kind), line_no)"
+            ).alias("val")
         )
-        step = step.localCheckpoint(eager=True) if (i % 8 == 7) else step.persist()
-        cached.append(step)
-        collected.append(step.select("doc_url", "head", "pos", "member", "member_kind"))
-        frontier = step.filter(
-            F.col("next_node").isNotNull()
-            & (F.col("next_node") != RDF_NIL)
-            & (F.col("next_kind") == "bnode")
-        ).select("doc_url", "head", F.col("next_node").alias("node"), (F.col("pos") + 1).alias("pos"))
-
-    if not collected:
-        return triples.sparkSession.createDataFrame(
-            [], "doc_url string, head string, pos int, member string, member_kind string"
+    )
+    rests = (
+        triples.filter(
+            (F.col("pred") == RDF_REST)
+            & (F.col("obj_kind") == "bnode")
+            & (F.col("obj_value") != RDF_NIL)
         )
-    out = collected[0]
-    for df in collected[1:]:
-        out = out.unionByName(df)
-    # materialize the union once, then release every per-round cache —
-    # otherwise each extractor call leaks up to max_iters persisted frames
-    # for the application lifetime
-    out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
-    return out
+        .groupBy("doc_url", "subj")
+        .agg(F.expr("min_by(obj_value, line_no)").alias("nxt"))
+    )
+    spine = (
+        firsts.join(rests, ["doc_url", "subj"], "left")
+        .groupBy("doc_url")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(subj, val)))").alias("fmap"),
+            F.expr(
+                "map_from_entries(collect_list(struct(subj, nxt)) FILTER (WHERE nxt IS NOT NULL))"
+            ).alias("rmap"),
+            F.count(F.lit(1)).cast("int").alias("n_nodes"),
+        )
+    )
+    walk = F.expr(
+        """
+        aggregate(
+          sequence(1, greatest(n_nodes, 1)),
+          struct(
+            cast(array() as array<struct<pos:int, member:string, member_kind:string>>) AS out,
+            head AS node
+          ),
+          (acc, i) -> CASE
+            WHEN acc.node IS NULL OR try_element_at(fmap, acc.node) IS NULL THEN acc
+            ELSE struct(
+              concat(acc.out, array(struct(
+                cast(i - 1 AS int) AS pos,
+                try_element_at(fmap, acc.node).member AS member,
+                try_element_at(fmap, acc.node).member_kind AS member_kind))) AS out,
+              try_element_at(rmap, acc.node) AS node)
+          END,
+          acc -> acc.out
+        )
+        """
+    )
+    return (
+        heads.join(spine, "doc_url", "inner")
+        .select("doc_url", "head", F.explode(walk).alias("m"))
+        .select("doc_url", "head", "m.pos", "m.member", "m.member_kind")
+    )
 
 
 def _resolve_class_expressions(
