@@ -390,9 +390,17 @@ def parse_document(content: str) -> tuple[list[Triple], dict[str, str]]:
 
 
 def can_handle(content: str) -> bool:
-    """D6: Turtle sniff — ``@prefix`` / SPARQL ``PREFIX`` lead (reference
-    behavior fixed by tests/Unit/RdfParserTest.php:33-35)."""
-    stripped = content.lstrip()
-    return stripped.startswith("@prefix") or bool(
-        re.match(r"PREFIX\s+[A-Za-z_][\w.\-]*?:\s*<", stripped, re.IGNORECASE)
-    )
+    """D6: Turtle sniff — ``@prefix`` / SPARQL ``PREFIX`` lead on the first
+    substantive line. Leading blank and ``#``-comment lines are skipped:
+    the reference detects a document whose ``@prefix`` follows a comment
+    (pinned by tests/Characterization/RdfParserTest.php:25-29; the
+    plain ``@prefix``-at-start case by tests/Unit/RdfParserTest.php:33-35).
+    """
+    for raw in content.split("\n"):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        return line.startswith("@prefix") or bool(
+            re.match(r"PREFIX\s+[A-Za-z_][\w.\-]*?:\s*<", line, re.IGNORECASE)
+        )
+    return False
