@@ -435,3 +435,70 @@ def test_ntriples_doc_gets_common_prefixes_from_usage_only(spark):
     assert pf.get("rdfs") == "http://www.w3.org/2000/01/rdf-schema#"
     assert "rdf" not in pf
     assert "ex" not in pf
+
+
+# ---------------------------------------------------------------------------
+# ShapeExtractor edges (tests/Characterization/ShapeExtractorTest.php)
+# ---------------------------------------------------------------------------
+
+SH_PREAMBLE = TTL_PREAMBLE + "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+
+
+def _shapes(spark, ttl: str, url: str = "https://char.example.org/shapes.ttl"):
+    from parser_rdf_spark.extract import extract_shapes
+
+    parsed = parse_pages(pages_df(spark, {url: SH_PREAMBLE + ttl}))
+    return {r.uri: r for r in extract_shapes(triples_of(parsed)).collect()}
+
+
+def test_shape_all_five_target_kinds(spark):
+    # ShapeExtractorTest.php:85-168 — targetClass / targetNode /
+    # targetSubjectsOf / targetObjectsOf / sh:path as target_property
+    ss = _shapes(spark, """
+    ex:S1 a sh:NodeShape ; sh:targetClass ex:Person .
+    ex:S2 a sh:NodeShape ; sh:targetNode ex:alice .
+    ex:S3 a sh:NodeShape ; sh:targetSubjectsOf ex:knows .
+    ex:S4 a sh:NodeShape ; sh:targetObjectsOf ex:knows .
+    ex:S5 a sh:PropertyShape ; sh:path ex:name .
+    """)
+    assert ss["http://example.org/S1"].target_class == "http://example.org/Person"
+    assert ss["http://example.org/S2"].target_node == "http://example.org/alice"
+    assert ss["http://example.org/S3"].target_subjects_of == "http://example.org/knows"
+    assert ss["http://example.org/S4"].target_objects_of == "http://example.org/knows"
+    assert ss["http://example.org/S5"].target_property == "http://example.org/name"
+
+
+def test_property_shape_declared_type_detected(spark):
+    # :40-58 — sh:PropertyShape is a shape seed type in its own right
+    ss = _shapes(spark, "ex:NameShape a sh:PropertyShape ; sh:path ex:name .")
+    assert "http://example.org/NameShape" in ss
+
+
+def test_property_shapes_without_path_filtered_out(spark):
+    # :209-242 — a sh:property bnode with no sh:path never surfaces
+    ss = _shapes(spark, """
+    ex:PersonShape a sh:NodeShape ;
+        sh:targetClass ex:Person ;
+        sh:property [ sh:path ex:name ; sh:minCount 1 ] ;
+        sh:property [ sh:minCount 1 ] .
+    """)
+    pshapes = ss["http://example.org/PersonShape"].property_shapes
+    assert len(pshapes) == 1
+    assert pshapes[0].path == "http://example.org/name"
+
+
+def test_blank_node_shapes_never_toplevel(spark):
+    # :364-388 — inline property-shape bnodes are not top-level shapes
+    ss = _shapes(spark, """
+    ex:PersonShape a sh:NodeShape ;
+        sh:targetClass ex:Person ;
+        sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """)
+    assert set(ss) == {"http://example.org/PersonShape"}
+    assert not any(u is None or u.startswith("_:") for u in ss)
+
+
+def test_content_without_shapes_yields_empty(spark):
+    # :348-362
+    ss = _shapes(spark, "ex:Person a rdfs:Class .")
+    assert ss == {}
