@@ -157,12 +157,35 @@ def _best_match(map_col: str) -> F.Column:
     )
 
 
-def resource_aggregate(triples: DataFrame) -> DataFrame:
+def resource_aggregate(triples: DataFrame, restrict_to_seed_types: bool = True) -> DataFrame:
     """The single-shuffle per-resource rollup every extractor reads from.
 
     All value arrays are (line_no)-sorted so the reference's 'doc order' /
     'first value' semantics survive the shuffle.
+
+    ``restrict_to_seed_types`` (default) pre-filters to subjects carrying
+    at least one extractor seed ``rdf:type`` (class / property / shape
+    URIs) via a semi-join BEFORE the wide aggregation. Lossless: every
+    consumer applies :func:`_seed` afterwards, which discards exactly the
+    rows the semi-join skips (nested property-shape bnodes are read from
+    ``triples`` directly in :func:`extract_shapes`, not from this rollup).
+    At web scale this is the difference between aggregating the whole
+    corpus's subjects and aggregating only ontology subjects — on
+    instance-heavy pages the wide collect_list shuffle shrinks by orders
+    of magnitude. The semi-join keys on (doc_url, subj), the same key as
+    the aggregation, so the exchange is shared, and AQE broadcasts the
+    (tiny) typed-subject side when it fits.
     """
+    if restrict_to_seed_types:
+        seeds = "', '".join(CLASS_TYPE_URIS + PROPERTY_TYPE_URIS + SHAPE_TYPE_URIS)
+        interesting = (
+            triples.filter(
+                (F.col("pred") == RDF_TYPE) & F.expr(f"obj_value IN ('{seeds}')")
+            )
+            .select("doc_url", "subj")
+            .distinct()
+        )
+        triples = triples.join(interesting, ["doc_url", "subj"], "left_semi")
     owl_preds = "', '".join(OWL_EXPR_PREDS)
     std = "', '".join(STANDARD_PREDICATES)
     return triples.groupBy("doc_url", "subj").agg(

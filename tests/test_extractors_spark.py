@@ -345,3 +345,31 @@ def test_extract_all_exposes_empty_restrictions_surface(spark):
     plan = tables["restrictions"]._jdf.queryExecution().optimizedPlan().toString()
     assert "FileScan" not in plan and "Exchange" not in plan
     tables["_res"].unpersist()
+
+
+def test_seed_prefilter_lossless_and_shrinks_aggregate(spark):
+    """resource_aggregate's semi-join pre-filter must not change ANY
+    extractor output, while aggregating far fewer subjects on
+    instance-heavy data (the web-scale common case)."""
+    from parser_rdf_spark.extract import resource_aggregate
+
+    # 1 ontology subject + 50 instance subjects (untyped / non-seed types)
+    instances = "\n".join(
+        f"<http://ex.org/item{i}> <http://ex.org/weight> \"{i}\" ." for i in range(50)
+    )
+    ttl = TTL_PREAMBLE + "ex:Person a rdfs:Class ; rdfs:label \"Person\" .\n"
+    docs = {
+        "https://e.org/onto.ttl": ttl,
+        "https://e.org/data.nt": instances,
+    }
+    triples = triples_of(parse_pages(pages_df(spark, docs)))
+
+    full = resource_aggregate(triples, restrict_to_seed_types=False)
+    pruned = resource_aggregate(triples)
+    assert full.count() > 50  # every instance subject aggregated
+    assert pruned.count() == 1  # only the typed ontology subject
+
+    for restrict in (False, True):
+        res = resource_aggregate(triples, restrict_to_seed_types=restrict)
+        out = {r.uri: r.label for r in extract_classes(triples, res=res).collect()}
+        assert out == {"http://example.org/Person": "Person"}
