@@ -67,6 +67,66 @@ def run_to_parquet(
     return writer.start()
 
 
+def first_seen_pages(
+    pages_stream: DataFrame,
+    state_ttl: str = "24 hours",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-URL
+    first-seen filter across micro-batches.
+
+    Web crawls re-fetch pages continuously; downstream KG construction
+    wants each URL parsed ONCE per content epoch. Keyed state holds one
+    boolean per URL with a processing-time TTL (``state_ttl``): the first
+    arrival of a URL passes through, subsequent arrivals are dropped
+    until the state expires (after which the page is re-admitted — the
+    re-crawl refresh semantics). State is bounded by the TTL; this is
+    the engine's ``applyInPandasWithState`` surface, complementing the
+    built-in watermarked rollup in :func:`triple_rates`.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = _duration_to_ms(state_ttl)
+    out_schema = PAGES
+    state_schema = "seen boolean"
+
+    def dedup(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+
+        first_batch = None
+        for pdf in pdfs:
+            if first_batch is None and len(pdf):
+                first_batch = pdf.iloc[:1]
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        state.setTimeoutDuration(ttl_ms)
+        if first_batch is None:
+            return iter(())
+        return iter([first_batch])
+
+    return (
+        pages_stream.groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _duration_to_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000, "day": 86_400_000, "days": 86_400_000}
+    return int(n) * mult[unit]
+
+
 def triple_rates(
     pages_stream: DataFrame,
     window: str = "1 hour",

@@ -92,3 +92,38 @@ def test_triple_rates_windowed_rollup(spark, dirs):
     assert got == batch
     assert sum(p for _, p in got.values()) == 12
     assert (0, "n-triples") in got and (3, "turtle") in got
+
+
+def test_first_seen_pages_stateful_dedup(spark, dirs):
+    """applyInPandasWithState surface: a URL re-fetched in a later
+    micro-batch is dropped; each URL's FIRST version survives."""
+    pages_dir, out_dir, ckpt = dirs
+    _write_pages(spark, pages_dir, {
+        "https://s.example.org/a": "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "https://s.example.org/b": "<http://e/s2> <http://e/p> <http://e/o2> .",
+    })
+    _write_pages(spark, pages_dir, {
+        "https://s.example.org/a": "<http://e/s1> <http://e/p> <http://e/CHANGED> .",
+        "https://s.example.org/c": "<http://e/s3> <http://e/p> <http://e/o3> .",
+    }, ts_hour=3)
+
+    stream = st.read_page_stream(spark, pages_dir, max_files_per_trigger=1)
+    deduped = st.first_seen_pages(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    rows = {r.url: r.text for r in got.collect()}
+    assert set(rows) == {
+        "https://s.example.org/a", "https://s.example.org/b", "https://s.example.org/c",
+    }
+    # url 'a' kept its FIRST content, the re-fetch was dropped
+    assert "CHANGED" not in rows["https://s.example.org/a"]
+    assert got.count() == 3
