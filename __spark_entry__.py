@@ -425,6 +425,28 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """As-of join over the events table: every click matched to the
+    user's most recent at-or-before view (one union+window shuffle, no
+    join operator — see relops.asof_join). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from parser_rdf_spark.relops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    j = asof_join(clicks, views, on="user_id")
+    return j.select(
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("right.event_id").cast("bigint").alias("view_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("right.ts").cast("timestamp"))
+        ).cast("bigint").alias("us_since_view"),
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     media = mm.media_from_documents(_docs(spark, sf_dir))
     return mm.media_stats(media).select(
@@ -659,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
+        "events_asof_join": _q_events_asof,
         # multimodal binary-column ops
         "media_stats": _q_media_stats,
         "video_frame_sample": _q_video_frames,
@@ -1132,6 +1155,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_asof_join": (
+            "WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'), "
+            "views AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') "
+            "SELECT CAST(l.event_id AS BIGINT) AS click_id, CAST(l.user_id AS BIGINT) AS user_id, "
+            "CAST(r.event_id AS BIGINT) AS view_id, "
+            "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_view "
+            "FROM clicks l ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "media_stats": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

@@ -1,0 +1,87 @@
+"""Relational operators Spark lacks natively, composed from built-ins.
+
+The engine's event/telemetry side (events table) needs the classic
+time-series joins a training-data pipeline leans on. First citizen:
+the as-of join (each left row matched to the most recent right row at or
+before its timestamp, per key) — no reference counterpart (the reference
+is a per-document parser); this is north-star "operations a large-scale
+pipeline needs" surface, verified against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for every left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (direction='backward'; 'forward'
+    mirrors to the smallest ``right_ts`` ≥ ``left_ts``), matched per
+    ``on`` key. Unmatched left rows keep NULL right columns (left-join
+    semantics, same as DuckDB ``ASOF LEFT JOIN``).
+
+    Shape: ONE shuffle. Both sides are union-tagged and sorted per key by
+    (ts, side); a window ``last(payload, ignoreNulls)`` carries the most
+    recent right payload forward onto each left row. This is the
+    scale-correct plan — the naive alternative (range join + per-key
+    row_number) shuffles twice and explodes on dense keys. Keys are the
+    partition dimension; skewed keys are AQE's problem like any other
+    window.
+
+    Right-side columns come back nested under a ``right`` struct column
+    (``result["right.<col>"]``), avoiding name collisions. Ties on
+    ``right_ts`` within a key resolve to the row latest in the sort —
+    callers needing determinism under ties should pre-dedupe the right
+    side per (key, ts).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql.window import Window
+
+    r_payload_cols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in r_payload_cols]).alias("_r"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"`{f.name}`: {f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_l"),
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in r_payload_cols) + ">"
+        ).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    unioned = r.unionByName(l)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts ⇒ right_ts == left_ts matches
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.desc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("_side") == 1)
+        .select(F.col("_l").alias("left"), F.col("_m").alias("right"))
+        .select("left.*", F.col("right").alias("right"))
+    )
