@@ -447,6 +447,27 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Bucketized point-in-interval join: event values matched to
+    overlapping value bands (band i covers [25i − 5, 25i + 20]). The
+    bucketized plan equi-joins on bucket id — no nested-loop join —
+    while DuckDB recomputes the same result with a plain inequality
+    join."""
+    from parser_rdf_spark.relops import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    bands = spark.range(0, 21).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0 - 5.0).alias("lo"),
+        (F.col("id") * 25.0 + 20.0).alias("hi"),
+    )
+    out = range_join(ev, bands, "value", "lo", "hi", bucket_width=25.0)
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("band_id").cast("bigint").alias("band_id"),
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     media = mm.media_from_documents(_docs(spark, sf_dir))
     return mm.media_stats(media).select(
@@ -682,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
         "events_asof_join": _q_events_asof,
+        "events_value_range_join": _q_events_range_join,
         # multimodal binary-column ops
         "media_stats": _q_media_stats,
         "video_frame_sample": _q_video_frames,
@@ -1163,6 +1185,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.event_id AS BIGINT) AS view_id, "
             "CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_view "
             "FROM clicks l ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_value_range_join": (
+            "WITH bands AS (SELECT i AS band_id, i * 25.0 - 5.0 AS lo, i * 25.0 + 20.0 AS hi "
+            "FROM range(0, 21) t(i)) "
+            "SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(b.band_id AS BIGINT) AS band_id "
+            "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi"
         ),
         "media_stats": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

@@ -14,6 +14,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join: rows of ``points`` matched to every row of
+    ``ranges`` with ``lo_col ≤ point_col ≤ hi_col`` (inclusive both ends).
+
+    Spark executes a naive inequality join as BroadcastNestedLoopJoin /
+    CartesianProduct — O(|P|·|R|) and a cluster-killer at scale. This
+    bucketizes instead: each range row is exploded onto every
+    ``bucket_width``-wide bucket it overlaps, points land on their single
+    bucket, and an EQUI-join on the bucket id feeds the exact interval
+    filter. Cost is O(|P| + |R|·(span/width)) shuffled rows; pick
+    ``bucket_width`` near the typical interval span so ranges explode to
+    ~1-2 buckets each. The plan contains a hash/sort-merge equi-join and
+    no nested-loop operator (pinned by test).
+
+    Column names of the two inputs must be disjoint.
+    """
+    overlap = set(points.columns) & set(ranges.columns)
+    if overlap:
+        raise ValueError(f"points/ranges column names must be disjoint; both have {sorted(overlap)}")
+    pb = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
+    rb = ranges.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    return (
+        pb.join(rb, "_b")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("_b")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -63,3 +63,30 @@ def test_asof_left_columns_pass_through_unchanged(spark):
     out = asof_join(left, right, on="user")
     assert [c for c in out.columns] == ["lid", "user", "ts", "right"]
     assert out.count() == left.count()
+
+
+def test_range_join_inclusive_bounds_and_equijoin_plan(spark):
+    from parser_rdf_spark.relops import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.5), (2, 2.5), (3, 7.0), (4, 99.0)], "pid int, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(10, 0.0, 2.5), (11, 2.5, 5.0), (12, 6.0, 8.0)], "rid int, lo double, hi double"
+    )
+    out = range_join(points, ranges, "v", "lo", "hi", bucket_width=2.0)
+    pairs = {(r.pid, r.rid) for r in out.collect()}
+    # boundary 2.5 is INCLUSIVE on both intervals; 99.0 matches nothing
+    assert pairs == {(1, 10), (2, 10), (2, 11), (3, 12)}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_range_join_rejects_column_collisions(spark):
+    from parser_rdf_spark.relops import range_join
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "x int, v double")
+    with _pytest.raises(ValueError, match="disjoint"):
+        range_join(df, df, "v", "v", "v", 1.0)
