@@ -468,6 +468,79 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (native SESSION window aggregation — one
+    shuffle, JVM-side merging state). Oracle: the classic lag + cumulative
+    break-count window SQL; exact-boundary gaps MERGE in both."""
+    from parser_rdf_spark.relops import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, "user_id", "ts", "30 minutes")
+    return s.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("span_us").cast("bigint").alias("span_us"),
+    )
+
+
+def _event_graph(spark, sf_dir):
+    """Deterministic KG-shaped directed graph derived from the events
+    table (src = user_id mod 997, dst = event_id mod 997, self-loops
+    dropped) — reproducible in plain SQL so every graph operator gets a
+    DuckDB oracle. Stands in for the pipeline's materialized edge
+    relation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+def _q_kg_degrees(spark, sf_dir):
+    from parser_rdf_spark import graphops
+
+    return graphops.degrees(_event_graph(spark, sf_dir)).select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("out_degree").cast("bigint").alias("out_degree"),
+        F.col("in_degree").cast("bigint").alias("in_degree"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+
+
+def _q_kg_triangles(spark, sf_dir):
+    """Degree-oriented (compact-forward) triangle count — the oracle
+    recomputes it with the canonical a<b<c three-way self-join."""
+    from parser_rdf_spark import graphops
+
+    return graphops.triangle_count(_event_graph(spark, sf_dir)).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles")
+    )
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """3-iteration PageRank (damping 0.85, dangling mass leaks — pinned
+    semantics). Ranks are compared at micro resolution: double drift
+    between engines is ~1e-15 relative, far inside the 1e-6 rounding."""
+    from parser_rdf_spark import graphops
+
+    pr = graphops.pagerank(_event_graph(spark, sf_dir), n_iter=3, damping=0.85)
+    return pr.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.round(F.col("rank") * 1000000.0).cast("bigint").alias("rank_micro"),
+    )
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("term"),
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("score_micro").cast("bigint").alias("score_micro"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _q_media_stats(spark, sf_dir):
     media = mm.media_from_documents(_docs(spark, sf_dir))
     return mm.media_stats(media).select(
@@ -704,6 +777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _q_events_rollup,
         "events_asof_join": _q_events_asof,
         "events_value_range_join": _q_events_range_join,
+        "events_sessionize": _q_events_sessionize,
+        # graph analytics over the materialized edge relation
+        "kg_degrees": _q_kg_degrees,
+        "kg_triangle_count": _q_kg_triangles,
+        "kg_pagerank": _q_kg_pagerank,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal binary-column ops
         "media_stats": _q_media_stats,
         "video_frame_sample": _q_video_frames,
@@ -1191,6 +1270,77 @@ def oracle_sql() -> dict[str, str]:
             "FROM range(0, 21) t(i)) "
             "SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(b.band_id AS BIGINT) AS band_id "
             "FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS session_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "kg_degrees": (
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "ends AS (SELECT src AS vertex, 1 AS o, 0 AS i FROM e0 "
+            "UNION ALL SELECT dst AS vertex, 0 AS o, 1 AS i FROM e0) "
+            "SELECT CAST(vertex AS BIGINT) AS vertex, CAST(SUM(o) AS BIGINT) AS out_degree, "
+            "CAST(SUM(i) AS BIGINT) AS in_degree, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM ends GROUP BY vertex"
+        ),
+        "kg_triangle_count": (
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM und e1 JOIN und e2 ON e2.a = e1.b "
+            "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "kg_pagerank": (
+            # 3 unrolled iterations; identical IEEE ops to graphops.pagerank
+            # ((1e0-0.85e0)/n matches Python's 1.0-0.85, which is NOT the
+            # same double as the literal 0.15)
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "ed AS (SELECT DISTINCT src, dst FROM e0), "
+            "v AS (SELECT DISTINCT vertex FROM "
+            "(SELECT src AS vertex FROM ed UNION ALL SELECT dst AS vertex FROM ed)), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v), "
+            "od AS (SELECT src, COUNT(*) AS c FROM ed GROUP BY src), "
+            "r0 AS (SELECT vertex, 1e0 / nn.n AS r FROM v CROSS JOIN nn), "
+            "s1 AS (SELECT ed.dst AS dv, SUM(r0.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r0 ON r0.vertex = ed.src GROUP BY ed.dst), "
+            "r1 AS (SELECT v.vertex, (1e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s1.s, 0e0) AS r "
+            "FROM v CROSS JOIN nn LEFT JOIN s1 ON s1.dv = v.vertex), "
+            "s2 AS (SELECT ed.dst AS dv, SUM(r1.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r1 ON r1.vertex = ed.src GROUP BY ed.dst), "
+            "r2 AS (SELECT v.vertex, (1e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s2.s, 0e0) AS r "
+            "FROM v CROSS JOIN nn LEFT JOIN s2 ON s2.dv = v.vertex), "
+            "s3 AS (SELECT ed.dst AS dv, SUM(r2.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r2 ON r2.vertex = ed.src GROUP BY ed.dst), "
+            "r3 AS (SELECT v.vertex, (1e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s3.s, 0e0) AS r "
+            "FROM v CROSS JOIN nn LEFT JOIN s3 ON s3.dv = v.vertex) "
+            "SELECT CAST(vertex AS BIGINT) AS vertex, "
+            "CAST(ROUND(r * 1000000e0) AS BIGINT) AS rank_micro FROM r3"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            "CAST(ROUND(tf.tf * ln(nd.n / dfreq.df) * 1000000e0) AS BIGINT) AS score_micro "
+            "FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN nd), "
+            "rk AS (SELECT sc.*, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank FROM sc) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf, "
+            "score_micro, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 3"
         ),
         "media_stats": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

@@ -1,0 +1,174 @@
+"""Graph analytics over the materialized edge relation.
+
+The pipeline's stage 4 materializes (src, dst) edge tables
+(``materialize.build_edges``); a knowledge-graph user immediately asks
+graph-shaped questions of them — degree profiles, clustering (triangle)
+structure, and centrality. The reference is a per-document parser and has
+no analytics surface (its output stops at triples:
+/root/reference/src/RdfParser.php:61-74), so this module is north-star
+"operations a large-scale pipeline needs" scope, same tier as the dedup
+and ANN stacks.
+
+All operators take a generic edge DataFrame with two integer-typed vertex
+columns — they work equally on the KG edge tables and on any derived
+graph. Scale notes per operator; nothing here collects more than a single
+scalar (vertex count) to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex (out_degree, in_degree, degree) over the directed edge
+    multiset. ONE shuffle: both endpoints are unioned into a single
+    (vertex, is_out, is_in) stream and aggregated once — not the naive
+    two-groupBys-plus-outer-join plan, which shuffles three times.
+    Map-side partial aggregation makes the shuffle carry at most one row
+    per (vertex) per input partition."""
+    ends = edges.select(
+        F.col(src).alias("vertex"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
+    ).unionAll(
+        edges.select(F.col(dst).alias("vertex"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
+    )
+    return ends.groupBy("vertex").agg(
+        F.sum("_o").alias("out_degree"),
+        F.sum("_i").alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+
+
+def undirected_simple_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical undirected simple edge set: endpoints ordered a < b,
+    self-loops dropped, duplicates (either direction) collapsed. One
+    shuffle (the distinct)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the underlying undirected simple graph —
+    one row, column ``n_triangles``.
+
+    Scale shape: the naive wedge join (edges ⋈ edges on the shared
+    endpoint) materializes Σ deg(v)² wedges — a mega-host hub with degree
+    10⁶ alone yields 10¹² wedges. This uses the standard degree
+    orientation ("compact-forward"): orient every undirected edge from
+    the (degree, id)-smaller endpoint to the larger, build wedges only
+    from each vertex's ORIENTED out-neighbors (out-degree is bounded by
+    O(√m) on any graph), and close them against the oriented edge set.
+    Every triangle is counted exactly once, at its unique lowest-ranked
+    vertex; wedge volume drops from Σ deg² to O(m^1.5) worst-case.
+    Three shuffles total (degree agg, wedge self-join, closing join).
+    """
+    e = undirected_simple_edges(edges, src, dst)
+    deg = degrees(e, "a", "b").select("vertex", "degree")
+
+    # Orient by (degree, id): u -> v iff (deg_u, u) < (deg_v, v). Ties in
+    # degree are broken by vertex id, so the orientation is a total order
+    # (a DAG) — no triangle is missed or double-counted.
+    da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("vertex").alias("b"), F.col("degree").alias("_db"))
+    withdeg = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+
+    # Wedges (v, w) from a common low-rank vertex u; v < w dedups the
+    # unordered out-neighbor pair. The closing edge {v, w} is looked up
+    # in the ORIENTED set, which holds each undirected edge exactly once
+    # — but its orientation is by (degree, id), not by id, so match
+    # either direction of the id-ordered wedge pair.
+    w1 = oriented.select(F.col("u"), F.col("v"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w")).select("v", "w")
+    closing = oriented.select(
+        F.least("u", "v").alias("v"), F.greatest("u", "v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "inner")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the DISTINCT directed edge set
+    (self-loops dropped). Returns (vertex, rank) for every vertex that
+    appears as an endpoint.
+
+    Semantics (pinned, oracle-matched): rank⁰ = 1/N for all N vertices;
+    rankᵏ⁺¹(v) = (1−d)/N + d·Σ_{u→v} rankᵏ(u)/outdeg(u). Dangling
+    vertices (no out-edges) leak their mass — no redistribution — which
+    keeps each iteration a single join+agg and makes the computation
+    exactly expressible as an unrolled SQL CTE chain for the oracle.
+
+    Scale shape: the (edge ⋈ outdeg) relation is loop-invariant — built
+    once, persisted, reused every iteration. Each iteration is one
+    shuffle join on src plus one groupBy(dst); ``localCheckpoint`` (same
+    pattern as linking.connected_components) truncates the lineage so the
+    plan stays O(1) deep regardless of n_iter. N is the only scalar
+    collected to the driver.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        out = verts.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        verts.unpersist()
+        return out
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    # loop-invariant: each edge annotated with its source's out-degree
+    e_w = e.join(outd, "src").persist()
+
+    # iteration-0 ranks share lineage with verts/e_w; checkpoint so every
+    # join below is between independent plans (no ambiguous-attribute
+    # self-join hazards) and the loop body is uniform.
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            e_w.join(ranks, F.col("src") == F.col("vertex"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_outdeg")).alias("_c"))
+            .select(F.col("dst").alias("_dv"), F.col("_c"))
+        )
+        ranks = (
+            verts.join(contribs, F.col("vertex") == F.col("_dv"), "left")
+            .select(
+                "vertex",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e_w.unpersist()
+    verts.unpersist()
+    return ranks

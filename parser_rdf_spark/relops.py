@@ -128,3 +128,44 @@ def asof_join(
         .select(F.col("_l").alias("left"), F.col("_m").alias("right"))
         .select("left.*", F.col("right").alias("right"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native SESSION window
+    aggregation: per key, consecutive events chain into one session while
+    the gap between neighbors is <= ``gap`` (exact-boundary events MERGE
+    — pinned by test); a strictly larger gap starts a new session.
+
+    Returns one row per (key, session): key_col, session_start, n_events,
+    span_us (exact integer microseconds, first-to-last event — integer so
+    cross-engine comparisons never hit float precision).
+
+    Scale shape: ``session_window`` is a first-class Catalyst aggregation
+    (UpdatingSessionsExec + merging agg) — ONE shuffle on the key, state
+    merged JVM-side, no window-function sort-the-world pass and no Python.
+    Equivalent lag/cumsum SQL reproduces it for the oracle.
+    """
+    return (
+        events.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("_last"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("session_start"),
+            F.col("n_events"),
+            # cast: parquet reads TIMESTAMP_NTZ, unix_micros wants TIMESTAMP;
+            # the fixed-offset reinterpretation cancels in the difference
+            (
+                F.unix_micros(F.col("_last").cast("timestamp"))
+                - F.unix_micros(F.col("session_start").cast("timestamp"))
+            ).alias("span_us"),
+        )
+    )

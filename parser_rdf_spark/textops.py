@@ -546,3 +546,59 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5("text").alias("md5_exact"),
         F.md5(F.regexp_replace(F.lower(F.trim("text")), "\\s+", " ")).alias("md5_normalized"),
     )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    Tokens are ASCII `[A-Za-z]+` runs, lowercased — extracted from the
+    RAW text so Spark and any SQL oracle tokenize byte-identically
+    (Unicode lowercasing differs across engines; ASCII lowering doesn't).
+    score = tf · ln(N/df) with N = number of documents; ``score_micro``
+    is the score rounded at 1e-6 so ranking and comparison are integer
+    arithmetic (ln() may differ by 1 ulp across engines, which the
+    micro-rounding absorbs). Rank orders by (score_micro DESC, term ASC)
+    — fully deterministic.
+
+    Scale shape: explode → two key-hashed aggs (tf on (doc, term), df on
+    term) → one shuffle join on term → one window by doc. N is kept
+    distributed via a broadcast 1-row crossJoin, not a driver collect.
+    High-df stopwords get ln(N/df) → 0 and fall out of the top-k
+    naturally; no skewed groupBy key exceeds corpus document frequency.
+    """
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"transform(regexp_extract_all({text_col}, '[A-Za-z]+', 0), t -> lower(t))")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score_micro", "rank")
+    )

@@ -1,0 +1,118 @@
+"""Graph analytics: degrees, degree-oriented triangle counting, and
+fixed-iteration PageRank — pinned against hand-computed graphs and a
+pure-Python reference implementation on a deterministic pseudo-random
+graph."""
+
+import pytest
+
+from parser_rdf_spark import graphops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "src long, dst long")
+
+
+def _pseudo_random_pairs(n_vertices=40, n_edges=300):
+    # deterministic 64-bit LCG, HIGH bits taken — a 31-bit LCG's low bits
+    # alternate parity, which silently makes the graph bipartite
+    # (triangle-free) when n_vertices is even
+    x, pairs = 12345, []
+    for _ in range(n_edges):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 33) % n_vertices
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % n_vertices
+        pairs.append((a, b))
+    return pairs
+
+
+def test_degrees_counts_multi_edges_and_directions(spark):
+    out = {
+        r.vertex: (r.out_degree, r.in_degree, r.degree)
+        for r in graphops.degrees(_edges(spark, [(1, 2), (1, 2), (2, 3), (3, 1)])).collect()
+    }
+    assert out == {1: (2, 1, 3), 2: (1, 2, 3), 3: (1, 1, 2)}
+
+
+def test_triangle_count_k4(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both directions + dups
+    assert graphops.triangle_count(_edges(spark, k4)).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_square_is_zero(spark):
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert graphops.triangle_count(_edges(spark, square)).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_ignores_self_loops_and_duplicates(spark):
+    e = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 1), (2, 0), (0, 2)]
+    assert graphops.triangle_count(_edges(spark, e)).collect()[0].n_triangles == 1
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    pairs = _pseudo_random_pairs()
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = (
+        sum(
+            1
+            for v in adj
+            for w in adj[v]
+            for x in adj[w]
+            if v < w < x and x in adj[v]
+        )
+    )
+    got = graphops.triangle_count(_edges(spark, pairs)).collect()[0].n_triangles
+    assert got == expected and expected > 0
+
+
+def _py_pagerank(pairs, n_iter, damping=0.85):
+    edges = {(a, b) for a, b in pairs if a != b}
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in verts}
+        for a, b in edges:
+            contrib[b] += rank[a] / outdeg[a]
+        rank = {v: (1.0 - damping) / n + damping * contrib[v] for v in verts}
+    return rank
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    pairs = _pseudo_random_pairs(n_vertices=30, n_edges=150)
+    expected = _py_pagerank(pairs, n_iter=3)
+    got = {r.vertex: r.rank for r in graphops.pagerank(_edges(spark, pairs), n_iter=3).collect()}
+    assert set(got) == set(expected)
+    for v, r in expected.items():
+        assert got[v] == pytest.approx(r, abs=1e-12)
+
+
+def test_pagerank_star_hand_computed(spark):
+    # 1->0, 2->0, 3->0 ; N=4, one iteration:
+    # rank(0) = 0.15/4 + 0.85 * 3 * (0.25/1) = 0.675
+    # leaves   = 0.15/4                       = 0.0375 (dangling mass leaks)
+    got = {
+        r.vertex: r.rank
+        for r in graphops.pagerank(
+            _edges(spark, [(1, 0), (2, 0), (3, 0)]), n_iter=1
+        ).collect()
+    }
+    assert got[0] == pytest.approx(0.675, abs=1e-12)
+    for leaf in (1, 2, 3):
+        assert got[leaf] == pytest.approx(0.0375, abs=1e-12)
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    got = {
+        r.vertex: r.rank
+        for r in graphops.pagerank(_edges(spark, [(0, 1), (1, 2)]), n_iter=0).collect()
+    }
+    assert got == {0: pytest.approx(1 / 3), 1: pytest.approx(1 / 3), 2: pytest.approx(1 / 3)}

@@ -90,3 +90,35 @@ def test_range_join_rejects_column_collisions(spark):
     df = spark.createDataFrame([(1, 1.0)], "x int, v double")
     with _pytest.raises(ValueError, match="disjoint"):
         range_join(df, df, "v", "v", "v", 1.0)
+
+
+def test_sessionize_boundary_merges_and_splits(spark):
+    from parser_rdf_spark.relops import sessionize
+
+    # u1: 0:00 and exactly-30min-later MERGE (pinned boundary semantics);
+    #     the next event 30min+1s after that starts a new session.
+    # u2: single event.
+    rows = [
+        (1, _ts(0)), (1, _ts(30)), (1, datetime(2026, 1, 1, 1, 0, 1)),
+        (2, _ts(5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        (r.user_id, r.session_start): (r.n_events, r.span_us)
+        for r in sessionize(ev, "user_id", "ts").collect()
+    }
+    assert out == {
+        (1, _ts(0)): (2, 30 * 60 * 1_000_000),
+        (1, datetime(2026, 1, 1, 1, 0, 1)): (1, 0),
+        (2, _ts(5)): (1, 0),
+    }
+
+
+def test_sessionize_plan_is_single_session_window_agg(spark):
+    from parser_rdf_spark.relops import sessionize
+
+    ev = spark.createDataFrame([(1, _ts(0))], "user_id int, ts timestamp")
+    plan = sessionize(ev, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    # native session-window aggregation, not a window-function sort pass
+    assert "UpdatingSessions" in plan or "session_window" in plan
+    assert "Window" not in plan

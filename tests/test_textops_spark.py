@@ -107,3 +107,29 @@ def test_simhash_vectorized_matches_per_token_reference(spark):
     got = {r.doc_id: r.simhash for r in textops.simhash(df).collect()}
     want = {i: reference_simhash(t) for i, t in docs}
     assert got == want
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry apple DATE date, date!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.tfidf_top_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.score_micro))
+    for v in by_doc.values():
+        v.sort()
+    # ln(3/2)*1e6 = 405465.108..., ln(3)*1e6 = 1098612.288...
+    assert by_doc[1] == [(1, "apple", 2, 810930), (2, "banana", 1, 405465)]
+    assert by_doc[2] == [(1, "banana", 1, 405465), (2, "cherry", 1, 405465)]
+    # date: case-folded + punctuation-split, tf=3, df=1 -> 3*ln(3)
+    assert by_doc[3] == [
+        (1, "date", 3, 3295837),
+        (2, "apple", 1, 405465),
+        (3, "cherry", 1, 405465),
+    ]
