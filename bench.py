@@ -134,6 +134,33 @@ def main() -> None:
     _ = textops.ann_bruteforce_topk(emb, queries=qs, k=5).count()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    # q7: graph analytics over an events-derived edge relation (same
+    # derivation as the kg_* contract queries, at this sf's full events
+    # table): one-shuffle degrees, degree-oriented triangle count,
+    # 3-iteration PageRank
+    from parser_rdf_spark import graphops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(cpus).persist()
+    ev.count()
+    g = ev.select(
+        (F.col("user_id") % 997).alias("src"), (F.col("event_id") % 997).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    _ = graphops.degrees(g).count()
+    _ = graphops.triangle_count(g).collect()
+    _ = graphops.pagerank(g, n_iter=3).count()
+    queries["graph_analytics"] = round(time.time() - t0, 3)
+
+    # q8: sessionization (native SESSION window agg) + per-doc TF-IDF
+    # top terms
+    from parser_rdf_spark.relops import sessionize
+
+    t0 = time.time()
+    _ = sessionize(ev, "user_id", "ts").count()
+    _ = textops.tfidf_top_terms(docs, k=3).count()
+    queries["sessionize_tfidf"] = round(time.time() - t0, 3)
+    ev.unpersist()
+
     docs.unpersist()
     spark.stop()
 
