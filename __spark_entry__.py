@@ -531,6 +531,59 @@ def _q_kg_pagerank(spark, sf_dir):
     )
 
 
+def _q_events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` is
+    the same linear-interpolation definition as SQL quantile_cont —
+    verified bitwise-equal on this data; micro-rounded anyway)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_p50"),
+        F.percentile("value", 0.9).alias("_p90"),
+        F.percentile("value", 0.99).alias("_p99"),
+    )
+    return agg.select(
+        "event_type",
+        *[
+            F.round(F.col(f"_p{p}") * 1000000.0).cast("bigint").alias(f"p{p}_micro")
+            for p in (50, 90, 99)
+        ],
+    )
+
+
+def _q_events_daily_rollup(spark, sf_dir):
+    """ROLLUP aggregation (event_type × day → subtotals → grand total)
+    with grouping_id disambiguating rollup-nulls — Spark and DuckDB use
+    the same first-column-is-MSB bitmask (pinned by the oracle match)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 1000000.0).cast("bigint").alias("sum_value_micro"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "sum_value_micro",
+            F.col("gid").cast("bigint").alias("gid"),
+        )
+    )
+
+
+def _q_events_user_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (explicit value list
+    — no driver-side distinct scan)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1))).na.fill(0)
+    return p.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds],
+    )
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_docs(spark, sf_dir), k=3).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -778,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         "events_value_range_join": _q_events_range_join,
         "events_sessionize": _q_events_sessionize,
+        "events_value_percentiles": _q_events_percentiles,
+        "events_daily_rollup": _q_events_daily_rollup,
+        "events_user_pivot": _q_events_user_pivot,
         # graph analytics over the materialized edge relation
         "kg_degrees": _q_kg_degrees,
         "kg_triangle_count": _q_kg_triangles,
@@ -1283,6 +1339,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "events_value_percentiles": (
+            "SELECT event_type, "
+            "CAST(ROUND(quantile_cont(value, 0.5) * 1000000e0) AS BIGINT) AS p50_micro, "
+            "CAST(ROUND(quantile_cont(value, 0.9) * 1000000e0) AS BIGINT) AS p90_micro, "
+            "CAST(ROUND(quantile_cont(value, 0.99) * 1000000e0) AS BIGINT) AS p99_micro "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_daily_rollup": (
+            "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(ROUND(SUM(value) * 1000000e0) AS BIGINT) AS sum_value_micro, "
+            "CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid "
+            "FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))"
+        ),
+        "events_user_pivot": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view, "
+            "CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error "
+            "FROM events GROUP BY user_id"
         ),
         "kg_degrees": (
             "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "

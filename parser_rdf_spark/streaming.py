@@ -120,6 +120,37 @@ def first_seen_pages(
     )
 
 
+def crawl_sessions(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: per-host crawl-activity sessions via the
+    native SESSION window over event time (warc_ts). A host's fetches
+    chain into one session while consecutive events are <= ``gap`` apart;
+    the watermark bounds state and finalizes sessions — in append mode a
+    session row is emitted once the watermark passes its end
+    (last event + gap), the standard late-data contract.
+
+    This is the streaming face of :func:`parser_rdf_spark.relops.sessionize`
+    (same session_window semantics, unbounded source + keyed state instead
+    of a batch shuffle).
+    """
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias("host")
+    return (
+        pages_stream.select(host, F.col("warc_ts").alias("event_ts"))
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            "host",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_pages",
+        )
+    )
+
+
 def _duration_to_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1000, "seconds": 1000, "minute": 60_000, "minutes": 60_000,

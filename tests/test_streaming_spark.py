@@ -127,3 +127,73 @@ def test_first_seen_pages_stateful_dedup(spark, dirs):
     # url 'a' kept its FIRST content, the re-fetch was dropped
     assert "CHANGED" not in rows["https://s.example.org/a"]
     assert got.count() == 3
+
+
+def _write_pages_at(spark, path, rows):
+    """rows: list of (url, datetime) — minimal pages with event times."""
+    df = spark.createDataFrame(
+        [(url, ts, None, "", "en") for url, ts in rows], schema=PAGES
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_crawl_sessions_streaming_append_finalizes_on_watermark(spark, dirs):
+    """Streaming sessionization (session_window + watermark, append mode):
+    sessions are emitted once the watermark passes their end; unfinalized
+    sessions stay in state. Two availableNow runs over one checkpoint —
+    the second run's data advances the persisted watermark and flushes
+    the first run's finished sessions."""
+    pages_dir, out_dir, ckpt = dirs
+
+    def t(minute):
+        return datetime(2026, 1, 1, 0, 0, tzinfo=timezone.utc) + __import__(
+            "datetime"
+        ).timedelta(minutes=minute)
+
+    # host a: two fetches 10min apart (one session), then one 2h later
+    # (second session). host b: one fetch.
+    _write_pages_at(
+        spark,
+        pages_dir,
+        [
+            ("https://a.example.org/1", t(0)),
+            ("https://a.example.org/2", t(10)),
+            ("https://a.example.org/3", t(120)),
+            ("https://b.example.org/1", t(0)),
+        ],
+    )
+
+    def run():
+        q = (
+            st.crawl_sessions(st.read_page_stream(spark, pages_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # run 1: watermark starts unset -> nothing finalized yet
+
+    # run 2: a far-future fetch advances the watermark past the early
+    # sessions' ends (watermark during run 2 = run-1 max event - 1h = 1:00)
+    _write_pages_at(spark, pages_dir, [("https://z.example.org/1", t(600))])
+    run()
+
+    got = {
+        (r.host, r.session_start, r.session_end, r.n_pages)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    naive = lambda m: datetime(2026, 1, 1, 0, 0) + __import__("datetime").timedelta(minutes=m)  # noqa: E731
+    # run 2 processes z (event 10:00) -> watermark advances to 9:00 and
+    # Spark's no-data batch flushes every session ended before it: a's
+    # first session (2 fetches chained, end = last+gap = 0:40), a's 2:00
+    # session (end 2:30), b's (end 0:30). NOT emitted: z's own session
+    # (end 10:30 > watermark) — state stays bounded, nothing leaks early.
+    assert got == {
+        ("a.example.org", naive(0), naive(40), 2),
+        ("a.example.org", naive(120), naive(150), 1),
+        ("b.example.org", naive(0), naive(30), 1),
+    }
