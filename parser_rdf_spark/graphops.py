@@ -172,3 +172,54 @@ def pagerank(
     e_w.unpersist()
     verts.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation over the undirected simple graph:
+    every vertex starts labeled with its own id; each iteration every
+    vertex adopts the most frequent label among its neighbors, ties
+    broken by smallest label — fully deterministic for any fixed
+    ``n_iter`` (synchronous LPA can oscillate, so convergence is NOT the
+    contract; the fixed-round result is). Returns (vertex, label).
+
+    Community structure surfaces after 1-2 rounds; the pipeline uses it
+    as a cheap blocking key upstream of the exact connected-components
+    pass (linking.connected_components).
+
+    Scale shape: one bidirectional neighbor relation built once and
+    persisted; each round is a shuffle join on the neighbor id, a
+    (vertex, label) count, and a window argmax per vertex — all key-hashed
+    on vertex ids. ``localCheckpoint`` per round truncates lineage, same
+    as pagerank/connected_components.
+    """
+    from pyspark.sql.window import Window
+
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = undirected_simple_edges(edges, src, dst)
+    nbrs = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("nbr")))
+        .persist()
+    )
+    labels = nbrs.select(F.col("v").alias("vertex")).distinct().withColumn(
+        "label", F.col("vertex")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("v").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(n_iter):
+        labels = (
+            nbrs.join(labels, F.col("nbr") == F.col("vertex"))
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("vertex"), "label")
+            .localCheckpoint(eager=True)
+        )
+    nbrs.unpersist()
+    return labels

@@ -116,3 +116,44 @@ def test_pagerank_zero_iterations_is_uniform(spark):
         for r in graphops.pagerank(_edges(spark, [(0, 1), (1, 2)]), n_iter=0).collect()
     }
     assert got == {0: pytest.approx(1 / 3), 1: pytest.approx(1 / 3), 2: pytest.approx(1 / 3)}
+
+
+def _py_lpa(pairs, n_iter):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in adj.items():
+            counts = {}
+            for nb in ns:
+                counts[lab[nb]] = counts.get(lab[nb], 0) + 1
+            # most frequent, ties -> smallest label
+            new[v] = min(counts, key=lambda c: (-counts[c], c))
+        lab = new
+    return lab
+
+
+def test_label_propagation_triangle_with_pendant(spark):
+    e = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r.vertex: r.label
+        for r in graphops.label_propagation(_edges(spark, e), n_iter=2).collect()
+    }
+    # after 2 synchronous rounds the whole component converges to label 1
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_label_propagation_matches_pure_python(spark):
+    pairs = _pseudo_random_pairs(n_vertices=30, n_edges=120)
+    for it in (0, 1, 2):
+        expected = _py_lpa(pairs, it)
+        got = {
+            r.vertex: r.label
+            for r in graphops.label_propagation(_edges(spark, pairs), n_iter=it).collect()
+        }
+        assert got == expected, f"n_iter={it}"
