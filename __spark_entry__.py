@@ -405,6 +405,43 @@ def _q_fingerprints(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out benchmark; every other doc reports its distinct 5-gram
+    overlap with that set (the pretraining-hygiene gate)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.decontaminate(train, bench, n=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    return textops.repetition_stats(_docs(spark, sf_dir), n=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("top_token_frac_x10000").cast("bigint").alias("top_token_frac_x10000"),
+        F.col("dup_ngram_frac_x10000").cast("bigint").alias("dup_ngram_frac_x10000"),
+    )
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-prefix stratified sampling (language rebalance);
+    strata not listed (zh) keep default_fraction=1.0 (everything)."""
+    out = textops.stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_FRACTIONS, stratum_col="lang",
+        default_fraction=1.0,
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 20)
@@ -581,6 +618,41 @@ def _q_events_user_pivot(spark, sf_dir):
     return p.select(
         F.col("user_id").cast("bigint").alias("user_id"),
         *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds],
+    )
+
+
+def _q_kg_label_propagation(spark, sf_dir):
+    """2-round synchronous label propagation (most-frequent neighbor
+    label, ties -> smallest). Oracle: two unrolled argmax CTEs (QUALIFY
+    row_number)."""
+    from parser_rdf_spark import graphops
+
+    lp = graphops.label_propagation(_event_graph(spark, sf_dir), n_iter=2)
+    return lp.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+def _q_events_user_timeline(spark, sf_dir):
+    """Per-user event timeline: sequence index, gap to the previous event
+    (exact integer microseconds), running value sum (micro-rounded —
+    windowed float sums may be segment-tree-grouped differently across
+    engines; 1e-6 rounding absorbs the reassociation drift)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.row_number().over(w).cast("bigint").alias("idx"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).cast("bigint").alias("gap_us"),
+        F.round(F.sum("value").over(wr) * 1000000.0).cast("bigint").alias("run_value_micro"),
     )
 
 
@@ -823,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
+        "decontamination": _q_decontamination,
+        "repetition_stats": _q_repetition_stats,
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -838,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_triangle_count": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_label_propagation": _q_kg_label_propagation,
+        "events_user_timeline": _q_events_user_timeline,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal binary-column ops
         "media_stats": _q_media_stats,
@@ -1278,6 +1355,43 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_symbol_tokens "
             "FROM documents"
         ),
+        "decontamination": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, gram FROM ("
+            "  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(1, len(t) - 4)), "
+            "    i -> array_to_string(t[i:i+4], ' '))) AS gram "
+            "  FROM toks WHERE doc_id % 97 <> 0)), "
+            "bg AS (SELECT DISTINCT gram FROM ("
+            "  SELECT unnest(list_transform(generate_series(1, greatest(1, len(t) - 4)), "
+            "    i -> array_to_string(t[i:i+4], ' '))) AS gram "
+            "  FROM toks WHERE doc_id % 97 = 0)) "
+            "SELECT CAST(g.doc_id AS BIGINT) AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, "
+            "CAST(MAX(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated "
+            "FROM g LEFT JOIN bg ON g.gram = bg.gram GROUP BY g.doc_id"
+        ),
+        "repetition_stats": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok), "
+            "ts AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c FROM tc GROUP BY doc_id), "
+            "gs AS (SELECT doc_id, len(gl) AS g_total, len(list_distinct(gl)) AS g_distinct FROM ("
+            "  SELECT doc_id, list_transform(generate_series(1, greatest(1, "
+            "    len(string_split(text, ' ')) - 1)), "
+            "    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')) AS gl "
+            "  FROM documents)) "
+            "SELECT CAST(ts.doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(top_c * 10000 // n_tokens AS BIGINT) AS top_token_frac_x10000, "
+            "CAST((g_total - g_distinct) * 10000 // g_total AS BIGINT) AS dup_ngram_frac_x10000 "
+            "FROM ts JOIN gs ON ts.doc_id = gs.doc_id"
+        ),
+        "stratified_sample": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "
+            "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+            "CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' "
+            "WHEN 'fr' THEN '2000' WHEN 'es' THEN '1000' ELSE 'zzzz' END"
+        ),
         "quality_score": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
@@ -1406,6 +1520,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM v CROSS JOIN nn LEFT JOIN s3 ON s3.dv = v.vertex) "
             "SELECT CAST(vertex AS BIGINT) AS vertex, "
             "CAST(ROUND(r * 1000000e0) AS BIGINT) AS rank_micro FROM r3"
+        ),
+        "kg_label_propagation": (
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0), "
+            "nb AS (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b AS v, a AS nbr FROM und), "
+            "l0 AS (SELECT DISTINCT v AS vertex, v AS label FROM nb), "
+            "l1 AS (SELECT nb.v AS vertex, l0.label AS label FROM nb "
+            "JOIN l0 ON l0.vertex = nb.nbr GROUP BY nb.v, l0.label "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY nb.v "
+            "ORDER BY COUNT(*) DESC, l0.label ASC) = 1), "
+            "l2 AS (SELECT nb.v AS vertex, l1.label AS label FROM nb "
+            "JOIN l1 ON l1.vertex = nb.nbr GROUP BY nb.v, l1.label "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY nb.v "
+            "ORDER BY COUNT(*) DESC, l1.label ASC) = 1) "
+            "SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label FROM l2"
+        ),
+        "events_user_timeline": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx, "
+            "CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS gap_us, "
+            "CAST(ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) * 1000000e0) AS BIGINT) AS run_value_micro "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) "

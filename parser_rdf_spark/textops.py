@@ -602,3 +602,161 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score_micro", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline hygiene: decontamination, repetition signals, deterministic sampling
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct word-n-gram array (space tokens). Documents shorter than
+    ``n`` tokens contribute their truncated grams (slice clamps at the
+    array end) — the same edge semantics as ngram_jaccard_pairs, and
+    mirrored exactly by the DuckDB oracle's 1-based inclusive list slice."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(split({text_col}, ' ')) - {n - 1})), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        )
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word-n-grams appear anywhere in a held-out benchmark set.
+
+    Returns (doc_id, n_grams, n_hit, contaminated) — the standard
+    pretraining-hygiene gate (any shared n-gram ⇒ drop or audit the doc).
+
+    Scale shape: the benchmark gram set is tiny relative to a 100-TB
+    corpus (eval suites are MBs), so it is distinct-ed once and
+    broadcast; the corpus side explodes distinct grams and does a
+    broadcast left join + one doc_id-keyed aggregation — no corpus-side
+    shuffle besides the final high-cardinality groupBy. Pass
+    ``broadcast_benchmark=False`` to fall back to a shuffle join if the
+    "benchmark" is itself huge (cross-corpus leakage checks).
+    """
+    doc_grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_ngrams(text_col, n)).alias("gram"),
+    )
+    bench = benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram")).distinct()
+    bench = bench.withColumn("_hit", F.lit(1))
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        doc_grams.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn("contaminated", (F.col("n_hit") > 0).cast("int"))
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+    (doc_id, n_tokens, top_token_frac_x10000, dup_ngram_frac_x10000).
+
+    - top_token_frac: occurrences of the single most frequent space-token
+      over total tokens (boilerplate/spam marker);
+    - dup_ngram_frac: 1 - distinct/total word-n-grams — the fraction of
+      n-gram slots that repeat an earlier n-gram.
+
+    Both are returned as integer x10000 (floor) so a SQL oracle hashes
+    identically. Scale shape: the token path is explode → (doc_id, token)
+    count → doc_id max/sum (two key-hashed partial-agg shuffles, no skew
+    beyond document length); the n-gram path is a pure Column expression
+    (no explode) joined back on doc_id.
+    """
+    toks = documents.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
+    )
+    grams_all = F.expr(
+        f"transform(sequence(1, greatest(1, size(split(text, ' ')) - {n - 1})), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    )
+    gram_stats = documents.select(
+        "doc_id",
+        F.size(grams_all).alias("_g_total"),
+        F.size(F.array_distinct(grams_all)).alias("_g_distinct"),
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            # `div` (exact integer floor division) — not `/` + cast, whose
+            # double rounding can disagree with a SQL oracle's `//`
+            F.expr("top_c * 10000 div n_tokens").alias("top_token_frac_x10000"),
+            F.expr("(_g_total - _g_distinct) * 10000 div _g_total").alias(
+                "dup_ngram_frac_x10000"
+            ),
+        )
+    )
+
+
+def hash_sample(
+    documents: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5(key || salt)
+    4-hex-digit prefix falls below floor(fraction * 65536).
+
+    Unlike df.sample(), this is (a) stable across runs, partitionings and
+    engines (md5 of the decimal key string is engine-portable), (b) a
+    pure filter — no shuffle, pushed past column pruning, (c) coordinated:
+    the same key draws the same verdict in every table it appears in, so
+    sampled fact/dim tables stay joinable. Salt gives independent draws.
+    Granularity is 1/65536; fraction >= 1 keeps everything.
+    """
+    if fraction >= 1.0:
+        return documents
+    thr = format(max(0, int(fraction * 65536)), "04x")
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    return documents.filter(F.substring(F.md5(key), 1, 4) < F.lit(thr))
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling (e.g. rebalance languages
+    or sources in a pretraining mix): ``fractions`` maps stratum value →
+    keep fraction; strata not listed keep ``default_fraction``.
+
+    Same md5-prefix draw as hash_sample, so it is a single narrow filter
+    (no shuffle, no per-stratum passes) and the draw for a key is
+    independent of its stratum — changing the mix never reshuffles which
+    rows survive within a stratum.
+    """
+    hexpfx = F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 4)
+
+    def thr(frac: float) -> str:
+        return format(max(0, min(65536, int(frac * 65536))), "04x") if frac < 1.0 else "zzzz"
+
+    cond = F.lit(thr(default_fraction))
+    for value, frac in sorted(fractions.items(), reverse=True):
+        cond = F.when(F.col(stratum_col) == value, F.lit(thr(frac))).otherwise(cond)
+    return documents.filter(hexpfx < cond)

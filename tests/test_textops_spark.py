@@ -133,3 +133,69 @@ def test_tfidf_top_terms_hand_computed(spark):
         (2, "apple", 1, 405465),
         (3, "cherry", 1, 405465),
     ]
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words nothing shared here at all"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox keeps appearing in benchmarks")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.decontaminate(train, bench, n=3).collect()}
+    # doc 1 shares exactly one distinct 3-gram: "quick brown fox"
+    assert got[1]["contaminated"] == 1 and got[1]["n_hit"] == 1
+    assert got[1]["n_grams"] == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert got[2]["contaminated"] == 0 and got[2]["n_hit"] == 0
+    # sub-n doc contributes its truncated gram, no hit
+    assert got[3]["n_grams"] == 1 and got[3]["contaminated"] == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # top token 3/4; bigrams [a a, a a, a b] -> 1 dup of 3
+            (2, "x y z"),        # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_stats(docs, n=2).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_token_frac_x10000"] == 7500
+    assert got[1]["dup_ngram_frac_x10000"] == 3333
+    assert got[2]["top_token_frac_x10000"] == 3333
+    assert got[2]["dup_ngram_frac_x10000"] == 0
+
+
+def test_hash_sample_deterministic_and_coordinated(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = sorted(r["doc_id"] for r in textops.hash_sample(docs, 0.25).collect())
+    b = sorted(r["doc_id"] for r in textops.hash_sample(docs, 0.25).collect())
+    assert a == b  # stable across runs
+    assert 20 <= len(a) <= 80  # ~50 of 200 expected
+    # a larger fraction strictly contains the smaller one (same draw)
+    big = sorted(r["doc_id"] for r in textops.hash_sample(docs, 0.5).collect())
+    assert set(a) <= set(big)
+    assert sorted(r["doc_id"] for r in textops.hash_sample(docs, 1.0).collect()) == list(range(200))
+    # salting changes the draw
+    c = sorted(r["doc_id"] for r in textops.hash_sample(docs, 0.25, salt="s1").collect())
+    assert c != a
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    rows = [(i, "t", "en" if i % 2 == 0 else "de") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.stratified_sample(docs, {"en": 1.0, "de": 0.0}, stratum_col="lang")
+    got = [r["lang"] for r in out.collect()]
+    assert len(got) == 200 and set(got) == {"en"}
+    # unlisted strata keep default_fraction
+    out2 = textops.stratified_sample(docs, {}, stratum_col="lang", default_fraction=1.0)
+    assert out2.count() == 400
