@@ -462,6 +462,55 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_events_stream_rollup(spark, sf_dir):
+    """Structured-Streaming face with a full value oracle: the hourly
+    (window, event_type) rollup computed via readStream over the events
+    parquet with an availableNow trigger into a complete-mode memory
+    sink. Draining a bounded source must produce EXACTLY the batch
+    GROUP BY — which is what the DuckDB oracle checks. The value sum is
+    integer cents (sum of per-row rounded bigints) so the aggregate is
+    associative and engine-deterministic; streaming disallows distinct
+    aggs, so the rollup is count + sum."""
+    import tempfile
+
+    name = "events_stream_rollup_sink"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the sf tables are single parquet FILES; the file-stream source
+    # requires a directory (a bare file path becomes an invalid
+    # basePath), so glob it — the wildcard makes the source anchor
+    # basePath at the sf dir
+    src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    # event-time ops demand TIMESTAMP (not NTZ); the session runs UTC so
+    # the cast is wall-clock-identical, and the window start is cast back
+    # to NTZ to match the oracle's schema
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_rollup_chk"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
 def _q_events_asof(spark, sf_dir):
     """As-of join over the events table: every click matched to the
     user's most recent at-or-before view (one union+window shuffle, no
@@ -903,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
+        "events_stream_rollup": _q_events_stream_rollup,
         "events_asof_join": _q_events_asof,
         "events_value_range_join": _q_events_range_join,
         "events_sessionize": _q_events_sessionize,
@@ -1425,6 +1475,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_stream_rollup": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY 1, 2"
         ),
         "events_asof_join": (

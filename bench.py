@@ -161,6 +161,18 @@ def main() -> None:
     queries["sessionize_tfidf"] = round(time.time() - t0, 3)
     ev.unpersist()
 
+    # q9: pipeline hygiene — benchmark decontamination (broadcast gram
+    # join), Gopher repetition signals, deterministic stratified sampling
+    t0 = time.time()
+    bench_set = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    _ = textops.decontaminate(train, bench_set, n=5).count()
+    _ = textops.repetition_stats(docs, n=2).count()
+    _ = textops.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}, default_fraction=1.0
+    ).count()
+    queries["hygiene_ops"] = round(time.time() - t0, 3)
+
     docs.unpersist()
     spark.stop()
 
