@@ -683,6 +683,20 @@ def _q_kg_label_propagation(spark, sf_dir):
     )
 
 
+def _q_kg_khop(spark, sf_dir):
+    """2-hop BFS reachability from seeds {1,2,3} with min hop count.
+    Oracle: bounded recursive CTE + MIN(hops) — path enumeration is fine
+    for the oracle at this size; the Spark side is frontier BFS whose
+    work is bounded by vertices, not paths (the 100-TB-safe shape)."""
+    from parser_rdf_spark import graphops
+
+    out = graphops.khop_reachability(_event_graph(spark, sf_dir), [1, 2, 3], k=2)
+    return out.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )
+
+
 def _q_events_user_timeline(spark, sf_dir):
     """Per-user event timeline: sequence index, gap to the previous event
     (exact integer microseconds), running value sum (micro-rounded —
@@ -964,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangle_count": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_label_propagation": _q_kg_label_propagation,
+        "kg_khop_reachability": _q_kg_khop,
         "events_user_timeline": _q_events_user_timeline,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal binary-column ops
@@ -1592,6 +1607,15 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY nb.v "
             "ORDER BY COUNT(*) DESC, l1.label ASC) = 1) "
             "SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label FROM l2"
+        ),
+        "kg_khop_reachability": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT user_id % 997 AS src, event_id % 997 AS dst "
+            "FROM events WHERE user_id % 997 <> event_id % 997), "
+            "r AS (SELECT v AS vertex, 0 AS hops FROM (VALUES (1), (2), (3)) s(v) "
+            "UNION ALL SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.vertex "
+            "WHERE r.hops < 2) "
+            "SELECT CAST(vertex AS BIGINT) AS vertex, CAST(MIN(hops) AS BIGINT) AS hops "
+            "FROM r GROUP BY vertex"
         ),
         "events_user_timeline": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, "

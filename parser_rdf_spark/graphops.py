@@ -223,3 +223,54 @@ def label_propagation(
         )
     nbrs.unpersist()
     return labels
+
+
+def khop_reachability(
+    edges: DataFrame,
+    sources: list,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed k-hop reachability from a seed set: (vertex, hops) where
+    ``hops`` is the MINIMUM number of edges from any seed (0 for the
+    seeds themselves), bounded by ``k``.
+
+    Frontier BFS, the iterative pattern the rest of the graph suite
+    doesn't exercise (pointer doubling = connected_components, fixed
+    rounds = pagerank/LPA): each round expands only the NEW frontier —
+    one join keyed on src, a distinct, and an anti-join against the
+    reached set — so a vertex is visited exactly once, at its minimum
+    hop. localCheckpoint per round truncates lineage; the deduped edge
+    relation is built once and persisted. Frontier size is bounded by
+    the vertex set, never the path count (a recursive-CTE formulation
+    enumerates paths and blows up on dense graphs; BFS doesn't).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    reached = spark.createDataFrame(
+        [(int(v),) for v in sources], "vertex bigint"
+    ).distinct().withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = reached.select("vertex")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["_s"])
+            .select(F.col("_d").alias("vertex"))
+            .distinct()
+            .join(reached.select("vertex"), "vertex", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("vertex")
+    e.unpersist()
+    return reached

@@ -157,3 +157,32 @@ def test_label_propagation_matches_pure_python(spark):
             for r in graphops.label_propagation(_edges(spark, pairs), n_iter=it).collect()
         }
         assert got == expected, f"n_iter={it}"
+
+
+def test_khop_reachability_hand_traced(spark):
+    # 1 -> 2 -> 3 -> 4, plus 1 -> 3 shortcut and an unreachable 9 -> 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 1)], "src long, dst long"
+    )
+    got = {
+        r.vertex: r.hops
+        for r in graphops.khop_reachability(e, [1], k=2).collect()
+    }
+    # 3 is reached at hop 1 via the shortcut (min hop), not hop 2
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    # k=0 returns only the seeds
+    got0 = {
+        r.vertex: r.hops
+        for r in graphops.khop_reachability(e, [1], k=0).collect()
+    }
+    assert got0 == {1: 0}
+
+
+def test_khop_reachability_early_stop_and_duplicate_seeds(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # frontier dries up after hop 1; k=5 must not loop further or fail
+    got = {
+        r.vertex: r.hops
+        for r in graphops.khop_reachability(e, [1, 1], k=5).collect()
+    }
+    assert got == {1: 0, 2: 1}
