@@ -429,6 +429,20 @@ def _q_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_mixture_report(spark, sf_dir):
+    """Corpus mix report per (lang, source): doc/token counts and
+    basis-point shares (integer div; totals via a broadcast single-row
+    join, not a single-partition SUM() OVER ())."""
+    return textops.mixture_report(_docs(spark, sf_dir)).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("doc_share_bp").cast("bigint").alias("doc_share_bp"),
+        F.col("token_share_bp").cast("bigint").alias("token_share_bp"),
+    )
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}
 
 
@@ -961,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
+        "mixture_report": _q_mixture_report,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1450,6 +1465,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(top_c * 10000 // n_tokens AS BIGINT) AS top_token_frac_x10000, "
             "CAST((g_total - g_distinct) * 10000 // g_total AS BIGINT) AS dup_ngram_frac_x10000 "
             "FROM ts JOIN gs ON ts.doc_id = gs.doc_id"
+        ),
+        "mixture_report": (
+            "WITH per AS (SELECT lang, source, COUNT(*) AS n_docs, "
+            "SUM(len(string_split(text, ' '))) AS n_tokens FROM documents GROUP BY lang, source) "
+            "SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_docs * 10000 // SUM(n_docs) OVER () AS BIGINT) AS doc_share_bp, "
+            "CAST(n_tokens * 10000 // SUM(n_tokens) OVER () AS BIGINT) AS token_share_bp "
+            "FROM per"
         ),
         "stratified_sample": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "

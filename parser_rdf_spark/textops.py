@@ -760,3 +760,34 @@ def stratified_sample(
     for value, frac in sorted(fractions.items(), reverse=True):
         cond = F.when(F.col(stratum_col) == value, F.lit(thr(frac))).otherwise(cond)
     return documents.filter(hexpfx < cond)
+
+
+def mixture_report(documents: DataFrame, strata: tuple = ("lang", "source")) -> DataFrame:
+    """Pretraining-mix report: per stratum combination, document and
+    (space-)token counts plus basis-point shares of the corpus
+    (doc_share_bp, token_share_bp — integer x10000 floor division, so a
+    SQL oracle hashes identically).
+
+    Scale shape: one partial-agg groupBy over the strata (low
+    cardinality, map-side combined), then the grand totals join back as
+    a broadcast of a single row — no second scan, no single-partition
+    window (the `SUM() OVER ()` formulation a SQL engine uses would
+    funnel everything through one task at 100 TB).
+    """
+    per = documents.groupBy(*[F.col(c) for c in strata]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            *strata,
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 10000 div _td").alias("doc_share_bp"),
+            F.expr("n_tokens * 10000 div _tt").alias("token_share_bp"),
+        )
+    )

@@ -199,3 +199,24 @@ def test_stratified_sample_respects_per_stratum_fractions(spark):
     # unlisted strata keep default_fraction
     out2 = textops.stratified_sample(docs, {}, stratum_col="lang", default_fraction=1.0)
     assert out2.count() == 400
+
+
+def test_mixture_report_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),   # 3 tokens
+            (2, "d e", "en", "s1"),     # 2 tokens
+            (3, "f g h i j", "de", "s2"),  # 5 tokens
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["lang"], r["source"]): r
+        for r in textops.mixture_report(docs).collect()
+    }
+    en = got[("en", "s1")]
+    de = got[("de", "s2")]
+    assert en["n_docs"] == 2 and en["n_tokens"] == 5
+    assert de["n_docs"] == 1 and de["n_tokens"] == 5
+    assert en["doc_share_bp"] == 6666 and de["doc_share_bp"] == 3333
+    assert en["token_share_bp"] == 5000 and de["token_share_bp"] == 5000
