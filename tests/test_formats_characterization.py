@@ -188,3 +188,56 @@ def test_prefix_only_turtle_doc_parses_to_zero_triples():
     res = parse_rdf_document("@prefix ex: <http://example.org/> .")
     assert res.ok and res.format == "turtle"
     assert res.triples == [] and res.resource_count == 0
+
+
+def test_bare_html_rejected_by_all_four_reference_handlers():
+    """Reference RdfParserTest: canParse('<html>...') is false for every
+    reference handler (reference tests/Characterization/RdfParserTest.php:50-53).
+    The engine's own html handler (new surface, appended last) does claim
+    it — but yields zero triples when the page carries no structured
+    data, so the reference-visible behavior (no RDF parsed from bare
+    HTML) is preserved."""
+    from parser_rdf_spark import jsonld, ntriples, rdfxml, turtle
+    from parser_rdf_spark.formats import detect_format, parse_rdf_document
+
+    bare = "<html><head><title>t</title></head><body><p>no data</p></body></html>"
+    assert not turtle.can_handle(bare)
+    assert not ntriples.can_handle(bare)
+    assert not jsonld.can_handle(bare)
+    assert not rdfxml.can_handle(bare)
+    assert detect_format(bare) == "html"  # engine extension, documented
+    res = parse_rdf_document(bare)
+    assert res.ok and res.triples == []
+
+
+def test_extract_all_returns_reference_section_keys(spark):
+    """Reference parse() returns classes/properties/prefixes/shapes/
+    restrictions sections (RdfParserTest.php:100-111,308-315); the engine's
+    extract_all mirrors the extractor sections, with restrictions a typed
+    ALWAYS-empty frame (E20, reference src/RdfParser.php:214-217).
+    Prefixes ride on the parse result itself (DocResult.prefixes)."""
+    from parser_rdf_spark.extract import extract_all
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    ttl = (
+        "@prefix ex: <http://example.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "ex:Person a rdfs:Class ; rdfs:label \"Person\" .\n"
+        "ex:name a <http://www.w3.org/1999/02/22-rdf-syntax-ns#Property> ; "
+        "rdfs:label \"name\" .\n"
+        "ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person .\n"
+    )
+    pages = spark.createDataFrame([("http://x/doc.ttl", ttl)], "url string, text string")
+    parsed = parse_pages(pages)
+    triples = triples_of(parsed)
+    out = extract_all(triples)
+    assert set(out) == {"classes", "properties", "shapes", "restrictions", "_res"}
+    # full pipeline with Turtle content: every section populated
+    # (RdfParserTest.php:317-352), restrictions constant-empty
+    assert out["classes"].count() == 1
+    assert out["properties"].count() == 1
+    assert out["shapes"].count() == 1
+    assert out["restrictions"].count() == 0
+    assert {f.name for f in out["restrictions"].schema.fields} >= {"doc_url", "uri"}
+    out["_res"].unpersist()
