@@ -429,6 +429,19 @@ def _q_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Token-bounded overlapping chunking (16-token chunks, 4 overlap):
+    the pretraining/embedding prep step, pure Column posexplode."""
+    return textops.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=16, overlap=4
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def _q_mixture_report(spark, sf_dir):
     """Corpus mix report per (lang, source): doc/token counts and
     basis-point shares (integer div; totals via a broadcast single-row
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "stratified_sample": _q_stratified_sample,
         "mixture_report": _q_mixture_report,
+        "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1465,6 +1479,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(top_c * 10000 // n_tokens AS BIGINT) AS top_token_frac_x10000, "
             "CAST((g_total - g_distinct) * 10000 // g_total AS BIGINT) AS dup_ngram_frac_x10000 "
             "FROM ts JOIN gs ON ts.doc_id = gs.doc_id"
+        ),
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "unnest(list_transform(generate_series(0, (len(t) - 1) // 12), "
+            "i -> {'chunk_id': CAST(i AS BIGINT), "
+            "'chunk_text': array_to_string(t[i*12+1:i*12+16], ' '), "
+            "'n_tokens': CAST(len(t[i*12+1:i*12+16]) AS BIGINT)}), recursive := true) "
+            "FROM toks"
         ),
         "mixture_report": (
             "WITH per AS (SELECT lang, source, COUNT(*) AS n_docs, "

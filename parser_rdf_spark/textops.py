@@ -791,3 +791,45 @@ def mixture_report(documents: DataFrame, strata: tuple = ("lang", "source")) -> 
             F.expr("n_tokens * 10000 div _tt").alias("token_share_bp"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-bounded overlapping chunks — the
+    standard pretraining/embedding prep step. Chunk ``i`` covers space
+    tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; chunks are emitted while their
+    start lies inside the document, so the final chunk may be short and
+    every document yields at least one chunk.
+
+    Returns (doc_id, chunk_id, chunk_text, n_tokens). Pure Column
+    expressions: a sequence() of chunk starts posexploded JVM-side — the
+    token array is built once per row, no UDF, no shuffle (chunking is a
+    narrow map; downstream groupBys key on doc_id/chunk_id).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.expr(
+        f"sequence(0, int(floor((size(split({text_col}, ' ')) - 1) / {step})))"
+    )
+    exploded = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.posexplode(starts).alias("chunk_id", "_i"),
+    )
+    piece = F.slice(F.col("_t"), F.col("_i") * step + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

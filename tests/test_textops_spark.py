@@ -220,3 +220,24 @@ def test_mixture_report_hand_computed(spark):
     assert de["n_docs"] == 1 and de["n_tokens"] == 5
     assert en["doc_share_bp"] == 6666 and de["doc_share_bp"] == 3333
     assert en["token_share_bp"] == 5000 and de["token_share_bp"] == 5000
+
+
+def test_chunk_documents_hand_traced(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in textops.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # step 3: starts at tokens 0, 3, 6; final chunk short; doc 2 -> one chunk
+    assert got == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (1, 2, "g", 1),
+        (2, 0, "x", 1),
+    ]
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(docs, chunk_tokens=4, overlap=4)
