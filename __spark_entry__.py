@@ -529,7 +529,13 @@ def _q_events_stream_rollup(spark, sf_dir):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_rollup_chk"))
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own; a timeout that expired would
+    # leave the complete-mode sink mid-flight and return PARTIAL rows
+    # that look like an engine bug (ADVICE r2 item 2) — so assert the
+    # drain actually finished instead of ignoring the return value
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("events_stream_rollup drain did not finish within 300s")
     return spark.table(name).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",

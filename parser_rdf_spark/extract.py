@@ -288,13 +288,15 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
 
     Walk semantics match the iterative version: a node without rdf:first
     ends the chain; the chain continues only through a bnode rdf:rest
-    that isn't rdf:nil. The step bound is the per-doc spine size (a cycle
-    therefore emits at most |spine| rows instead of looping). On
-    malformed spines with DUPLICATE rdf:first/rdf:rest per node the
+    that isn't rdf:nil. The step bound per head is ``least(spine size,
+    max_iters)`` — the spine size ends cycles (at most |spine| rows, no
+    loop), and ``max_iters`` (same contract as the old per-position
+    self-join version: at most 32 list positions per chain) stops a
+    hostile list-heavy document from costing O(heads × spine) no-op
+    lambda steps in one task (ADVICE r2 item 4: H short chains over an
+    n-node doc spine used to cost O(H·n); now O(H·min(n, max_iters))).
+    On malformed spines with DUPLICATE rdf:first/rdf:rest per node the
     lowest line number wins deterministically.
-
-    ``max_iters`` is kept for API compatibility; the per-doc spine bound
-    subsumes it.
     """
     firsts = (
         triples.filter(F.col("pred") == RDF_FIRST)
@@ -326,9 +328,9 @@ def resolve_rdf_lists(triples: DataFrame, heads: DataFrame, max_iters: int = 32)
         )
     )
     walk = F.expr(
-        """
+        f"""
         aggregate(
-          sequence(1, greatest(n_nodes, 1)),
+          sequence(1, greatest(least(n_nodes, {int(max_iters)}), 1)),
           struct(
             cast(array() as array<struct<pos:int, member:string, member_kind:string>>) AS out,
             head AS node

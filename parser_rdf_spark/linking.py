@@ -33,48 +33,138 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Default broadcast ceiling for the salt-exploded dictionary (bytes).
+#: Catalyst's own autoBroadcastJoinThreshold defaults to 10 MB; we allow
+#: more because the dictionary is replicated ×salt_buckets and the probe
+#: side at web scale is orders of magnitude larger, so paying a bigger
+#: broadcast is usually still cheaper than shuffling the probe.  Past
+#: this, broadcasting fails outright (driver/executor OOM), so we fall
+#: back to a salted shuffled sort-merge join.
+BROADCAST_DICT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df`` in bytes.
+
+    Uses the same statistic Spark's own broadcast auto-selection reads
+    (file sizes / column stats when available), so the gate agrees with
+    what the engine would decide. Falls back to a row-count × 64-byte
+    heuristic if the JVM stat is unavailable (e.g. future API drift) —
+    the fallback costs one count() action on the (small-ish) dictionary,
+    never on the probe side.
+    """
+    try:
+        stat = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        stat = None
+    if stat is not None and stat < (1 << 50):
+        return stat
+    # Catalyst reports defaultSizeInBytes (~8 EB) for stat-less relations
+    # (in-memory test frames, some views): fall back to one count() on the
+    # dictionary side — never the probe — at ~128 B/row (two IRIs).
+    return df.count() * 128
+
+
+def _salted_dict_join(
+    probe: DataFrame,
+    entities: DataFrame,
+    probe_key,
+    salt_expr,
+    salt_buckets: int,
+    strategy: str = "auto",
+    broadcast_threshold: int = BROADCAST_DICT_MAX_BYTES,
+) -> DataFrame:
+    """LEFT-join ``probe`` against the ``entities(surface, canonical_iri)``
+    dictionary on (key, salt), size-gated between two physical plans with
+    the same logical contract:
+
+    - **broadcast** (dictionary ×salt fits in ``broadcast_threshold``):
+      salt-exploded dictionary broadcast to every task; the probe side
+      never shuffles. The salt keeps any *downstream* repartition on the
+      key from concentrating a mega-key.
+    - **shuffle** (dictionary too big to broadcast — the 100-TB case
+      where surface→IRI is GBs–TBs): shuffled sort-merge join, forced
+      with a ``merge`` hint so AQE can't flip it back to a doomed
+      broadcast. The probe side salts with ``salt_expr`` (deterministic,
+      uncorrelated with the key) and the dictionary explodes ×K, so a
+      mega-key ("login", "home", ...) spreads over K shuffle partitions;
+      AQE skew-join splitting handles any residual imbalance.
+
+    ``strategy``: "auto" (size-gate via Catalyst stats), "broadcast",
+    or "shuffle". Output columns: probe columns + ``canonical_iri``
+    (nullable) with the join scaffolding dropped.
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if _estimated_bytes(entities) * salt_buckets <= broadcast_threshold
+            else "shuffle"
+        )
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown dictionary join strategy: {strategy!r}")
+
+    salted_dict = (
+        entities.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        .withColumnRenamed("surface", "_surface")
+    )
+    probe = probe.withColumn("_salt", salt_expr.cast("int"))
+    cond = (probe[probe_key] == salted_dict["_surface"]) & (
+        probe["_salt"] == salted_dict["salt"]
+    )
+    if strategy == "broadcast":
+        out = probe.join(F.broadcast(salted_dict), cond, "left")
+    else:
+        out = probe.join(salted_dict.hint("merge"), cond, "left")
+    return out.drop("_surface", "salt", "_salt")
+
 
 def link_entities(
     triples: DataFrame,
     entities: DataFrame,
     salt_buckets: int = 16,
     surface_col: str = "obj_value",
+    strategy: str = "auto",
+    broadcast_threshold: int = BROADCAST_DICT_MAX_BYTES,
 ) -> DataFrame:
-    """Salted broadcast-hash join of triple objects against the
+    """Size-gated salted dictionary join of triple objects against the
     ``entities(surface, canonical_iri)`` dictionary; adds
     ``canonical_obj`` = canonical IRI when linked, else the original term.
 
     The salt is ``pmod(xxhash64(doc_url, line_no), K)`` — deterministic
     (resume-safe, no rand()) yet uncorrelated with the join key, so a
-    mega-key's probes spread over K dictionary replicas.
+    mega-key's probes spread over K dictionary replicas. Small
+    dictionaries broadcast; dictionaries too big to broadcast fall back
+    to a salted shuffled sort-merge join (see :func:`_salted_dict_join`).
     """
-    salted_dict = (
-        entities.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
-        .withColumnRenamed("surface", "_surface")
-    )
-    probe = triples.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_url", "line_no"), F.lit(salt_buckets)).cast("int")
-    )
-    out = probe.join(
-        F.broadcast(salted_dict),
-        (probe[surface_col] == salted_dict["_surface"]) & (probe["salt"] == salted_dict["salt"]),
-        "left",
+    out = _salted_dict_join(
+        triples,
+        entities,
+        surface_col,
+        F.pmod(F.xxhash64("doc_url", "line_no"), F.lit(salt_buckets)),
+        salt_buckets,
+        strategy,
+        broadcast_threshold,
     )
     return (
         out.withColumn("canonical_obj", F.coalesce(F.col("canonical_iri"), F.col(surface_col)))
-        .drop("_surface", "salt", "canonical_iri")
+        .drop("canonical_iri")
     )
 
 
 def canonicalize_triples(
-    triples: DataFrame, entities: DataFrame, salt_buckets: int = 16
+    triples: DataFrame,
+    entities: DataFrame,
+    salt_buckets: int = 16,
+    strategy: str = "auto",
+    broadcast_threshold: int = BROADCAST_DICT_MAX_BYTES,
 ) -> DataFrame:
     """Canonicalize subject AND object IRIs through the dictionary.
 
-    Two salted broadcast joins (no shuffle of the big side at all);
+    Two size-gated salted dictionary joins (broadcast when the dictionary
+    fits — no shuffle of the big side at all — else salted sort-merge);
     literals pass through untouched.
     """
-    linked_obj = link_entities(triples, entities, salt_buckets, "obj_value")
+    linked_obj = link_entities(triples, entities, salt_buckets, "obj_value", strategy, broadcast_threshold)
     linked_obj = linked_obj.withColumn(
         "obj_canonical",
         F.when(F.col("obj_kind") == "literal", F.col("obj_value")).otherwise(
@@ -82,22 +172,18 @@ def canonicalize_triples(
         ),
     ).drop("canonical_obj")
 
-    salted_dict = (
-        entities.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
-        .withColumnRenamed("surface", "_surface")
-        .withColumnRenamed("canonical_iri", "_subj_canon")
-    )
-    probe = linked_obj.withColumn(
-        "salt2", F.pmod(F.xxhash64("doc_url", "subj"), F.lit(salt_buckets)).cast("int")
-    )
-    out = probe.join(
-        F.broadcast(salted_dict),
-        (probe["subj"] == salted_dict["_surface"]) & (probe["salt2"] == salted_dict["salt"]),
-        "left",
+    out = _salted_dict_join(
+        linked_obj,
+        entities,
+        "subj",
+        F.pmod(F.xxhash64("doc_url", "subj"), F.lit(salt_buckets)),
+        salt_buckets,
+        strategy,
+        broadcast_threshold,
     )
     return (
-        out.withColumn("subj_canonical", F.coalesce(F.col("_subj_canon"), F.col("subj")))
-        .drop("_surface", "_subj_canon", "salt", "salt2")
+        out.withColumn("subj_canonical", F.coalesce(F.col("canonical_iri"), F.col("subj")))
+        .drop("canonical_iri")
     )
 
 

@@ -18,8 +18,10 @@ partition directories). A killed job re-runs only unrecorded buckets.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -188,20 +190,67 @@ class GraphWriter:
         bucket-partitioned copy of the input, not this particular one.
 
         Idempotent/resumable: skipped when the previous run's staging
-        completed (`_SUCCESS` marker); a kill mid-staging rewrites it.
+        completed (`_SUCCESS` marker) AND the live input still matches the
+        staged copy's fingerprint (row count + source file listing). A
+        kill mid-staging rewrites it; a *different* input restages when no
+        buckets are checkpointed yet, and raises when some are — silently
+        mixing buckets of two inputs is never right (ADVICE r2 item 1).
         """
         staged_path = os.path.join(self.root, "_staged_pages")
-        if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
-            (
-                pages.withColumn(
-                    "url_bucket",
-                    F.pmod(F.xxhash64("url"), F.lit(self.url_buckets)).cast("int"),
+        meta_path = os.path.join(self._ckpt_dir, "staged_input.json")
+        fp = self._input_fingerprint(pages)
+        if os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+            old = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    old = json.load(f)
+            if old == fp:
+                return spark.read.parquet(staged_path)
+            if self.processed_buckets():
+                raise ValueError(
+                    f"GraphWriter input changed mid-resume at {self.root}: staged "
+                    f"fingerprint {old} vs live input {fp} with buckets already "
+                    "checkpointed; resume with the original input or start a "
+                    "fresh root"
                 )
-                .write.mode("overwrite")
-                .partitionBy("url_bucket")
-                .parquet(staged_path)
+            # stale staging from a different input, nothing committed yet —
+            # fall through and restage from the live input
+        (
+            pages.withColumn(
+                "url_bucket",
+                F.pmod(F.xxhash64("url"), F.lit(self.url_buckets)).cast("int"),
             )
+            .write.mode("overwrite")
+            .partitionBy("url_bucket")
+            .parquet(staged_path)
+        )
+        with open(meta_path, "w") as f:
+            json.dump(fp, f)
         return spark.read.parquet(staged_path)
+
+    @staticmethod
+    def _input_fingerprint(pages: DataFrame) -> dict:
+        """Cheap input identity: source file listing (metadata-only) plus
+        row count (parquet footer statistics for file sources — no data
+        scan). Good enough to catch 'resumed with a different/updated
+        pages frame'; content hashing would cost a full corpus read."""
+        files = sorted(pages.inputFiles())
+        return {
+            "row_count": pages.count(),
+            "files_sha256": hashlib.sha256("\n".join(files).encode()).hexdigest()
+            if files
+            else None,
+        }
+
+    def _cleanup_staging(self) -> None:
+        """Drop the staged copy once every bucket is checkpointed — it is
+        pure scratch, and keeping it doubles storage at scale."""
+        staged_path = os.path.join(self.root, "_staged_pages")
+        if os.path.isdir(staged_path):
+            shutil.rmtree(staged_path, ignore_errors=True)
+        meta_path = os.path.join(self._ckpt_dir, "staged_input.json")
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
 
     # -- the run ----------------------------------------------------------
     def run(self, spark: SparkSession, pages: DataFrame, run_id: str,
@@ -297,6 +346,8 @@ class GraphWriter:
             total_triples += n
             processed += 1
 
+        if len(self.processed_buckets()) == self.url_buckets:
+            self._cleanup_staging()
         return RunResult(run_id, self.url_buckets, processed, skipped, total_triples)
 
     def edges(self, spark: SparkSession) -> DataFrame:

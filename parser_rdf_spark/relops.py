@@ -81,9 +81,10 @@ def asof_join(
 
     Right-side columns come back nested under a ``right`` struct column
     (``result["right.<col>"]``), avoiding name collisions. Ties on
-    ``right_ts`` within a key resolve to the row latest in the sort —
-    callers needing determinism under ties should pre-dedupe the right
-    side per (key, ts).
+    ``right_ts`` within a key resolve DETERMINISTICALLY to the duplicate
+    row with the greatest ``xxhash64`` of its payload struct — an
+    arbitrary but stable total order, so repeated runs (and the DuckDB
+    oracle comparison) never flake on partition order.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -110,16 +111,19 @@ def asof_join(
     )
     unioned = r.unionByName(l)
     if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts ⇒ right_ts == left_ts matches
+        # right rows sort BEFORE left rows at equal ts ⇒ right_ts == left_ts
+        # matches; xxhash64(_r) totally orders duplicate (key, ts) right
+        # rows so the tie-winner is stable across partitionings (left rows
+        # all share the null-hash constant — irrelevant, each emits itself)
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.asc("_t"), F.asc("_side"))
+            .orderBy(F.asc("_t"), F.asc("_side"), F.asc(F.xxhash64("_r")))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.desc("_t"), F.asc("_side"))
+            .orderBy(F.desc("_t"), F.asc("_side"), F.asc(F.xxhash64("_r")))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     matched = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))

@@ -373,3 +373,62 @@ def test_seed_prefilter_lossless_and_shrinks_aggregate(spark):
         res = resource_aggregate(triples, restrict_to_seed_types=restrict)
         out = {r.uri: r.label for r in extract_classes(triples, res=res).collect()}
         assert out == {"http://example.org/Person": "Person"}
+
+
+def _list_triples(spark, doc, chains):
+    """chains: {head_bnode: [member_iri, ...]} → rdf:first/rdf:rest rows."""
+    from parser_rdf_spark.extract import RDF_FIRST, RDF_NIL, RDF_REST
+
+    rows, ln = [], 0
+    for head, members in chains.items():
+        node = head
+        for i, m in enumerate(members):
+            ln += 1
+            rows.append((doc, "_:default", node, RDF_FIRST, "iri", m, None, None, ln))
+            nxt = f"{head}_n{i+1}" if i + 1 < len(members) else RDF_NIL
+            kind = "bnode" if i + 1 < len(members) else "iri"
+            ln += 1
+            rows.append((doc, "_:default", node, RDF_REST, kind, nxt, None, None, ln))
+            node = nxt
+    return spark.createDataFrame(
+        rows,
+        "doc_url string, graph string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string, line_no int",
+    )
+
+
+def test_resolve_rdf_lists_many_short_chains_bounded_walk(spark):
+    """ADVICE r2 item 4: H short chains over an n-node doc spine must not
+    cost O(H*n) — the walk is bounded by least(spine, max_iters) and every
+    chain still resolves completely."""
+    from parser_rdf_spark.extract import resolve_rdf_lists
+
+    chains = {
+        f"_:h{i}": [f"http://ex.org/m{i}a", f"http://ex.org/m{i}b"] for i in range(60)
+    }
+    triples = _list_triples(spark, "https://d/lists", chains)
+    heads = spark.createDataFrame(
+        [("https://d/lists", h) for h in chains], "doc_url string, head string"
+    )
+    out = resolve_rdf_lists(triples, heads)
+    rows = out.collect()
+    assert len(rows) == 120
+    by_head = {}
+    for r in rows:
+        by_head.setdefault(r.head, []).append((r.pos, r.member))
+    assert sorted(by_head["_:h7"]) == [(0, "http://ex.org/m7a"), (1, "http://ex.org/m7b")]
+    assert len(by_head) == 60
+
+
+def test_resolve_rdf_lists_max_iters_caps_hostile_chain(spark):
+    """A chain longer than max_iters truncates at max_iters positions —
+    the same contract as the old per-position self-join implementation."""
+    from parser_rdf_spark.extract import resolve_rdf_lists
+
+    chains = {"_:big": [f"http://ex.org/m{i:03d}" for i in range(40)]}
+    triples = _list_triples(spark, "https://d/long", chains)
+    heads = spark.createDataFrame(
+        [("https://d/long", "_:big")], "doc_url string, head string"
+    )
+    assert resolve_rdf_lists(triples, heads).count() == 32  # default max_iters
+    assert resolve_rdf_lists(triples, heads, max_iters=40).count() == 40

@@ -99,7 +99,9 @@ def test_staged_pages_prune_per_bucket_reads(spark, tmp_path):
     pages = pages_df(spark, _docs(16))
     root = tmp_path / "g5"
     w = GraphWriter(str(root), url_buckets=4)
-    w.run(spark, pages, run_id="r1")
+    # stop mid-run so the staged copy is still on disk to inspect
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        w.run(spark, pages, run_id="r1", fail_after_buckets=2)
 
     # staging happened exactly once, partitioned by url_bucket
     import glob
@@ -120,13 +122,54 @@ def test_staged_pages_prune_per_bucket_reads(spark, tmp_path):
     back = {r.url: r.text for r in staged.drop("url_bucket").collect()}
     assert back == orig
 
-    # a fully-resumed run never restages (staging is lazy): remove the
-    # staged copy, rerun — all buckets skip and nothing is rewritten
-    import shutil
-    shutil.rmtree(str(root / "_staged_pages"))
+    # resume completes; the scratch staging is cleaned up once every
+    # bucket is checkpointed (ADVICE r2: keeping it doubles storage)
     res = w.run(spark, pages, run_id="r2")
-    assert res.buckets_processed == 0 and res.buckets_skipped == 4
+    assert res.buckets_processed == 2 and res.buckets_skipped == 2
     assert not (root / "_staged_pages").exists()
+
+    # a fully-resumed run never restages (staging is lazy)
+    res3 = w.run(spark, pages, run_id="r3")
+    assert res3.buckets_processed == 0 and res3.buckets_skipped == 4
+    assert not (root / "_staged_pages").exists()
+
+
+def test_staging_fingerprint_guards_changed_input(spark, tmp_path):
+    """ADVICE r2 item 1: a resumed run with a DIFFERENT pages input must
+    not silently process the stale staged copy."""
+    pages_a = pages_df(spark, _docs(16))
+    pages_b = pages_df(spark, {
+        f"https://other{i}.example.org/x/{i}":
+        f"<http://ex.org/n{i}> <http://ex.org/q> <http://ex.org/m{i}> ."
+        for i in range(12)
+    })
+    root = tmp_path / "g6"
+    w = GraphWriter(str(root), url_buckets=4)
+
+    # stale staging from input A with NOTHING checkpointed → restaged
+    staged_a = w._stage_pages(spark, pages_a)
+    assert staged_a.count() == 16
+    staged_b = w._stage_pages(spark, pages_b)
+    assert staged_b.count() == 12
+    assert {r.url for r in staged_b.collect()} == {r.url for r in pages_b.collect()}
+
+    # same input again → reused, not rewritten (compare file mtimes)
+    import glob, os
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(str(root / "_staged_pages" / "**" / "*.parquet"), recursive=True)}
+    w._stage_pages(spark, pages_b)
+    after = {p: os.path.getmtime(p)
+             for p in glob.glob(str(root / "_staged_pages" / "**" / "*.parquet"), recursive=True)}
+    assert before == after and before
+
+    # buckets checkpointed with input B, then input A shows up → hard error
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        w.run(spark, pages_b, run_id="r1", fail_after_buckets=2)
+    with pytest.raises(ValueError, match="input changed mid-resume"):
+        w.run(spark, pages_a, run_id="r2")
+    # the original input still resumes cleanly
+    res = w.run(spark, pages_b, run_id="r3")
+    assert res.buckets_processed == 2 and res.buckets_skipped == 2
 
 
 def test_predicate_bucket_pruning_reads_subset(spark, tmp_path):

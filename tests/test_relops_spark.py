@@ -46,6 +46,25 @@ def test_asof_forward_matches_earliest_at_or_after(spark):
     assert out[3].right.rid == 103   # u2 @6 is the first at-or-after @5
 
 
+def test_asof_duplicate_right_ts_ties_are_deterministic(spark):
+    """ADVICE r2: duplicate (key, ts) right rows used to resolve by
+    partition order. The xxhash64(_r) tiebreak must pick the same winner
+    under any partitioning of the right side."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(20))], "lid int, user string, ts timestamp"
+    )
+    dup_rows = [(100 + i, "u1", _ts(10)) for i in range(6)]
+    winners = set()
+    for parts in (1, 3, 7):
+        right = spark.createDataFrame(
+            dup_rows, "rid int, user string, ts timestamp"
+        ).select("user", "ts", "rid").repartition(parts)
+        out = {r.lid: r for r in asof_join(left, right, on="user").collect()}
+        assert out[1].right.rid == out[2].right.rid  # both lefts see same winner
+        winners.add(out[1].right.rid)
+    assert len(winners) == 1  # and the winner is partitioning-invariant
+
+
 def test_asof_plan_is_single_shuffle_window(spark):
     left, right = _frames(spark)
     plan = (

@@ -43,7 +43,7 @@ def test_stream_equals_batch_and_resumes_incrementally(spark, dirs):
     q = st.run_to_parquet(
         st.stream_triples(st.read_page_stream(spark, pages_dir)), out_dir, ckpt
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got1 = spark.read.parquet(out_dir)
     want1 = triples_of(parse_pages(spark.read.parquet(pages_dir)))
     assert got1.count() == want1.count()
@@ -56,7 +56,7 @@ def test_stream_equals_batch_and_resumes_incrementally(spark, dirs):
     q = st.run_to_parquet(
         st.stream_triples(st.read_page_stream(spark, pages_dir)), out_dir, ckpt
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got2 = spark.read.parquet(out_dir)
     want2 = triples_of(parse_pages(spark.read.parquet(pages_dir)))
     # append-mode sink with no reprocessing: counts match the full batch
@@ -77,7 +77,7 @@ def test_triple_rates_windowed_rollup(spark, dirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("select * from rates_t").collect()
     got = {(r["window_start"].hour, r["format"]): (r["triples"], r["pages"]) for r in rows}
 
@@ -117,7 +117,7 @@ def test_first_seen_pages_stateful_dedup(spark, dirs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.read.parquet(out_dir)
     rows = {r.url: r.text for r in got.collect()}
@@ -173,7 +173,7 @@ def test_crawl_sessions_streaming_append_finalizes_on_watermark(spark, dirs):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     run()  # run 1: watermark starts unset -> nothing finalized yet
 
