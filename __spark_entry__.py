@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from parser_rdf_spark import multimodal as mm
 from parser_rdf_spark import w3c_fixtures as w3c
+from parser_rdf_spark import w3c_turtle_fixtures as wttl
 from parser_rdf_spark import textops
 from parser_rdf_spark.extract import (
     extract_classes,
@@ -56,6 +57,7 @@ from parser_rdf_spark.parse import (
 
 _QUARTET_URL = "https://fixtures.example.org/integration/{}"
 _W3C_URL = "https://fixtures.example.org/w3c/{}"
+_W3C_TTL_URL = "https://fixtures.example.org/w3c-turtle/{}"
 
 _SHACL_DOC = """\
 @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
@@ -190,6 +192,23 @@ def _q_w3c_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The conformance P/R surface: per-fixture parse decision on Spark."""
     pages = _fixture_pages(spark, {_W3C_URL.format(n): w3c.FIXTURES[n] for n in w3c.POSITIVE + w3c.NEGATIVE})
     meta = docmeta_of(parse_pages(pages, fmt="n-triples", empty_guard=False))
+    return meta.select(
+        F.substring_index("doc_url", "/", -1).alias("fixture"),
+        F.coalesce("n_triples", F.lit(0)).cast("bigint").alias("n_triples"),
+        F.col("error_stage").isNotNull().alias("rejected"),
+    ).orderBy("fixture")
+
+
+def _q_w3c_turtle_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle analogue of the N-Triples conformance surface: per-fixture
+    accept/reject decision + triple count for the ported W3C Turtle suite
+    (scoped to the reference's subset; @base cases pinned as rejects —
+    see parser_rdf_spark/w3c_turtle_fixtures.py)."""
+    names = wttl.POSITIVE + wttl.NEGATIVE + sorted(wttl.OUT_OF_SCOPE_REJECTED)
+    pages = _fixture_pages(
+        spark, {_W3C_TTL_URL.format(n): wttl.FIXTURES[n] for n in names}
+    )
+    meta = docmeta_of(parse_pages(pages, fmt="turtle", empty_guard=False))
     return meta.select(
         F.substring_index("doc_url", "/", -1).alias("fixture"),
         F.coalesce("n_triples", F.lit(0)).cast("bigint").alias("n_triples"),
@@ -973,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG engine operators (SURVEY.md §2)
         "w3c_conformance_decisions": _q_w3c_decisions,
+        "w3c_turtle_decisions": _q_w3c_turtle_decisions,
         "parse_cross_format_triples": _q_quartet_triples,
         "extract_classes": _q_quartet_classes,
         "extract_properties": _q_quartet_properties,
@@ -1053,6 +1073,22 @@ def _golden_values_w3c() -> str:
             n = len(parse_document(w3c.FIXTURES[name]))
             rows.append(f"({_sql_quote(name)}, CAST({n} AS BIGINT), false)")
         except NTriplesError:
+            rows.append(f"({_sql_quote(name)}, CAST(0 AS BIGINT), true)")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(fixture, n_triples, rejected)"
+    )
+
+
+def _golden_values_w3c_turtle() -> str:
+    from parser_rdf_spark.turtle import TurtleError, parse_document
+
+    rows = []
+    names = wttl.POSITIVE + wttl.NEGATIVE + sorted(wttl.OUT_OF_SCOPE_REJECTED)
+    for name in sorted(names):
+        try:
+            n = len(parse_document(wttl.FIXTURES[name])[0])
+            rows.append(f"({_sql_quote(name)}, CAST({n} AS BIGINT), false)")
+        except TurtleError:
             rows.append(f"({_sql_quote(name)}, CAST(0 AS BIGINT), true)")
     return (
         "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(fixture, n_triples, rejected)"
@@ -1395,6 +1431,7 @@ def _media_embed_ann_golden_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "w3c_conformance_decisions": _golden_values_w3c(),
+        "w3c_turtle_decisions": _golden_values_w3c_turtle(),
         "parse_cross_format_triples": _golden_values_quartet_triples(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,

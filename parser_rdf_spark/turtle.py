@@ -39,6 +39,8 @@ _INTEGER_RE = re.compile(r"[+-]?[0-9]+")
 _DECIMAL_RE = re.compile(r"[+-]?[0-9]*\.[0-9]+")
 _DOUBLE_RE = re.compile(r"[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+")
 _LANGTAG_RE = re.compile(r"@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*")
+_IRI_BAD_RE = re.compile(r'[\x00-\x20<"{}|^`]')
+_UCHAR_RE = re.compile(r"\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8}")
 
 
 class TurtleError(ValueError):
@@ -107,6 +109,15 @@ class TurtleParser:
             raise self._err("unterminated IRI")
         raw = self.s[self.i + 1 : end]
         self.i = end + 1
+        # W3C IRIREF production: no controls/space and none of <"{}|^`
+        # (same ban the N-Triples path enforces at ntriples.py V5/V8, and
+        # pinned by the W3C turtle-syntax-bad-uri-* cases)
+        if _IRI_BAD_RE.search(raw):
+            raise self._err("illegal character in IRI")
+        if "\\" in raw:
+            # only \uXXXX / \UXXXXXXXX escapes are legal inside IRIREF
+            if _UCHAR_RE.sub("", raw).find("\\") != -1:
+                raise self._err("illegal escape in IRI")
         return _unescape_uchar(raw)
 
     def _read_pname(self) -> str:
@@ -165,10 +176,15 @@ class TurtleParser:
         nxt = self.s[i + 1] if i + 1 < self.n else ""
         if nxt in _ECHAR:
             return _ECHAR[nxt]
-        if nxt == "u":
-            return chr(int(self.s[i + 2 : i + 6], 16))
-        if nxt == "U":
-            return chr(int(self.s[i + 2 : i + 10], 16))
+        if nxt in "uU":
+            width = 4 if nxt == "u" else 8
+            hexs = self.s[i + 2 : i + 2 + width]
+            if len(hexs) != width or not all(c in "0123456789abcdefABCDEF" for c in hexs):
+                raise self._err(f"invalid numeric escape '\\{nxt}{hexs}'")
+            cp = int(hexs, 16)
+            if cp > 0x10FFFF:
+                raise self._err(f"numeric escape out of range '\\{nxt}{hexs}'")
+            return chr(cp)
         raise self._err(f"invalid escape '\\{nxt}'")
 
     def _read_literal(self) -> _Term:
@@ -309,13 +325,14 @@ class TurtleParser:
                 break
             self._skip_ws()
             if self.i < self.n and self.s[self.i] == ";":
-                self.i += 1
-                self._skip_ws()
-                # dangling ';' before '.' or ']' is legal Turtle
+                # grammar: (';' (verb objectList)?)* — every ';' may have an
+                # EMPTY continuation, so ';;' runs and a dangling ';' before
+                # '.' or ']' are all legal (W3C repeated_semis_* eval cases)
+                while self.i < self.n and self.s[self.i] == ";":
+                    self.i += 1
+                    self._skip_ws()
                 if self.i < self.n and self.s[self.i] in ".]":
                     return
-                if self.i < self.n and self.s[self.i] == ";":
-                    continue
                 continue
             return
 
