@@ -944,11 +944,17 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
-# -- rows-only ops (raw surfaces of the approximate paths) -------------------
+# -- raw surfaces of the approximate paths (golden-VALUES oracled: the
+# -- outputs are deterministic, and driver-side pure-Python/numpy mirrors
+# -- recompute them independently — purehash.xxh64 replicates Spark's
+# -- xxhash64 bit-for-bit, float folds are mirrored in IEEE order) ----------
 
 def _q_minhash_near_dup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8)
+    return minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
 
 
 def _q_simhash(spark, sf_dir):
@@ -957,12 +963,20 @@ def _q_simhash(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return textops.ann_lsh_topk(emb, k=3, n_planes=8, n_tables=8)
+    return textops.ann_lsh_topk(emb, k=3, n_planes=8, n_tables=8).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return textops.ann_ivf_topk(emb, k=3, n_lists=8, n_probe=3)
+    return textops.ann_ivf_topk(emb, k=3, n_lists=8, n_probe=3).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def _q_simhash_near_dup(spark, sf_dir):
@@ -1323,6 +1337,199 @@ def _simhash_pairs_golden_sql() -> str:
         "CAST(hamming AS INT) AS hamming "
         f"FROM (VALUES {', '.join(rows)}) AS t(id_a, id_b, hamming)"
     )
+
+
+def _minhash_pairs_golden_sql() -> str:
+    """Independent pure-Python/numpy mirror of minhash_lsh_blocking
+    (linking.py): shingle → xxh64 → 32 permutation minima → 8 banded
+    buckets → in-bucket pairs (star pairing past max_bucket). Spark's
+    xxhash64 is replicated bit-exactly by parser_rdf_spark.purehash
+    (validated in tests/test_purehash.py), so this recomputes the
+    candidate-pair set without the JVM."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parser_rdf_spark.purehash import (
+        spark_hash_long_vec,
+        spark_hash_longs,
+        spark_hash_string,
+    )
+
+    tbl = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    num_hashes, bands, shingle_len, max_bucket = 32, 8, 4, 1000
+    rpb = num_hashes // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        n_sh = max(1, len(text) - (shingle_len - 1))
+        hs = np.fromiter(
+            (spark_hash_string(text[i : i + shingle_len]) for i in range(n_sh)),
+            dtype=np.int64,
+            count=n_sh,
+        )
+        t1 = spark_hash_long_vec(hs, 42)
+        sig = [
+            int(spark_hash_long_vec(np.full(n_sh, j, dtype=np.int64), t1).min())
+            for j in range(num_hashes)
+        ]
+        for b in range(bands):
+            key = (b, spark_hash_longs(sig[b * rpb : (b + 1) * rpb]))
+            buckets.setdefault(key, []).append(int(did))
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) <= 1:
+            continue
+        if len(ids) <= max_bucket:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    if a != b:
+                        pairs.add((min(a, b), max(a, b)))
+        else:
+            m = min(ids)
+            for x in ids:
+                if x != m:
+                    pairs.add((m, x))
+    rows = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b "
+        f"FROM (VALUES {rows}) AS t(id_a, id_b)"
+    )
+
+
+def _load_embeddings_py() -> list[tuple[int, list[float]]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return [
+        (int(i), [float(x) for x in v])
+        for i, v in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    ]
+
+
+def _cosine_py(q: list[float], n: list[float]) -> float:
+    import math
+
+    dot = 0.0
+    for x, y in zip(q, n):
+        dot += x * y
+    na = 0.0
+    for x in q:
+        na += x * x
+    nb = 0.0
+    for y in n:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _topk_rows_sql(ranked: list[tuple[int, int, int]]) -> str:
+    rows = ", ".join(f"({q}, {n}, {r})" for q, n, r in sorted(ranked))
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS INT) AS rank "
+        f"FROM (VALUES {rows}) AS t(query_id, neighbor_id, rank)"
+    )
+
+
+def _rank_candidates(
+    vecs: dict[int, list[float]], cands: dict[int, set[int]], k: int
+) -> list[tuple[int, int, int]]:
+    out = []
+    for q, ns in cands.items():
+        scored = sorted(
+            ((-_cosine_py(vecs[q], vecs[n]), n) for n in ns if n != q)
+        )
+        for rank, (_, n) in enumerate(scored[:k], start=1):
+            out.append((q, n, rank))
+    return out
+
+
+def _ann_lsh_golden_sql(k=3, n_planes=8, n_tables=8, seed=42) -> str:
+    """Independent mirror of ann_lsh_topk (textops.py): blake2b-derived
+    hyperplanes, sign-bit buckets per table, exact cosine within the
+    unioned candidate set. Float folds replicate the SQL aggregate's
+    left-to-right IEEE order, so ranks (ties broken by neighbor_id)
+    match bit-for-bit."""
+    import hashlib
+
+    emb = _load_embeddings_py()
+    d = len(emb[0][1])
+
+    def h(*xs) -> float:
+        raw = hashlib.blake2b("-".join(map(str, xs)).encode(), digest_size=8).digest()
+        return (int.from_bytes(raw, "big") / 2**63) - 1.0
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for t in range(n_tables):
+        planes = [[h(seed, t, p, i) for i in range(d)] for p in range(n_planes)]
+        for vid, v in emb:
+            sig = 0
+            for pl in planes:
+                acc = 0.0
+                for p, x in zip(pl, v):
+                    acc += p * x
+                sig = sig * 2 + (1 if acc >= 0 else 0)
+            buckets.setdefault((t, sig), []).append(vid)
+    cands: dict[int, set[int]] = {vid: set() for vid, _ in emb}
+    for ids in buckets.values():
+        for a in ids:
+            cands[a].update(ids)
+    vecs = dict(emb)
+    return _topk_rows_sql(_rank_candidates(vecs, cands, k))
+
+
+def _ann_ivf_golden_sql(k=3, n_lists=8, n_probe=3, seed=42, n_iters=8) -> str:
+    """Independent mirror of the deterministic IVF-flat path
+    (textops.ann_ivf_topk): xxh64-seeded init, integer-quantized Lloyd
+    iterations (exact sums ⇒ identical centroids), argmin assignment and
+    n_probe probing with IEEE-order float folds."""
+    import math
+
+    from parser_rdf_spark.purehash import spark_hash_long
+
+    emb = _load_embeddings_py()
+    vn: dict[int, list[float]] = {}
+    for vid, v in emb:
+        s = 0.0
+        for y in v:
+            s += y * y
+        nrm = math.sqrt(s)
+        vn[vid] = [x / nrm for x in v]
+
+    order = sorted(emb, key=lambda iv: (spark_hash_long(seed, spark_hash_long(iv[0])), iv[0]))
+    centers = [list(vn[vid]) for vid, _ in order[:n_lists]]
+
+    def dist_sq(c: list[float], x: list[float]) -> float:
+        acc = 0.0
+        for ci, xi in zip(c, x):
+            acc += (ci - xi) * (ci - xi)
+        return acc
+
+    for _ in range(n_iters):
+        sums: dict[tuple[int, int], int] = {}
+        counts: dict[int, int] = {}
+        for vid, _v in emb:
+            dists = [dist_sq(c, vn[vid]) for c in centers]
+            lid = dists.index(min(dists))
+            counts[lid] = counts.get(lid, 0) + 1
+            for dim, x in enumerate(vn[vid]):
+                q = int(math.floor(x * 1000000.0 + 0.5))
+                sums[(lid, dim)] = sums.get((lid, dim), 0) + q
+        new_centers = [list(c) for c in centers]
+        for (lid, dim), s in sums.items():
+            new_centers[lid][dim] = float(s) / float(counts[lid]) / 1000000.0
+        centers = new_centers
+
+    lists: dict[int, list[int]] = {}
+    probes: dict[int, list[int]] = {}
+    for vid, _v in emb:
+        dists = [dist_sq(c, vn[vid]) for c in centers]
+        lists.setdefault(dists.index(min(dists)), []).append(vid)
+        order_d = sorted((dv, i) for i, dv in enumerate(dists))
+        probes[vid] = [i for _dv, i in order_d[:n_probe]]
+    cands = {
+        vid: {n for p in ps for n in lists.get(p, [])} for vid, ps in probes.items()
+    }
+    return _topk_rows_sql(_rank_candidates(dict(emb), cands, k))
 
 
 def _media_decode_golden_sql() -> str:
@@ -1788,6 +1995,9 @@ def oracle_sql() -> dict[str, str]:
         # golden pins: independent pure-Python recomputations as VALUES
         "simhash_fingerprints": _simhash_golden_sql(),
         "simhash_near_dup_pairs": _simhash_pairs_golden_sql(),
+        "minhash_lsh_near_dup": _minhash_pairs_golden_sql(),
+        "ann_lsh_topk": _ann_lsh_golden_sql(),
+        "ann_ivf_topk": _ann_ivf_golden_sql(),
         "media_decode_dims": _media_decode_golden_sql(),
         "image_resize_4x4": _image_resize_golden_sql(),
         "media_embed_ann": _media_embed_ann_golden_sql(),

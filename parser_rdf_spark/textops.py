@@ -338,20 +338,30 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_iters: int = 8,
 ) -> DataFrame:
-    """IVF-flat ANN: a KMeans coarse quantizer (deterministic seed)
-    partitions vectors into ``n_lists`` inverted lists; each query scores
-    exact cosine only against the ``n_probe`` nearest lists. The classic
+    """IVF-flat ANN: a Lloyd's-iteration coarse quantizer partitions
+    vectors into ``n_lists`` inverted lists; each query scores exact
+    cosine only against the ``n_probe`` nearest lists. The classic
     alternative to LSH bucketing — recall degrades gracefully with
     n_probe, and the per-query candidate set is ~n_probe/n_lists of the
     corpus. Centroids broadcast (tiny); the probe join keys on list id,
-    a high-cardinality-enough key at real n_lists (#lists ~ sqrt(N))."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    a high-cardinality-enough key at real n_lists (#lists ~ sqrt(N)).
+
+    The quantizer is DETERMINISTIC and partition-independent (so the
+    same corpus always yields the same lists, a resume/audit property
+    KMeans with float partial sums cannot give): init picks the
+    ``n_lists`` vectors with the smallest ``xxhash64(id, seed)``, and
+    each Lloyd iteration recomputes centroids from INTEGER-quantized
+    coordinates (``floor(vn*1e6 + 0.5)`` as long) whose sums are exact
+    and associative — no float partial-aggregation order dependence.
+    At web scale run the quantizer on a hash-sample of the corpus (the
+    standard IVF recipe); assignment/probing below is a full pass either
+    way."""
     from pyspark.sql.window import Window
 
     # cluster on L2-NORMALIZED vectors: for unit vectors, squared L2
-    # distance is 2 − 2·cosine, so the KMeans partition matches the
+    # distance is 2 − 2·cosine, so the Lloyd partition matches the
     # cosine metric the probe step ranks by (un-normalized input would
     # cluster by magnitude, not direction)
     normed = (
@@ -362,16 +372,53 @@ def ann_ivf_topk(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.expr(normed).alias("vn"),
-        array_to_vector(F.expr(normed)).alias("features"),
+    ).persist()
+
+    # deterministic init: the n_lists vectors with smallest xxhash64(id, seed)
+    init_rows = (
+        feat.select("id", "vn", F.xxhash64(F.col("id"), F.lit(seed).cast("long")).alias("hk"))
+        .orderBy("hk", "id")
+        .limit(n_lists)
+        .collect()
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feat)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = [list(map(float, r.vn)) for r in init_rows]
 
     def _dist_sq(vec_col_name: str, center: list[float]) -> F.Column:
         c_sql = "array(" + ", ".join(f"{x}D" for x in center) + ")"
         return F.expr(
             f"aggregate(zip_with({c_sql}, {vec_col_name}, (c, x) -> (c - cast(x as double)) * (c - cast(x as double))), 0D, (a, d) -> a + d)"
         )
+
+    # Lloyd's iterations: assign to argmin centroid, recompute centroids
+    # from exact integer sums (one small shuffle per iteration; centroids
+    # come back to the driver — n_lists × dim values — like PageRank's
+    # loop-carried rank vector)
+    for _ in range(n_iters):
+        dists = F.array(*[_dist_sq("vn", c) for c in centers])
+        assigned_it = feat.select(
+            dists.alias("dists"),
+            F.expr(
+                "transform(vn, x -> cast(floor(x * 1000000D + 0.5D) as long))"
+            ).alias("q"),
+        ).select(
+            F.expr("CAST(array_position(dists, array_min(dists)) AS INT) - 1").alias("list_id"),
+            "q",
+        )
+        sums = (
+            assigned_it.select("list_id", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("list_id", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centers = [list(c) for c in centers]  # empty lists keep previous
+        by_list: dict[int, list] = {}
+        for r in sums:
+            by_list.setdefault(r.list_id, []).append(r)
+        for lid, rows in by_list.items():
+            for r in rows:
+                new_centers[lid][r.dim] = float(r.s) / float(r.n) / 1000000.0
+        centers = new_centers
+    feat.unpersist()
 
     dists = F.array(*[_dist_sq("vn", c) for c in centers])
     # inverted-list assignment = argmin distance; probe lists = n_probe smallest
