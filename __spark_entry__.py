@@ -70,6 +70,77 @@ ex:PersonShape a sh:NodeShape ;
     sh:property [ sh:path ex:name ; sh:minCount "1" ; sh:maxCount "2" ] .
 """
 
+_SHACL_DEEP_DOC = """\
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/> .
+
+ex:PersonShape a sh:NodeShape ;
+    rdfs:label "Person shape"@en ;
+    rdfs:label "Personform"@de ;
+    sh:targetClass ex:Person ;
+    sh:minCount "1" ;
+    sh:maxCount "5" ;
+    sh:property [ sh:path ex:name ; sh:minCount "1" ; sh:maxCount "2" ; rdfs:label "name constraint"@en ] ;
+    sh:property _:sharedEmail ;
+    sh:property [ sh:minCount "9" ] .
+
+ex:OrgShape a sh:NodeShape ;
+    rdfs:label "Organization shape"@en ;
+    sh:targetClass ex:Organization ;
+    sh:minLength "2" ;
+    sh:maxLength "64" ;
+    sh:property _:sharedEmail .
+
+_:sharedEmail sh:path ex:email ;
+    sh:pattern "^[^@]+@[^@]+$" ;
+    sh:datatype xsd:string ;
+    rdfs:label "shared email constraint"@en .
+
+ex:AddressShape a sh:NodeShape ;
+    sh:targetClass ex:Address ;
+    sh:nodeKind sh:IRI ;
+    sh:class ex:PostalAddress ;
+    sh:property [ sh:path ex:street ; sh:minLength "1" ; sh:maxLength "120" ] ;
+    sh:property [ sh:path ex:zip ; sh:pattern "^[0-9]{5}$" ; sh:datatype xsd:string ] .
+
+ex:AgeShape a sh:PropertyShape ;
+    rdfs:label "Age bounds"@en ;
+    sh:path ex:age ;
+    sh:minInclusive "0" ;
+    sh:maxInclusive "150" ;
+    sh:datatype xsd:integer .
+
+ex:ScoreShape a sh:PropertyShape ;
+    sh:path ex:score ;
+    sh:minExclusive "0.0" ;
+    sh:maxExclusive "1.0" .
+
+ex:RefShape a sh:NodeShape ;
+    sh:targetNode ex:TheNode ;
+    sh:node ex:PersonShape .
+
+ex:SubjectsShape a sh:NodeShape ;
+    sh:targetSubjectsOf ex:knows ;
+    sh:minCount "2" .
+
+ex:ObjectsShape a sh:NodeShape ;
+    sh:targetObjectsOf ex:employs ;
+    sh:nodeKind sh:BlankNodeOrIRI ;
+    sh:pattern "^x" .
+
+ex:DocShape a sh:NodeShape ;
+    rdfs:label "Doc shape (en)"@en ;
+    sh:targetClass ex:Document ;
+    sh:property [ sh:path ex:title ; sh:name "title" ; sh:message "title required" ; sh:minCount "1" ] ;
+    sh:property [ sh:path ex:author ; sh:class ex:Person ; sh:nodeKind sh:IRI ] ;
+    sh:property [ sh:path ex:created ; sh:datatype xsd:dateTime ] .
+
+ex:EmptyShape a sh:NodeShape .
+"""
+
 _UNIONOF_DOC = """\
 @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
 @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
@@ -105,6 +176,39 @@ _HTML_STRUCTURED_DOC = """\
   <span property="name">Bob Smith</span>
   <span property="foaf:nick" content="bobby"></span>
 </div>
+</body></html>
+"""
+
+# Edge-case HTML: itemref (forward + backward + shared + unknown id),
+# nested itemscope with itemid, malformed/unquoted attributes, valueless
+# itemprop, a broken JSON-LD block next to a good one, RDFa
+# resource+typeof, inline markup inside a captured literal, and an
+# unclosed element flushed at document end. Oracle rows are HAND-PINNED
+# literals (not parser output) — each is a decision about the semantics.
+_HTML_EDGE_DOC = """\
+<!DOCTYPE html>
+<html>
+<!-- <div itemscope itemtype="https://schema.org/Fake"> inside a comment -->
+<body vocab=https://schema.org/ prefix="dc: http://purl.org/dc/terms/">
+<div id="extra"><span itemprop="jobTitle">Captain</span>
+  <meta itemprop="birthDate" content='1701-01-01'></div>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://example.org/amy" itemref="extra ghost">
+  <span itemprop="name">Amy &amp; co</span>
+  <div itemprop="address" itemscope itemtype="https://schema.org/PostalAddress" itemid="https://example.org/addr1">
+    <span itemprop="addressLocality">Leeds</span>
+  </div>
+</div>
+<div itemscope itemtype="https://schema.org/Event" itemid=https://example.org/ev itemref="extra">
+  <time itemprop="startDate" datetime="2026-01-01">New Year</time>
+  <span itemprop>valueless itemprop ignored</span>
+</div>
+<p about="https://example.org/story" property="dc:title">A <b>bold</b> tale</p>
+<span about="https://example.org/story" property="wordCount" content="42"></span>
+<div about="https://example.org/story"><a property="author" href=https://example.org/amy>Amy</a>
+<span property="publisher" resource="https://example.org/acme" typeof="Organization"></span></div>
+<script type="application/ld+json">{"broken": </script>
+<script type="application/ld+json">{"@context": "https://schema.org", "@id": "https://example.org/zed", "nickname": "Z"}</script>
+<div unclosed itemscope itemtype="https://schema.org/Thing" itemid="https://example.org/th"><span itemprop="name">Tail
 </body></html>
 """
 
@@ -267,6 +371,37 @@ def _q_shacl_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shacl_shapes_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16-E18 at depth: 10 shape rows (NodeShapes + top-level
+    PropertyShapes), a SHARED labeled-bnode property shape referenced by
+    two node shapes, a pathless property shape (dropped, reference
+    ShapeExtractor.php:133), all 13 constraint keys
+    (ShapeExtractor.php:33-47), all four target kinds, en-preferred
+    labels. Constraint map + nested property_shapes flattened to
+    deterministic strings for the oracle."""
+    pages = _fixture_pages(spark, {"https://fixtures.example.org/shacl/deep": _SHACL_DEEP_DOC})
+    shapes = extract_shapes(triples_of(parse_pages(pages)))
+    return shapes.select(
+        "uri",
+        F.coalesce("label", F.lit("")).alias("label"),
+        F.coalesce("target_class", F.lit("")).alias("target_class"),
+        F.coalesce("target_node", F.lit("")).alias("target_node"),
+        F.coalesce("target_subjects_of", F.lit("")).alias("target_subjects_of"),
+        F.coalesce("target_objects_of", F.lit("")).alias("target_objects_of"),
+        F.coalesce("target_property", F.lit("")).alias("target_property"),
+        F.expr(
+            "array_join(transform(sort_array(map_entries(constraints)), "
+            "e -> concat(e.key, '=', e.value)), ';')"
+        ).alias("constraints_joined"),
+        F.size("property_shapes").cast("bigint").alias("n_property_shapes"),
+        F.expr(
+            "array_join(transform(property_shapes, s -> concat(s.path, ':', "
+            "coalesce(s.minCount, '-'), ':', coalesce(s.pattern, '-'), ':', "
+            "coalesce(s.datatype, '-'), ':', coalesce(s.label, '-'))), '|')"
+        ).alias("ps_joined"),
+    )
+
+
 def _q_property_class_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E12 (owl:unionOf rdf-list flattening) + E13 (range-from-comment
     fallback) + E10 (property-type determination) on a golden fixture."""
@@ -335,14 +470,21 @@ def _q_html_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     'RDF/RDFa/microdata/JSON-LD extraction' surface. No reference
     counterpart (the reference parses standalone RDF strings only)."""
     pages = _fixture_pages(
-        spark, {"https://fixtures.example.org/html/doc1": _HTML_STRUCTURED_DOC}
+        spark,
+        {
+            "https://fixtures.example.org/html/doc1": _HTML_STRUCTURED_DOC,
+            "https://fixtures.example.org/html/edge": _HTML_EDGE_DOC,
+        },
     )
     t = triples_of(parse_pages(pages))
     # named terms only: bnode labels are doc-scoped on the Spark side but
-    # raw in the pure-Python golden, so they can't hash-compare
+    # raw in the hand-pinned golden, so they can't hash-compare
     return t.filter(
         (F.col("obj_kind") != "bnode") & ~F.col("subj").startswith("_:")
-    ).select("subj", "pred", "obj_kind", "obj_value")
+    ).select(
+        F.substring_index("doc_url", "/", -1).alias("doc"),
+        "subj", "pred", "obj_kind", "obj_value",
+    )
 
 
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +505,138 @@ def _q_edges_from_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select(
         F.substring_index("doc_url", "/", -1).alias("doc"), "subj", "pred", "obj"
     )
+
+
+# A linking corpus doc: two owl:sameAs chains + one rdfs:seeAlso pair
+# feed stage 3's connected components; the alias object is the target of
+# dictionary canonicalization.
+_PIPELINE_LINK_DOC = """\
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+<http://ex.org/a1> owl:sameAs <http://ex.org/a2> .
+<http://ex.org/a2> owl:sameAs <http://ex.org/a3> .
+<http://ex.org/b1> rdfs:seeAlso <http://ex.org/b2> .
+<http://ex.org/c1> <http://ex.org/knows> <http://ex.org/alias-c2> .
+"""
+
+_PIPELINE_DICT = [("http://ex.org/alias-c2", "http://canon.example.org/c2")]
+
+
+def _q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 4-stage KG-construction pipeline (scripts/run_pipeline.py's
+    exact wiring) over the quartet + W3C conformance + HTML + linking
+    corpus: GraphWriter bucket loop (stages 1+2+4a, resumable
+    materialization to parquet), ontology extraction off the materialized
+    triples (2.5), dictionary canonicalization + connected components (3),
+    and component-labelled vertices (4b). Returns one (metric, value) row
+    per pipeline stat so the driver gate exercises stage WIRING, not just
+    individual operators. Oracle: hand-pinned literals.
+
+    Detection-parity decisions pinned here (the per-format conformance
+    queries parse with an EXPLICIT fmt; the pipeline detects): the
+    reference's N-Triples sniffer slices the first 10 RAW lines, comments
+    included (reference src/Handlers/NTriplesHandler.php:26-41), so
+    nt-syntax-subm-01 (15 leading comment lines) is undetectable and
+    lands in docs_rejected, as do the empty/comment-only
+    nt-syntax-file-01..03 (D9 empty-content guard); conversely
+    nt-syntax-bad-nt-prefix-01 (`@prefix ... .`) is valid TURTLE, so
+    detection accepts it with 0 triples."""
+    import shutil
+    import tempfile
+
+    from parser_rdf_spark.extract import extract_all
+    from parser_rdf_spark.linking import canonicalize_triples, connected_components
+    from parser_rdf_spark.materialize import GraphWriter, build_vertices
+
+    out = tempfile.mkdtemp(prefix="pipeline_e2e")
+    try:
+        pages = _fixture_pages(
+            spark,
+            {
+                **{_QUARTET_URL.format(n): c for n, c in w3c.SAMPLES.items()},
+                **{_W3C_URL.format(n): w3c.FIXTURES[n] for n in w3c.POSITIVE + w3c.NEGATIVE},
+                "https://fixtures.example.org/html/doc1": _HTML_STRUCTURED_DOC,
+                "https://fixtures.example.org/html/edge": _HTML_EDGE_DOC,
+                "https://fixtures.example.org/link/sameas": _PIPELINE_LINK_DOC,
+            },
+        )
+        writer = GraphWriter(out, url_buckets=4)
+        result = writer.run(spark, pages, "contract-e2e")
+
+        triples = writer.triples(spark)
+        docmeta = writer.docmeta(spark)
+        entities = spark.createDataFrame(
+            _PIPELINE_DICT, "surface string, canonical_iri string"
+        )
+        canon = canonicalize_triples(triples, entities).select(
+            "doc_url", "graph",
+            F.col("subj_canonical").alias("subj"), "pred", "obj_kind",
+            F.col("obj_canonical").alias("obj_value"), "obj_lang",
+            "obj_datatype", "line_no",
+        )
+        tables = extract_all(canon, docmeta=docmeta)
+
+        edges = writer.edges(spark)
+        equiv = edges.filter(
+            F.col("pred").isin(
+                "http://www.w3.org/2002/07/owl#sameAs",
+                "http://www.w3.org/2000/01/rdf-schema#seeAlso",
+            )
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        components = connected_components(equiv)
+        vertices = build_vertices(edges, components=components)
+
+        def _stat(name: str, df: DataFrame) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).cast("bigint").alias("value")).select(
+                F.lit(name).alias("metric"), "value"
+            )
+
+        def _lit(name: str, v: int) -> DataFrame:
+            return spark.createDataFrame([(name, v)], "metric string, value bigint")
+
+        stats = [
+            _lit("pages_in", pages.count()),
+            _lit("buckets_total", result.buckets_total),
+            _lit("buckets_processed", result.buckets_processed),
+            _lit("buckets_skipped_resume", result.buckets_skipped),
+            _stat("docs_parsed_ok", docmeta.filter(F.col("error_stage").isNull())),
+            _stat("docs_rejected", docmeta.filter(F.col("error_stage").isNotNull())),
+            _stat("triples_rows", triples),
+            _stat("edges_rows", edges),
+            _stat(
+                "edges_canonicalized",
+                canon.join(
+                    triples.select("doc_url", "line_no", F.col("obj_value").alias("orig_obj")),
+                    ["doc_url", "line_no"],
+                ).filter(F.col("obj_value") != F.col("orig_obj")),
+            ),
+            _stat("classes_rows", tables["classes"]),
+            _stat("properties_rows", tables["properties"]),
+            _stat("shapes_rows", tables["shapes"]),
+            _stat("restrictions_rows", tables["restrictions"]),
+            _stat(
+                "prefix_decls",
+                docmeta.filter(F.col("prefixes").isNotNull()).select(
+                    F.explode("prefixes").alias("p", "ns")
+                ),
+            ),
+            _stat("equiv_edges", equiv),
+            _stat("component_vertices", components),
+            _stat("components_distinct", components.select("component").distinct()),
+            _stat("vertices_rows", vertices),
+            _stat(
+                "vertices_with_component",
+                vertices.filter(F.col("component_id").isNotNull()),
+            ),
+        ]
+        res = stats[0]
+        for s in stats[1:]:
+            res = res.unionByName(s)
+        rows = res.collect()  # materialize before the tempdir vanishes
+        tables["_res"].unpersist()
+        return spark.createDataFrame(rows, "metric string, value bigint")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 # -- sf-table ops -----------------------------------------------------------
@@ -560,6 +834,157 @@ def _q_events_stream_rollup(spark, sf_dir):
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
+def _first_seen_corpus() -> list[tuple[int, str, str]]:
+    """(wave, url, text): 25 urls in wave 0, urls 15..39 re-fetched/new in
+    wave 1 — urls 15..24 are RE-FETCHES whose wave-1 content must be
+    dropped by the stateful dedup."""
+    rows = []
+    for u in range(25):
+        rows.append((0, f"https://crawl.example.org/page/{u:02d}", f"v0-{u}"))
+    for u in range(15, 40):
+        rows.append((1, f"https://crawl.example.org/page/{u:02d}", f"v1-{u}"))
+    return rows
+
+
+def _crawl_sessions_corpus() -> list[tuple[int, str, int]]:
+    """(wave, host, event_minute past 2026-01-01 00:00). Wave 1's far-
+    future fetch advances the watermark (600 − 60 = 540 min) so every
+    wave-0 session finalizes; z's own session (end 630) stays in state."""
+    return [
+        (0, "a.example.org", 0), (0, "a.example.org", 10), (0, "a.example.org", 120),
+        (0, "b.example.org", 0), (0, "b.example.org", 155),
+        (1, "z.example.org", 600),
+    ]
+
+
+def _write_stream_waves(spark, base_dir: str, wave_rows: dict[int, list[tuple]]) -> str:
+    """Write one parquet file per wave with strictly increasing mtimes so
+    the file-stream source (ordered by mtime) replays waves as separate
+    micro-batches under maxFilesPerTrigger=1."""
+    import glob
+    import os
+    import time as _time
+
+    from parser_rdf_spark.schemas import PAGES
+
+    pages_dir = os.path.join(base_dir, "pages")
+    for wave in sorted(wave_rows):
+        spark.createDataFrame(wave_rows[wave], schema=PAGES).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+        # pin mtimes: wave files must sort in wave order for the source
+        for i, p in enumerate(sorted(glob.glob(f"{pages_dir}/*.parquet"), key=os.path.getmtime)):
+            os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        _time.sleep(0.05)
+    return pages_dir
+
+
+def _drain(q, what: str, timeout: int = 300) -> None:
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{what} drain did not finish within {timeout}s")
+
+
+def _q_stream_first_seen(spark, sf_dir):
+    """Stateful streaming dedup (applyInPandasWithState) drained under
+    availableNow: per-URL FIRST content wins across micro-batches.
+    Oracle: DuckDB window-argmin over the same (wave, url, text) rows."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from parser_rdf_spark import streaming as st
+
+    base = tempfile.mkdtemp(prefix="stream_first_seen")
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    waves: dict[int, list[tuple]] = {}
+    for wave, url, text in _first_seen_corpus():
+        waves.setdefault(wave, []).append((url, ts, None, text, "en"))
+    pages_dir = _write_stream_waves(spark, base, waves)
+
+    stream = st.read_page_stream(spark, pages_dir, max_files_per_trigger=1)
+    q = (
+        st.first_seen_pages(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, "stream_first_seen")
+    return spark.read.parquet(f"{base}/out").select("url", "text")
+
+
+def _q_stream_crawl_sessions(spark, sf_dir):
+    """Streaming sessionization (native session_window + watermark,
+    append mode) drained under availableNow over two waves sharing one
+    checkpoint-free run: wave 1 advances the watermark and flushes every
+    finished wave-0 session. Oracle: DuckDB lag+cumsum sessionization
+    filtered to sessions ended before the final watermark."""
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from parser_rdf_spark import streaming as st
+
+    base = tempfile.mkdtemp(prefix="stream_sessions")
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    waves: dict[int, list[tuple]] = {}
+    for wave, host, minute in _crawl_sessions_corpus():
+        waves.setdefault(wave, []).append(
+            (f"https://{host}/fetch/{minute}", t0 + timedelta(minutes=minute), None, "", "en")
+        )
+    pages_dir = _write_stream_waves(spark, base, waves)
+
+    stream = st.read_page_stream(spark, pages_dir, max_files_per_trigger=1)
+    q = (
+        st.crawl_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, "stream_crawl_sessions")
+    return spark.read.parquet(f"{base}/out").select(
+        "host",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+    )
+
+
+def _stream_first_seen_oracle_sql() -> str:
+    rows = ", ".join(
+        f"({w}, {_sql_quote(u)}, {_sql_quote(t)})" for w, u, t in _first_seen_corpus()
+    )
+    return (
+        "SELECT url, text FROM ("
+        "  SELECT url, text, ROW_NUMBER() OVER (PARTITION BY url ORDER BY wave) AS rn "
+        f" FROM (VALUES {rows}) AS t(wave, url, text)"
+        ") ranked WHERE rn = 1"
+    )
+
+
+def _stream_crawl_sessions_oracle_sql(gap_min: int = 30, wm_min: int = 60) -> str:
+    rows = ", ".join(
+        f"({_sql_quote(h)}, {m})" for _w, h, m in _crawl_sessions_corpus()
+    )
+    t0 = "TIMESTAMP '2026-01-01 00:00:00'"
+    return (
+        f"WITH ev(host, m) AS (VALUES {rows}), "
+        f"wm AS (SELECT max(m) - {wm_min} AS w FROM ev), "
+        "d AS (SELECT host, m, CASE WHEN m - lag(m) OVER (PARTITION BY host ORDER BY m) "
+        f"<= {gap_min} THEN 0 ELSE 1 END AS new_s FROM ev), "
+        "g AS (SELECT host, m, SUM(new_s) OVER (PARTITION BY host ORDER BY m) AS sid FROM d), "
+        "s AS (SELECT host, MIN(m) AS start_m, MAX(m) + "
+        f"{gap_min} AS end_m, COUNT(*) AS n_pages FROM g GROUP BY host, sid) "
+        f"SELECT host, {t0} + start_m * INTERVAL 1 MINUTE AS session_start, "
+        f"{t0} + end_m * INTERVAL 1 MINUTE AS session_end, n_pages "
+        "FROM s, wm WHERE end_m <= w"
     )
 
 
@@ -1013,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_prefixes": _q_quartet_prefixes,
         "resource_counts": _q_quartet_resource_counts,
         "extract_shacl_shapes": _q_shacl_shapes,
+        "shacl_shapes_deep": _q_shacl_shapes_deep,
         "property_class_expressions": _q_property_class_expressions,
         "html_structured_data": _q_html_structured_data,
         "skolemized_blank_node_classes": _q_skolemized_classes,
@@ -1020,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
+        "pipeline_end_to_end": _q_pipeline_end_to_end,
         # training-data pipeline operators
         "exact_dedup_groups": _q_exact_dedup,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -1036,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
         "events_stream_rollup": _q_events_stream_rollup,
+        "stream_first_seen_dedup": _q_stream_first_seen,
+        "stream_crawl_sessions": _q_stream_crawl_sessions,
         "events_asof_join": _q_events_asof,
         "events_value_range_join": _q_events_range_join,
         "events_sessionize": _q_events_sessionize,
@@ -1137,6 +1566,42 @@ def _golden_values_quartet_triples() -> str:
     )
 
 
+# Hand-pinned pipeline stats over the 77-page contract corpus (quartet 4
+# + W3C N-Triples 41 positive / 29 negative + 2 HTML + 1 linking doc).
+# docs_parsed_ok = 48 well-formed − 4 detection-parity rejects
+# (file-01..03 empty/comment-only, subm-01 comment-buried) + bad-prefix-01
+# accepted as Turtle. Components: {a1,a2,a3} via owl:sameAs chain and
+# {b1,b2} via rdfs:seeAlso → 5 vertices in 2 components. One edge object
+# (alias-c2) is canonicalized by the dictionary.
+_PIPELINE_E2E_ROWS = [
+    ("pages_in", 77),
+    ("buckets_total", 4),
+    ("buckets_processed", 4),
+    ("buckets_skipped_resume", 0),
+    ("docs_parsed_ok", 45),
+    ("docs_rejected", 32),
+    ("triples_rows", 100),
+    ("edges_rows", 43),
+    ("edges_canonicalized", 1),
+    ("classes_rows", 4),
+    ("properties_rows", 4),
+    ("shapes_rows", 0),
+    ("restrictions_rows", 0),
+    ("prefix_decls", 18),
+    ("equiv_edges", 3),
+    ("component_vertices", 5),
+    ("components_distinct", 2),
+    ("vertices_rows", 37),
+    ("vertices_with_component", 5),
+]
+
+_PIPELINE_E2E_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{m}', CAST({v} AS BIGINT))" for m, v in _PIPELINE_E2E_ROWS)
+    + ") AS t(metric, value)"
+)
+
+
 def _golden_values_edges() -> str:
     rows = [
         f"({_sql_quote(doc)}, {_sql_quote(t.subj)}, {_sql_quote(t.pred)}, {_sql_quote(t.obj_value)})"
@@ -1189,6 +1654,48 @@ _SHACL_SHAPES_SQL = (
     "AS t(uri, label, target_class, min_count_constraint, n_property_shapes)"
 )
 
+_EX = "http://example.org/"
+_SHN = "http://www.w3.org/ns/shacl#"
+_XSDN = "http://www.w3.org/2001/XMLSchema#"
+_SHACL_DEEP_ROWS = [
+    # (uri, label, t_class, t_node, t_subj_of, t_obj_of, t_prop, constraints, n_ps, ps)
+    (f"{_EX}AddressShape", "", f"{_EX}Address", "", "", "", "",
+     f"class={_EX}PostalAddress;nodeKind={_SHN}IRI", 2,
+     f"{_EX}street:-:-:-:-|{_EX}zip:-:^[0-9]{{5}}$:{_XSDN}string:-"),
+    (f"{_EX}AgeShape", "Age bounds", "", "", "", "", f"{_EX}age",
+     f"datatype={_XSDN}integer;maxInclusive=150;minInclusive=0", 0, ""),
+    (f"{_EX}DocShape", "Doc shape (en)", f"{_EX}Document", "", "", "", "",
+     "", 3,
+     f"{_EX}title:1:-:-:-|{_EX}author:-:-:-:-|{_EX}created:-:-:{_XSDN}dateTime:-"),
+    (f"{_EX}EmptyShape", "", "", "", "", "", "", "", 0, ""),
+    (f"{_EX}ObjectsShape", "", "", "", "", f"{_EX}employs", "",
+     f"nodeKind={_SHN}BlankNodeOrIRI;pattern=^x", 0, ""),
+    (f"{_EX}OrgShape", "Organization shape", f"{_EX}Organization", "", "", "", "",
+     "maxLength=64;minLength=2", 1,
+     f"{_EX}email:-:^[^@]+@[^@]+$:{_XSDN}string:shared email constraint"),
+    (f"{_EX}PersonShape", "Person shape", f"{_EX}Person", "", "", "", "",
+     "maxCount=5;minCount=1", 2,
+     f"{_EX}name:1:-:-:name constraint|{_EX}email:-:^[^@]+@[^@]+$:{_XSDN}string:shared email constraint"),
+    (f"{_EX}RefShape", "", "", f"{_EX}TheNode", "", "", "",
+     f"node={_EX}PersonShape", 0, ""),
+    (f"{_EX}ScoreShape", "", "", "", "", "", f"{_EX}score",
+     "maxExclusive=1.0;minExclusive=0.0", 0, ""),
+    (f"{_EX}SubjectsShape", "", "", "", f"{_EX}knows", "", "",
+     "minCount=2", 0, ""),
+]
+_SHACL_DEEP_SQL = (
+    "SELECT uri, label, target_class, target_node, target_subjects_of, "
+    "target_objects_of, target_property, constraints_joined, "
+    "CAST(n_property_shapes AS BIGINT) AS n_property_shapes, ps_joined "
+    "FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join([f"'{v}'" if isinstance(v, str) else str(v) for v in row]) + ")"
+        for row in _SHACL_DEEP_ROWS
+    )
+    + ") AS t(uri, label, target_class, target_node, target_subjects_of, "
+    "target_objects_of, target_property, constraints_joined, n_property_shapes, ps_joined)"
+)
+
 _CC_SQL = """
 WITH RECURSIVE edges(src, dst) AS (
   SELECT * FROM (VALUES {edges}) e(src, dst)
@@ -1239,18 +1746,69 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, lang, {case} AS lang_guess FROM documents"
 
 
-def _golden_values_html() -> str:
-    from parser_rdf_spark import htmldata
+# HAND-PINNED expected triples for the two HTML fixture docs — written
+# from the microdata/RDFa-Lite/JSON-LD semantics, NOT generated from the
+# parser, so the oracle is independent of the implementation. Each row is
+# (doc, subj, pred, obj_kind, obj_value).
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_SC = "https://schema.org/"
+_HTML_GOLDEN_ROWS = [
+    # -- doc1: happy paths ---------------------------------------------------
+    # embedded JSON-LD (remote schema.org context → @vocab)
+    ("doc1", "https://example.org/carol", _RDF_TYPE_IRI, "iri", f"{_SC}Person"),
+    ("doc1", "https://example.org/carol", f"{_SC}name", "literal", "Carol Danvers"),
+    # microdata with itemid
+    ("doc1", "https://example.org/alice", _RDF_TYPE_IRI, "iri", f"{_SC}Person"),
+    ("doc1", "https://example.org/alice", f"{_SC}name", "literal", "Alice Liddell"),
+    ("doc1", "https://example.org/alice", f"{_SC}birthDate", "literal", "1852-05-04"),
+    ("doc1", "https://example.org/alice", f"{_SC}url", "iri", "https://alice.example.org/"),
+    # RDFa Lite with prefix + vocab
+    ("doc1", "https://example.org/bob", _RDF_TYPE_IRI, "iri", f"{_SC}Person"),
+    ("doc1", "https://example.org/bob", f"{_SC}name", "literal", "Bob Smith"),
+    ("doc1", "https://example.org/bob", "http://xmlns.com/foaf/0.1/nick", "literal", "bobby"),
+    # -- edge doc: decisions -------------------------------------------------
+    # commented-out itemscope contributes nothing; valueless itemprop ignored
+    ("edge", "https://example.org/amy", _RDF_TYPE_IRI, "iri", f"{_SC}Person"),
+    # entity reference unescaped in captured text
+    ("edge", "https://example.org/amy", f"{_SC}name", "literal", "Amy & co"),
+    # itemref crawl: detached text capture + void meta, forward-declared id
+    ("edge", "https://example.org/amy", f"{_SC}jobTitle", "literal", "Captain"),
+    ("edge", "https://example.org/amy", f"{_SC}birthDate", "literal", "1701-01-01"),
+    # the same id claimed by a second item ('ghost' id matches nothing)
+    ("edge", "https://example.org/ev", f"{_SC}jobTitle", "literal", "Captain"),
+    ("edge", "https://example.org/ev", f"{_SC}birthDate", "literal", "1701-01-01"),
+    # nested itemscope with itemid → IRI-valued property; crawl boundary
+    # keeps the locality on the nested item only
+    ("edge", "https://example.org/addr1", _RDF_TYPE_IRI, "iri", f"{_SC}PostalAddress"),
+    ("edge", "https://example.org/amy", f"{_SC}address", "iri", "https://example.org/addr1"),
+    ("edge", "https://example.org/addr1", f"{_SC}addressLocality", "literal", "Leeds"),
+    # unquoted itemid attribute; time/@datetime value rule
+    ("edge", "https://example.org/ev", _RDF_TYPE_IRI, "iri", f"{_SC}Event"),
+    ("edge", "https://example.org/ev", f"{_SC}startDate", "literal", "2026-01-01"),
+    # RDFa: CURIE predicate via prefix=; inline <b> transparent in capture
+    ("edge", "https://example.org/story", "http://purl.org/dc/terms/title", "literal", "A bold tale"),
+    ("edge", "https://example.org/story", f"{_SC}wordCount", "literal", "42"),
+    # unquoted href IRI object; inherited about subject
+    ("edge", "https://example.org/story", f"{_SC}author", "iri", "https://example.org/amy"),
+    # resource object + typeof types the RESOURCE (no about on element)
+    ("edge", "https://example.org/story", f"{_SC}publisher", "iri", "https://example.org/acme"),
+    ("edge", "https://example.org/acme", _RDF_TYPE_IRI, "iri", f"{_SC}Organization"),
+    # broken JSON-LD block isolated; good block still parsed
+    ("edge", "https://example.org/zed", f"{_SC}nickname", "literal", "Z"),
+    # unclosed element: capture flushed at document end
+    ("edge", "https://example.org/th", _RDF_TYPE_IRI, "iri", f"{_SC}Thing"),
+    ("edge", "https://example.org/th", f"{_SC}name", "literal", "Tail"),
+]
 
-    triples, _ = htmldata.parse_document(_HTML_STRUCTURED_DOC)
+
+def _golden_values_html() -> str:
     rows = [
-        f"({_sql_quote(t.subj)}, {_sql_quote(t.pred)}, {_sql_quote(t.obj_kind)}, {_sql_quote(t.obj_value)})"
-        for t in triples
-        if t.obj_kind != "bnode" and not t.subj.startswith("_:")
+        "(" + ", ".join(_sql_quote(v) for v in row) + ")"
+        for row in _HTML_GOLDEN_ROWS
     ]
     return (
         "SELECT * FROM (VALUES " + ", ".join(rows)
-        + ") AS t(subj, pred, obj_kind, obj_value)"
+        + ") AS t(doc, subj, pred, obj_kind, obj_value)"
     )
 
 
@@ -1645,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_prefixes": _golden_values_prefixes(),
         "resource_counts": _RESOURCE_COUNTS_SQL,
         "extract_shacl_shapes": _SHACL_SHAPES_SQL,
+        "shacl_shapes_deep": _SHACL_DEEP_SQL,
         "html_structured_data": _golden_values_html(),
         "nquads_named_graphs": (
             "SELECT * FROM (VALUES "
@@ -1675,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CC_SQL,
         "entity_linking_dictionary": _LINKING_SQL,
         "edges_materialize": _golden_values_edges(),
+        "pipeline_end_to_end": _PIPELINE_E2E_SQL,
         "exact_dedup_groups": (
             "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(min(doc_id) AS BIGINT) AS first_doc_id FROM documents GROUP BY md5(text)"
@@ -1996,6 +2556,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _simhash_golden_sql(),
         "simhash_near_dup_pairs": _simhash_pairs_golden_sql(),
         "minhash_lsh_near_dup": _minhash_pairs_golden_sql(),
+        "stream_first_seen_dedup": _stream_first_seen_oracle_sql(),
+        "stream_crawl_sessions": _stream_crawl_sessions_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_golden_sql(),
         "ann_ivf_topk": _ann_ivf_golden_sql(),
         "media_decode_dims": _media_decode_golden_sql(),

@@ -76,14 +76,21 @@ class _Item:
 
 
 class _Capture:
-    """An open element whose text content will become a literal value."""
+    """An open element whose text content will become a literal value.
 
-    __slots__ = ("subject", "pred", "depth", "buf")
+    ``sink`` is None for normal item properties (flush emits a triple);
+    for DETACHED properties inside an ``id``-scoped subtree awaiting an
+    ``itemref`` resolution, flush appends (term, 'literal', text) to the
+    id's property list instead.
+    """
 
-    def __init__(self, subject: str, pred: str, depth: int):
+    __slots__ = ("subject", "pred", "depth", "buf", "sink")
+
+    def __init__(self, subject: str, pred: str, depth: int, sink: list | None = None):
         self.subject = subject
         self.pred = pred
         self.depth = depth
+        self.sink = sink
         self.buf: list[str] = []
 
 
@@ -148,6 +155,13 @@ class _Extractor:
         self._captures: list[_Capture] = []
         self._rdfa_stack: list[_RdfaCtx] = [_RdfaCtx(None, None, -1)]
         self._rdfa_seq = 0
+        # itemref machinery (only active when the document contains the
+        # token at all — set by feed()): id-scoped detached properties
+        # and the (item, vocab, ids) resolutions applied at close()
+        self._track_ids = False
+        self._id_scopes: list[tuple[str, int]] = []
+        self._id_props: dict[str, list[tuple[str, str, str]]] = {}
+        self._pending_refs: list[tuple[str, Optional[str], list[str]]] = []
 
     # -- shared helpers -----------------------------------------------------
 
@@ -194,6 +208,12 @@ class _Extractor:
         return a
 
     def feed(self, content: str) -> None:
+        # id-tracking costs attr parses on id-bearing tags, so it is only
+        # armed when the document can possibly use it (HTML microdata
+        # itemref crawl, WHATWG §5.2.4 step 6) — marker-sparse real pages
+        # never pay for it
+        if not self._track_ids and "itemref" in content:
+            self._track_ids = True
         n = len(content)
         pos = 0
         while pos < n:
@@ -236,7 +256,11 @@ class _Extractor:
                 )
                 a = (
                     self._parse_attrs(attrs_str)
-                    if attrs_str and any(k in attrs_str for k in _MARKERS)
+                    if attrs_str
+                    and (
+                        any(k in attrs_str for k in _MARKERS)
+                        or (self._track_ids and "id" in attrs_str)
+                    )
                     else {}
                 )
                 self._start(tag, a)
@@ -249,6 +273,10 @@ class _Extractor:
         if not is_void:
             self._depth += 1
         if a:
+            if self._track_ids and not is_void and a.get("id"):
+                # open an id-scope BEFORE property handling: the itemref
+                # crawl includes the id element's own itemprop
+                self._id_scopes.append((a["id"], depth))
             self._microdata_start(tag, a, depth, is_void)
             self._rdfa_start(tag, a, depth, is_void)
 
@@ -258,22 +286,41 @@ class _Extractor:
         self._depth = max(0, self._depth - 1)
         d = self._depth
         while self._captures and self._captures[-1].depth >= d:
-            cap = self._captures.pop()
-            self._emit(cap.subject, cap.pred, "literal", _unescape("".join(cap.buf)).strip())
+            self._flush_capture(self._captures.pop())
         while len(self._md_stack) > 0 and self._md_stack[-1].depth >= d:
             self._md_stack.pop()
         while len(self._rdfa_stack) > 1 and self._rdfa_stack[-1].depth >= d:
             self._rdfa_stack.pop()
+        while self._id_scopes and self._id_scopes[-1][1] >= d:
+            self._id_scopes.pop()
+
+    def _flush_capture(self, cap: _Capture) -> None:
+        text = _unescape("".join(cap.buf)).strip()
+        if cap.sink is not None:
+            cap.sink.append((cap.pred, "literal", text))
+        else:
+            self._emit(cap.subject, cap.pred, "literal", text)
 
     def _data(self, data: str) -> None:
         if data:
             for cap in self._captures:
                 cap.buf.append(data)
 
-    def close(self) -> None:  # flush unclosed captures (malformed HTML)
+    def close(self) -> None:
+        # flush unclosed captures (malformed HTML), then resolve itemref:
+        # each referring item claims the detached properties recorded under
+        # its referenced ids, resolving SHORT property terms against the
+        # item's own vocabulary (WHATWG microdata: the crawl attaches the
+        # property to the referring item, so vocab is the item's)
         while self._captures:
-            cap = self._captures.pop()
-            self._emit(cap.subject, cap.pred, "literal", _unescape("".join(cap.buf)).strip())
+            self._flush_capture(self._captures.pop())
+        for subject, vocab, ids in self._pending_refs:
+            for ref_id in ids:
+                for term, kind, value in self._id_props.get(ref_id, ()):
+                    pred = term if _ABS_IRI_RE.match(term) else (
+                        vocab + term if vocab else term
+                    )
+                    self._emit(subject, pred, kind, value)
 
     # -- microdata ----------------------------------------------------------
 
@@ -293,6 +340,9 @@ class _Extractor:
             for t in types:
                 if _ABS_IRI_RE.match(t):
                     self._emit(subject, RDF_TYPE, "iri", t)
+            refs = (a.get("itemref") or "").split()
+            if refs:
+                self._pending_refs.append((subject, vocab, refs))
 
         props = (a.get("itemprop") or "").split()
         if props and self._md_stack:
@@ -309,6 +359,35 @@ class _Extractor:
                         self._emit(parent.subject, pred, kind, value)
                     elif not is_void:
                         self._captures.append(_Capture(parent.subject, pred, depth))
+
+        if props and self._track_ids:
+            # record the property under every open id-scope whose crawl
+            # reaches this element (the crawl STOPS at itemscope elements:
+            # if an item opened inside the id subtree, its descendants
+            # belong to it, not to the id), with the RAW term — the
+            # referring item's vocab resolves it at close(). A void
+            # id-bearing element is its own one-element subtree.
+            top_item_depth = self._md_stack[-1].depth if self._md_stack else -1
+            sinks = [
+                self._id_props.setdefault(sid, [])
+                for sid, sdepth in self._id_scopes
+                if top_item_depth < sdepth
+            ]
+            if is_void and a.get("id"):
+                sinks.append(self._id_props.setdefault(a["id"], []))
+            if sinks:
+                for p in props:
+                    if has_scope and item is not None:
+                        for s in sinks:
+                            s.append((p, item.kind, item.subject))
+                    else:
+                        value, kind = self._md_value(tag, a)
+                        if value is not None:
+                            for s in sinks:
+                                s.append((p, kind, value))
+                        elif not is_void:
+                            for s in sinks:
+                                self._captures.append(_Capture("", p, depth, sink=s))
 
         if item is not None:
             self._md_stack.append(item)
@@ -459,7 +538,10 @@ def parse_document(content: str) -> tuple[list[Triple], dict[str, str]]:
         bnode_offset += max_jb
         triples.extend(remapped)
         prefixes.update(block_prefixes)
-    return triples, prefixes
+    # JSON-LD blocks carry their own block-local line_no, which collides
+    # with the microdata/RDFa sequence — renumber so line_no is a unique
+    # per-document triple index (provenance + deterministic salt key)
+    return [t._replace(line_no=i) for i, t in enumerate(triples)], prefixes
 
 
 _JB_RE = re.compile(r"^_:jb(\d+)$")

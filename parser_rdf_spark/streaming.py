@@ -70,17 +70,24 @@ def run_to_parquet(
 def first_seen_pages(
     pages_stream: DataFrame,
     state_ttl: str = "24 hours",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-URL
     first-seen filter across micro-batches.
 
     Web crawls re-fetch pages continuously; downstream KG construction
     wants each URL parsed ONCE per content epoch. Keyed state holds one
-    boolean per URL with a processing-time TTL (``state_ttl``): the first
-    arrival of a URL passes through, subsequent arrivals are dropped
-    until the state expires (after which the page is re-admitted — the
-    re-crawl refresh semantics). State is bounded by the TTL; this is
-    the engine's ``applyInPandasWithState`` surface, complementing the
+    boolean per URL with an EVENT-time TTL (``state_ttl`` beyond the
+    page's ``warc_ts``): the first arrival of a URL passes through,
+    subsequent arrivals are dropped until the crawl's watermark passes
+    first-seen + TTL (after which the URL is re-admitted — the re-crawl
+    refresh semantics). Event-time expiry (vs processing time) makes the
+    operator REPLAYABLE — reprocessing the same WARC dumps from a
+    checkpoint yields the same epochs regardless of wall clock — and it
+    lets a bounded ``availableNow`` drain terminate (a processing-time
+    TTL keeps the query alive running state-cleanup batches until the
+    wall-clock TTL fires). State is bounded by the TTL; this is the
+    engine's ``applyInPandasWithState`` surface, complementing the
     built-in watermarked rollup in :func:`triple_rates`.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -97,25 +104,33 @@ def first_seen_pages(
             return iter(())
 
         first_batch = None
+        max_ts_ms = None
         for pdf in pdfs:
-            if first_batch is None and len(pdf):
-                first_batch = pdf.iloc[:1]
+            if len(pdf):
+                if first_batch is None:
+                    first_batch = pdf.iloc[:1]
+                m = pdf["warc_ts"].max()
+                if pd.notna(m):
+                    ms = int(m.timestamp() * 1000)
+                    max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
         if state.exists:
             return iter(())
         state.update((True,))
-        state.setTimeoutDuration(ttl_ms)
+        if max_ts_ms is not None:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         if first_batch is None:
             return iter(())
         return iter([first_batch])
 
     return (
-        pages_stream.groupBy("url")
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy("url")
         .applyInPandasWithState(
             dedup,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

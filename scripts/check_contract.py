@@ -2,7 +2,8 @@
 entry against its oracle_sql() via DuckDB at a given sf dir and compare
 row-count + schema(column names) + order-insensitive values.
 
-Usage: python scripts/check_contract.py [sf_dir]
+Usage: python scripts/check_contract.py [sf_dir] [query_name ...]
+(with query names given, only those queries run and entry() is skipped)
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ def normalize(df_pandas):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = build_session(master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"))
 
     con = duckdb.connect()
@@ -44,6 +46,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -77,6 +81,14 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(spd)} rows [{time.time()-t0:.1f}s]")
+
+    if only:
+        spark.stop()
+        if failures:
+            print(f"\n{len(failures)} FAILURES")
+            return 1
+        print("\nALL OK (filtered)")
+        return 0
 
     print()
     t0 = time.time()

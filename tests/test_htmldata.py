@@ -203,6 +203,122 @@ def test_case_expanding_chars_dont_desync_script_slicing():
     assert {(t.subj, t.obj_value) for t in triples} == {("http://e.org/i", "ok")}
 
 
+def test_itemref_detached_properties_forward_and_backward():
+    """itemref pulls properties from id-scoped subtrees anywhere in the
+    document — before or after the referring item (WHATWG microdata
+    crawl); short terms resolve against the REFERRING item's vocab."""
+    doc = """<html><body>
+<div id="early"><span itemprop="jobTitle">Pirate</span></div>
+<div itemscope itemtype="https://schema.org/Person"
+     itemid="https://e.org/amy" itemref="early late">
+  <span itemprop="name">Amy</span>
+</div>
+<div id="late">
+  <meta itemprop="birthDate" content="1701-01-01">
+  <a itemprop="url" href="https://amy.example.org/">home</a>
+</div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    amy = "https://e.org/amy"
+    assert (amy, SCHEMA + "name", "Amy") in got
+    assert (amy, SCHEMA + "jobTitle", "Pirate") in got
+    assert (amy, SCHEMA + "birthDate", "1701-01-01") in got
+    assert (amy, SCHEMA + "url", "https://amy.example.org/") in got
+    url_kind = {t.obj_kind for t in triples if t.pred == SCHEMA + "url"}
+    assert url_kind == {"iri"}
+
+
+def test_itemref_shared_id_two_items_resolve_own_vocab():
+    """One id-subtree referenced by two items: each claims the properties
+    under its OWN vocabulary."""
+    doc = """<html><body>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://e.org/p" itemref="shared"></div>
+<div itemscope itemtype="http://xmlns.com/foaf/0.1/Agent" itemid="https://e.org/q" itemref="shared"></div>
+<div id="shared"><span itemprop="name">Twin</span></div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    assert ("https://e.org/p", SCHEMA + "name", "Twin") in got
+    assert ("https://e.org/q", "http://xmlns.com/foaf/0.1/name", "Twin") in got
+
+
+def test_itemref_crawl_stops_at_nested_itemscope():
+    """A nested item inside the referenced subtree becomes an item-valued
+    property; its INTERNAL properties belong to it, not the referrer."""
+    doc = """<html><body>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://e.org/ann" itemref="addr"></div>
+<div id="addr">
+  <div itemprop="address" itemscope itemtype="https://schema.org/PostalAddress">
+    <span itemprop="addressLocality">Leeds</span>
+  </div>
+</div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    ann = "https://e.org/ann"
+    addr_vals = [t for t in triples if t.subj == ann and t.pred == SCHEMA + "address"]
+    assert len(addr_vals) == 1 and addr_vals[0].obj_kind == "bnode"
+    bn = addr_vals[0].obj_value
+    got = _spo(triples)
+    assert (bn, SCHEMA + "addressLocality", "Leeds") in got
+    # the locality must NOT leak onto ann
+    assert (ann, SCHEMA + "addressLocality", "Leeds") not in got
+
+
+def test_itemref_void_id_element_and_unknown_id():
+    """A void element can itself carry the id (one-element subtree);
+    itemref ids with no matching element contribute nothing and never
+    raise."""
+    doc = """<html><body>
+<meta id="bd" itemprop="birthDate" content="1900-12-01">
+<div itemscope itemtype="https://schema.org/Person" itemid="https://e.org/v"
+     itemref="bd ghost"></div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    assert ("https://e.org/v", SCHEMA + "birthDate", "1900-12-01") in got
+    assert len([t for t in triples if t.subj == "https://e.org/v"]) == 2  # type + birthDate
+
+
+def test_itemref_subtree_inside_another_item_dual_claim():
+    """An id-subtree nested inside item A and referenced by item B: the
+    property belongs to BOTH (tree crawl from A, itemref crawl from B)."""
+    doc = """<html><body>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://e.org/a">
+  <div id="nick"><span itemprop="alternateName">Dizzy</span></div>
+</div>
+<div itemscope itemtype="https://schema.org/Person" itemid="https://e.org/b" itemref="nick"></div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    got = _spo(triples)
+    assert ("https://e.org/a", SCHEMA + "alternateName", "Dizzy") in got
+    assert ("https://e.org/b", SCHEMA + "alternateName", "Dizzy") in got
+
+
+def test_itemref_absolute_property_term_kept_verbatim():
+    doc = """<html><body>
+<div id="x"><span itemprop="http://purl.org/dc/terms/title">T</span></div>
+<div itemscope itemtype="https://schema.org/Book" itemid="https://e.org/bk" itemref="x"></div>
+</body></html>"""
+    triples, _ = htmldata.parse_document(doc)
+    assert ("https://e.org/bk", "http://purl.org/dc/terms/title", "T") in _spo(triples)
+
+
+def test_line_no_unique_per_document():
+    """Embedded JSON-LD blocks carry block-local line_no; parse_document
+    must renumber so line_no is a unique per-doc triple index (lineage +
+    deterministic salt keys downstream)."""
+    doc = MICRODATA_DOC.replace(
+        "</body>",
+        '<script type="application/ld+json">'
+        '{"@context": "https://schema.org", "@id": "https://example.org/c",'
+        ' "name": "C"}</script></body>',
+    )
+    triples, _ = htmldata.parse_document(doc)
+    nos = [t.line_no for t in triples]
+    assert sorted(nos) == list(range(len(triples)))
+
+
 def test_jsonld_null_values_dropped():
     doc = ('<html><script type="application/ld+json">'
            '{"@context": {"ex": "http://e.org/"}, "@id": "ex:n", '
