@@ -32,6 +32,7 @@ from parser_rdf_spark import multimodal as mm
 from parser_rdf_spark import w3c_fixtures as w3c
 from parser_rdf_spark import w3c_turtle_fixtures as wttl
 from parser_rdf_spark import textops
+from parser_rdf_spark import webops
 from parser_rdf_spark.extract import (
     extract_classes,
     extract_properties,
@@ -732,6 +733,110 @@ def _q_chunk_documents(spark, sf_dir):
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         "chunk_text",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# The documents table is newline-free word-salad with no PII/URLs, so the
+# web-hygiene contract queries derive their input shapes deterministically
+# from (doc_id, text) with engine-portable expressions — the DuckDB oracle
+# derives the identical table, so the operators are exercised on real
+# line/PII/URL structure while staying self-contained.
+
+_LINEIFY_EXPR = (
+    "array_join(transform(sequence(0, (size(split(text, ' ')) - 1) div 3), "
+    "i -> array_join(slice(split(text, ' '), i*3+1, 3), ' ')), '\n')"
+)
+_LINEIFY_SQL = (
+    "array_to_string(list_transform("
+    "generate_series(0, (len(string_split(text, ' ')) - 1) // 3), "
+    "i -> array_to_string(string_split(text, ' ')[i*3+1:i*3+3], ' ')), chr(10))"
+)
+
+_PIIIFY_EXPR = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' mail u', doc_id, '@ex', doc_id % 7, '.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' ssn 123-45-', lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' tel 555-867-', lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' ip 10.', doc_id % 256, '.0.', doc_id % 100) ELSE '' END)"
+)
+_PIIIFY_SQL = (
+    "text ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||"
+    " CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
+    " CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END"
+)
+
+_URLIFY_EXPR = (
+    "concat(text, ' see http://site', doc_id % 13, '.example.',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END,"
+    " '/p/', doc_id,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' and https://cdn', doc_id % 5, '.example.com/x') ELSE '' END)"
+)
+_URLIFY_SQL = (
+    "text || ' see http://site' || (doc_id % 13) || '.example.' ||"
+    " CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||"
+    " '/p/' || doc_id ||"
+    " CASE WHEN doc_id % 2 = 0 THEN ' and https://cdn' || (doc_id % 5) || '.example.com/x' ELSE '' END"
+)
+
+
+def _q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup over a line-structured derivation
+    of the documents table (3-token lines): a duplicated line survives
+    only at its first (doc_id, pos) occurrence. One min-struct groupBy +
+    one join — no window over the skewed line key."""
+    docs3 = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_LINEIFY_EXPR).alias("text")
+    )
+    return webops.line_dedup(docs3).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "clean_text",
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII detect-and-redact (emails/SSNs/phones/IPv4) over a derivation
+    of documents carrying deterministic doc_id-seeded PII spans. Pure
+    regexp Column expressions in the Java∩RE2 common dialect."""
+    dpii = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PIIIFY_EXPR).alias("text")
+    )
+    return webops.pii_redact(dpii).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        "redacted_text",
+    )
+
+
+def _q_url_domain_stats(spark, sf_dir):
+    """Per-domain URL stats over a derivation of documents carrying
+    deterministic doc_id-seeded http/https URLs: mentions, distinct
+    docs, TLD per host (regexp explode + one groupBy)."""
+    durl = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URLIFY_EXPR).alias("text")
+    )
+    return webops.url_domain_stats(durl).select(
+        "host",
+        "tld",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _q_bigram_lm_quality(spark, sf_dir):
+    """Corpus-trained char-bigram LM score per document (micro-rounded
+    integer log-probs; broadcast model join)."""
+    return webops.bigram_lm_quality(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("sum_logp_micro").cast("bigint").alias("sum_logp_micro"),
+        F.col("avg_logp_micro").cast("bigint").alias("avg_logp_micro"),
     )
 
 
@@ -1460,6 +1565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        # web-corpus hygiene (webops.py)
+        "line_dedup": _q_line_dedup,
+        "pii_redact": _q_pii_redact,
+        "url_domain_stats": _q_url_domain_stats,
+        "bigram_lm_quality": _q_bigram_lm_quality,
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
         "events_stream_rollup": _q_events_stream_rollup,
@@ -2329,6 +2439,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5_exact, "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_normalized "
             "FROM documents"
+        ),
+        "line_dedup": (
+            f"WITH d AS (SELECT doc_id, {_LINEIFY_SQL} AS text FROM documents), "
+            "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos FROM d), "
+            "ranked AS (SELECT doc_id, pos, line, "
+            "  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text "
+            "FROM ranked GROUP BY doc_id"
+        ),
+        "pii_redact": (
+            f"WITH d AS (SELECT doc_id, {_PIIIFY_SQL} AS text FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+            "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted_text "
+            "FROM d"
+        ),
+        "url_domain_stats": (
+            f"WITH d AS (SELECT doc_id, {_URLIFY_SQL} AS text FROM documents), "
+            "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS url FROM d), "
+            "h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/ \t\n]+)', 1) AS host FROM u) "
+            "SELECT host, regexp_extract(host, '\\.([A-Za-z]+)$', 1) AS tld, "
+            "CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM h GROUP BY host"
+        ),
+        "bigram_lm_quality": (
+            "WITH grams AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(length(text) - 1, 0)), i -> substring(text, i, 2))) AS bg "
+            "  FROM documents), "
+            "model AS (SELECT bg, count(*) AS bg_count FROM grams GROUP BY bg), "
+            "tot AS (SELECT count(*) AS bg_total FROM grams), "
+            "scored AS (SELECT g.doc_id, CAST(round(ln(CAST(m.bg_count AS DOUBLE) / "
+            "  CAST(t.bg_total AS DOUBLE)) * 1000000.0) AS BIGINT) AS logp_micro "
+            "  FROM grams g JOIN model m USING (bg) CROSS JOIN tot t), "
+            "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "  CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro FROM scored GROUP BY doc_id) "
+            "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+            "CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(coalesce(sum_logp_micro, 0) AS BIGINT) AS sum_logp_micro, "
+            "CAST(CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sum_logp_micro // n_bigrams ELSE 0 END AS BIGINT) AS avg_logp_micro "
+            "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
         ),
         "ann_cosine_topk": (
             "WITH scored AS ("

@@ -1,0 +1,154 @@
+"""Unit tests for the web-corpus hygiene operators (webops.py) on small
+hand-computed frames — the contract queries cover the corpus-scale DuckDB
+equivalence; these pin the edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parser_rdf_spark import webops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "alpha\nshared\nbeta"),
+        (2, "shared\ngamma"),
+        (3, "shared\nshared"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in webops.line_dedup(_docs(spark, rows)).collect()
+    }
+    # 'shared' survives only at (doc 1, pos 1)
+    assert out[1]["clean_text"] == "alpha\nshared\nbeta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    # doc 3 loses BOTH copies (within-doc dup of a line owned by doc 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_line_dedup_within_doc_duplicates(spark):
+    rows = [(7, "x\ny\nx\nx")]
+    out = webops.line_dedup(_docs(spark, rows)).collect()[0]
+    assert out["clean_text"] == "x\ny"
+    assert (out["n_lines"], out["n_kept"]) == (4, 2)
+
+
+def test_line_dedup_empty_and_blank_lines(spark):
+    # empty lines are lines too: corpus-wide there is one survivor
+    rows = [(1, "a\n\nb"), (2, "\n\nc")]
+    out = {r["doc_id"]: r for r in webops.line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["clean_text"] == "a\n\nb"
+    assert out[2]["clean_text"] == "c"
+    assert out[2]["n_kept"] == 1
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+
+
+def test_pii_redact_all_kinds(spark):
+    text = (
+        "reach me at jo.doe+x@mail.example.co or 555-123-4567, "
+        "ssn 078-05-1120, host 192.168.0.1 end"
+    )
+    out = webops.pii_redact(_docs(spark, [(1, text)])).collect()[0]
+    assert (out["n_email"], out["n_ssn"], out["n_phone"], out["n_ipv4"]) == (1, 1, 1, 1)
+    assert out["redacted_text"] == (
+        "reach me at [EMAIL] or [PHONE], ssn [SSN], host [IP] end"
+    )
+
+
+def test_pii_redact_boundaries_and_negatives(spark):
+    # no word-boundary match inside longer digit runs; no PII → identity
+    rows = [
+        (1, "digits 12345-67-8901 are not an ssn run"),
+        (2, "plain text without identifiers"),
+        (3, "a@b.co"),  # minimal email, whole string
+    ]
+    out = {r["doc_id"]: r for r in webops.pii_redact(_docs(spark, rows)).collect()}
+    assert out[1]["n_ssn"] == 0 and out[1]["redacted_text"] == rows[0][1]
+    assert out[2]["redacted_text"] == rows[1][1]
+    assert out[3]["n_email"] == 1 and out[3]["redacted_text"] == "[EMAIL]"
+
+
+def test_pii_redact_counts_are_independent_of_order(spark):
+    # an IPv4 inside a URL-ish string still counts; the SSN placeholder
+    # from an earlier pass must not create a phone match
+    text = "ip 10.0.0.1 and 123-45-6789"
+    out = webops.pii_redact(_docs(spark, [(1, text)])).collect()[0]
+    assert (out["n_ssn"], out["n_phone"], out["n_ipv4"]) == (1, 0, 1)
+    assert out["redacted_text"] == "ip [IP] and [SSN]"
+
+
+# ---------------------------------------------------------------------------
+# url_domain_stats
+
+
+def test_url_domain_stats_counts(spark):
+    rows = [
+        (1, "see http://a.example.com/x and https://a.example.com/y plus http://b.example.org/"),
+        (2, "again http://a.example.com/z"),
+        (3, "no urls here"),
+    ]
+    out = {r["host"]: r for r in webops.url_domain_stats(_docs(spark, rows)).collect()}
+    assert set(out) == {"a.example.com", "b.example.org"}
+    assert (out["a.example.com"]["n_urls"], out["a.example.com"]["n_docs"]) == (3, 2)
+    assert out["a.example.com"]["tld"] == "com"
+    assert (out["b.example.org"]["n_urls"], out["b.example.org"]["n_docs"]) == (1, 1)
+    assert out["b.example.org"]["tld"] == "org"
+
+
+def test_url_domain_stats_host_edge_shapes(spark):
+    rows = [(1, "http://no-path-host.net http://host.with.port:8080/p")]
+    out = {r["host"]: r for r in webops.url_domain_stats(_docs(spark, rows)).collect()}
+    # URL without a path ends at whitespace; port stays part of the host
+    # token and breaks the trailing-TLD regex → empty tld, still counted
+    assert (out["no-path-host.net"]["tld"], out["no-path-host.net"]["n_urls"]) == ("net", 1)
+    assert out["host.with.port:8080"]["tld"] == ""
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_quality
+
+
+def test_bigram_lm_quality_hand_computed(spark):
+    import math
+
+    # corpus: "aa" (1 bigram: aa), "aab" (2 bigrams: aa, ab)
+    rows = [(1, "aa"), (2, "aab")]
+    out = {r["doc_id"]: r for r in webops.bigram_lm_quality(_docs(spark, rows)).collect()}
+    # model: aa→2, ab→1, total 3
+    lp_aa = round(math.log(2 / 3) * 1_000_000)
+    lp_ab = round(math.log(1 / 3) * 1_000_000)
+    assert out[1]["n_bigrams"] == 1 and out[1]["sum_logp_micro"] == lp_aa
+    assert out[2]["n_bigrams"] == 2 and out[2]["sum_logp_micro"] == lp_aa + lp_ab
+    # integer div truncates toward zero (matches DuckDB //)
+    assert out[2]["avg_logp_micro"] == int((lp_aa + lp_ab) / 2)
+
+
+def test_bigram_lm_quality_degenerate_docs(spark):
+    rows = [(1, ""), (2, "x"), (3, "xy")]
+    out = {r["doc_id"]: r for r in webops.bigram_lm_quality(_docs(spark, rows)).collect()}
+    for d in (1, 2):  # empty and single-char docs: zero bigrams, row kept
+        assert (out[d]["n_bigrams"], out[d]["sum_logp_micro"], out[d]["avg_logp_micro"]) == (0, 0, 0)
+    assert out[3]["n_bigrams"] == 1
+    assert out[3]["sum_logp_micro"] == 0  # ln(1/1) = 0
+
+
+def test_bigram_lm_gibberish_scores_below_fluent(spark):
+    fluent = "the cat sat on the mat and the dog sat on the log " * 4
+    gibberish = "qzxj vkqw zzqx jjqv wwzx qqjv " * 7
+    rows = [(1, fluent), (2, gibberish)]
+    out = {r["doc_id"]: r for r in webops.bigram_lm_quality(_docs(spark, rows)).collect()}
+    assert out[2]["avg_logp_micro"] < out[1]["avg_logp_micro"]
