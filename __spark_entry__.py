@@ -752,19 +752,43 @@ _LINEIFY_SQL = (
     "i -> array_to_string(string_split(text, ' ')[i*3+1:i*3+3], ' ')), chr(10))"
 )
 
-_PIIIFY_EXPR = (
-    "concat(text,"
+_PII_TAIL_EXPR = (
     " CASE WHEN doc_id % 3 = 0 THEN concat(' mail u', doc_id, '@ex', doc_id % 7, '.com') ELSE '' END,"
     " CASE WHEN doc_id % 4 = 0 THEN concat(' ssn 123-45-', lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE '' END,"
     " CASE WHEN doc_id % 5 = 0 THEN concat(' tel 555-867-', lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE '' END,"
-    " CASE WHEN doc_id % 2 = 0 THEN concat(' ip 10.', doc_id % 256, '.0.', doc_id % 100) ELSE '' END)"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' ip 10.', doc_id % 256, '.0.', doc_id % 100) ELSE '' END"
 )
-_PIIIFY_SQL = (
-    "text ||"
+_PIIIFY_EXPR = f"concat(text,{_PII_TAIL_EXPR})"
+# Boilerplate slice for the composed-pipeline derivation: every doc_id
+# ≡ 17 (mod 50) carries the same two-line text, so after PII redaction
+# several of them become byte-identical (exact dedup bites) and the
+# survivors still share lines with the first owner (line dedup bites).
+_BOILER_L1 = (
+    "the boilerplate navigation header appears on every mirrored page "
+    "and search crawlers copy it verbatim across many hosts"
+)
+_BOILER_L2 = (
+    "copyright notice all rights reserved contact the site administrator "
+    "for removal requests and takedown policies of this archive"
+)
+# the composed-pipeline input: line-structured text AND PII spans (the
+# PII tail lands on the final line, so redaction and line dedup interact)
+_CLEANIFY_EXPR = (
+    "concat(CASE WHEN doc_id % 50 = 17 THEN "
+    f"concat('{_BOILER_L1}', chr(10), '{_BOILER_L2}') "
+    f"ELSE {_LINEIFY_EXPR} END,{_PII_TAIL_EXPR})"
+)
+_PII_TAIL_SQL = (
     " CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||"
     " CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
     " CASE WHEN doc_id % 5 = 0 THEN ' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
     " CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END"
+)
+_PIIIFY_SQL = f"text ||{_PII_TAIL_SQL}"
+_CLEANIFY_SQL = (
+    "(CASE WHEN doc_id % 50 = 17 THEN "
+    f"'{_BOILER_L1}' || chr(10) || '{_BOILER_L2}' "
+    f"ELSE {_LINEIFY_SQL} END) ||{_PII_TAIL_SQL}"
 )
 
 _URLIFY_EXPR = (
@@ -826,6 +850,35 @@ def _q_url_domain_stats(spark, sf_dir):
         "tld",
         F.col("n_urls").cast("bigint").alias("n_urls"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _q_clean_corpus(spark, sf_dir):
+    """The composed pretraining-cleanup pipeline over a derivation with
+    BOTH line structure and PII spans: quality gate → PII redact →
+    corpus line dedup → exact dedup keep-first."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CLEANIFY_EXPR).alias("text")
+    )
+    return webops.clean_corpus(d, min_quality=70).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("quality").cast("bigint").alias("quality"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "clean_text",
+    )
+
+
+def _q_attrition_report(spark, sf_dir):
+    """Per-stage doc/token attrition accounting for the cleanup
+    pipeline (raw → quality_gate → line_dedup → exact_dedup)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CLEANIFY_EXPR).alias("text")
+    )
+    return webops.attrition_report(d, min_quality=70).select(
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 
@@ -1570,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "url_domain_stats": _q_url_domain_stats,
         "bigram_lm_quality": _q_bigram_lm_quality,
+        "clean_corpus": _q_clean_corpus,
+        "attrition_report": _q_attrition_report,
         "ann_cosine_topk": _q_ann_topk,
         "events_hourly_rollup": _q_events_rollup,
         "events_stream_rollup": _q_events_stream_rollup,
@@ -2472,6 +2527,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, regexp_extract(host, '\\.([A-Za-z]+)$', 1) AS tld, "
             "CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM h GROUP BY host"
+        ),
+        "clean_corpus": (
+            f"WITH d AS (SELECT doc_id, {_CLEANIFY_SQL} AS text FROM documents), "
+            "q AS (SELECT doc_id, "
+            "  (CASE WHEN length(text) >= 200 THEN 40 WHEN length(text) >= 50 THEN 25 ELSE 5 END) "
+            f" + (CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) >= 2 THEN 30 "
+            f"     WHEN len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) >= 1 THEN 15 ELSE 0 END) "
+            "  + (len(list_distinct(string_split(text, ' '))) * 30 // greatest(len(string_split(text, ' ')), 1)) AS quality "
+            "  FROM d), "
+            "g AS (SELECT d.doc_id, d.text, q.quality FROM d JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= 70), "
+            "r AS (SELECT doc_id, quality, "
+            "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'), "
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text FROM g), "
+            "fst AS (SELECT md5(text) AS m, min(doc_id) AS first_doc_id FROM r GROUP BY 1), "
+            "u AS (SELECT r.* FROM r JOIN fst ON md5(r.text) = fst.m AND r.doc_id = fst.first_doc_id), "
+            "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos FROM u), "
+            "ranked AS (SELECT doc_id, pos, line, "
+            "  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines), "
+            "dd AS (SELECT doc_id, count(*) AS n_lines, "
+            "  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, "
+            "  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text "
+            "  FROM ranked GROUP BY doc_id), "
+            "ne AS (SELECT * FROM dd WHERE clean_text != '') "
+            "SELECT CAST(ne.doc_id AS BIGINT) AS doc_id, CAST(q.quality AS BIGINT) AS quality, "
+            "CAST(ne.n_lines AS BIGINT) AS n_lines, CAST(ne.n_kept AS BIGINT) AS n_kept, ne.clean_text "
+            "FROM ne JOIN q ON ne.doc_id = q.doc_id"
+        ),
+        "attrition_report": (
+            f"WITH d AS (SELECT doc_id, {_CLEANIFY_SQL} AS text FROM documents), "
+            "q AS (SELECT doc_id, "
+            "  (CASE WHEN length(text) >= 200 THEN 40 WHEN length(text) >= 50 THEN 25 ELSE 5 END) "
+            f" + (CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) >= 2 THEN 30 "
+            f"     WHEN len(list_intersect(list_distinct(string_split(text, ' ')), {_STOP_SQL})) >= 1 THEN 15 ELSE 0 END) "
+            "  + (len(list_distinct(string_split(text, ' '))) * 30 // greatest(len(string_split(text, ' ')), 1)) AS quality "
+            "  FROM d), "
+            "g AS (SELECT d.doc_id, d.text FROM d JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= 70), "
+            "r AS (SELECT doc_id, "
+            "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+            "  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'), "
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text FROM g), "
+            "fst AS (SELECT md5(text) AS m, min(doc_id) AS first_doc_id FROM r GROUP BY 1), "
+            "u AS (SELECT r.* FROM r JOIN fst ON md5(r.text) = fst.m AND r.doc_id = fst.first_doc_id), "
+            "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos FROM u), "
+            "ranked AS (SELECT doc_id, pos, line, "
+            "  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines), "
+            "dd AS (SELECT doc_id, count(*) AS n_lines, "
+            "  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, "
+            "  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text "
+            "  FROM ranked GROUP BY doc_id), "
+            "ne AS (SELECT * FROM dd WHERE clean_text != '') "
+            "SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens FROM d "
+            "UNION ALL SELECT 'quality_gate', CAST(count(*) AS BIGINT), "
+            "  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM g "
+            "UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT), "
+            "  CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) FROM u "
+            "UNION ALL SELECT 'line_dedup', CAST(count(*) AS BIGINT), "
+            "  CAST(coalesce(sum(len(string_split(clean_text, ' '))), 0) AS BIGINT) FROM ne"
         ),
         "bigram_lm_quality": (
             "WITH grams AS (SELECT doc_id, unnest(list_transform("

@@ -158,6 +158,116 @@ def url_domain_stats(
 
 
 # ---------------------------------------------------------------------------
+# composed cleanup pipeline + attrition accounting
+# ---------------------------------------------------------------------------
+
+def _clean_stages(
+    documents: DataFrame,
+    min_quality: int,
+    id_col: str,
+    text_col: str,
+) -> dict[str, DataFrame]:
+    """Shared stage frames for clean_corpus / attrition_report:
+    raw → quality gate → PII redact → exact dedup keep-first on the
+    redacted text → corpus line dedup (drop emptied docs).
+
+    Exact doc-dedup runs BEFORE line dedup (the C4 ordering): it is the
+    cheap whole-doc collapse, and the other order would make it a
+    structural no-op — after global line dedup two documents can never
+    retain identical line sequences (each line survives exactly once
+    corpus-wide)."""
+    from parser_rdf_spark import textops
+
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    quality = textops.quality_score(docs).select("doc_id", "quality")
+    gated = docs.join(
+        quality.filter(F.col("quality") >= min_quality), "doc_id"
+    )
+    redacted = pii_redact(gated).select(
+        "doc_id", F.col("redacted_text").alias("text")
+    )
+    first = redacted.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    unique = (
+        redacted.withColumn("text_md5", F.md5("text"))
+        .join(first, "text_md5")
+        .filter(F.col("doc_id") == F.col("first_doc_id"))
+        .drop("text_md5", "first_doc_id")
+    )
+    deduped = line_dedup(unique)
+    nonempty = deduped.filter(F.col("clean_text") != "")
+    return {
+        "raw": docs,
+        "gated": gated,
+        "unique": unique,
+        "nonempty": nonempty,
+        "quality": quality,
+    }
+
+
+def clean_corpus(
+    documents: DataFrame,
+    min_quality: int = 70,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed pretraining-cleanup pipeline, end to end: quality
+    gate (integer heuristic ≥ ``min_quality``) → PII redaction → exact
+    dedup keeping the lowest doc_id per identical redacted text →
+    corpus-wide line dedup (documents whose every line was removed drop
+    out).
+
+    Returns surviving documents only: ``doc_id``, ``quality``,
+    ``n_lines``, ``n_kept``, ``clean_text``. Each stage is one of the
+    already-scale-shaped operators; the composition adds two hash joins
+    on doc_id and nothing driver-side, so the whole pipeline stays a
+    DAG of narrow maps + keyed aggregates at 100 TB.
+    """
+    s = _clean_stages(documents, min_quality, id_col, text_col)
+    return s["nonempty"].join(s["quality"], "doc_id").select(
+        "doc_id", "quality", "n_lines", "n_kept", "clean_text"
+    )
+
+
+def attrition_report(
+    documents: DataFrame,
+    min_quality: int = 70,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stage data-attrition accounting for the cleanup pipeline:
+    one row per stage (``raw``, ``quality_gate``, ``exact_dedup``,
+    ``line_dedup``) with surviving ``n_docs`` and ``n_tokens``
+    (space-delimited tokens of the stage's text column — newlines do
+    NOT split tokens, identically in any SQL engine).
+
+    The observability table every production pipeline keeps: where did
+    the corpus go. Four single-row aggregates unioned — each is a
+    partial-agg count over an already-needed stage frame.
+    """
+    s = _clean_stages(documents, min_quality, id_col, text_col)
+
+    def agg(df: DataFrame, stage: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(F.split(F.col(col), F.lit(" "), -1))), F.lit(0)
+            ).alias("n_tokens"),
+        )
+
+    return (
+        agg(s["raw"], "raw", "text")
+        .unionAll(agg(s["gated"], "quality_gate", "text"))
+        .unionAll(agg(s["unique"], "exact_dedup", "text"))
+        .unionAll(agg(s["nonempty"], "line_dedup", "clean_text"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus-trained char-bigram LM quality score
 # ---------------------------------------------------------------------------
 

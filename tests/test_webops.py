@@ -152,3 +152,83 @@ def test_bigram_lm_gibberish_scores_below_fluent(spark):
     rows = [(1, fluent), (2, gibberish)]
     out = {r["doc_id"]: r for r in webops.bigram_lm_quality(_docs(spark, rows)).collect()}
     assert out[2]["avg_logp_micro"] < out[1]["avg_logp_micro"]
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression (the 100-TB-relevant physical properties)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_line_dedup_plan_no_window_over_line_key(spark):
+    rows = [(i, f"a\nb{i}\nshared") for i in range(20)]
+    plan = _plan(webops.line_dedup(_docs(spark, rows)))
+    # first-occurrence selection must be the min-struct groupBy + join,
+    # never a Window partitioned by the skewed line key
+    assert "Window" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pii_redact_plan_is_map_only(spark):
+    rows = [(1, "a@b.co and 10.0.0.1")]
+    plan = _plan(webops.pii_redact(_docs(spark, rows)))
+    for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert op not in plan, plan[:2000]
+
+
+def test_bigram_lm_plan_broadcasts_model(spark):
+    rows = [(i, "abcabc" * 3) for i in range(10)]
+    plan = _plan(webops.bigram_lm_quality(_docs(spark, rows)))
+    # the vocab-sized model and the 1-row total must join via broadcast;
+    # the only sort-merge join allowed is the final per-doc left join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# composed cleanup pipeline + attrition
+
+
+def _clean_rows():
+    # doc 1: fluent, unique           → survives everything
+    # doc 2: exact duplicate of 1 (after redaction differs pre-redaction
+    #        only in the email)       → removed by exact dedup
+    # doc 3: gibberish, low quality   → removed by the quality gate
+    # doc 4: shares line 'shared boilerplate line' with doc 1 → loses it
+    base = (
+        "the quick brown fox jumps over a lazy dog and runs to the old stone "
+        "bridge while many small birds watch from tall green trees in autumn "
+        "weather near quiet paths of fallen golden leaves today"
+    )
+    return [
+        (1, base + "\nshared boilerplate line\nmail a@b.co"),
+        (2, base + "\nshared boilerplate line\nmail c@d.org"),
+        (3, "zz qq zz qq zz"),
+        (4, base + " again\nshared boilerplate line"),
+    ]
+
+
+def test_clean_corpus_stages_compose(spark):
+    out = {
+        r["doc_id"]: r
+        for r in webops.clean_corpus(_docs(spark, _clean_rows()), min_quality=70).collect()
+    }
+    assert set(out) == {1, 4}  # 2 deduped, 3 quality-gated
+    assert out[1]["n_kept"] == 3 and "[EMAIL]" in out[1]["clean_text"]
+    # doc 4 loses the shared boilerplate line to doc 1
+    assert out[4]["n_kept"] == 1
+    assert "shared boilerplate" not in out[4]["clean_text"]
+
+
+def test_attrition_report_monotone_and_labeled(spark):
+    rows = {
+        r["stage"]: r
+        for r in webops.attrition_report(_docs(spark, _clean_rows()), min_quality=70).collect()
+    }
+    assert list(rows) == ["raw", "quality_gate", "exact_dedup", "line_dedup"]
+    docs = [rows[s]["n_docs"] for s in ("raw", "quality_gate", "exact_dedup", "line_dedup")]
+    toks = [rows[s]["n_tokens"] for s in ("raw", "quality_gate", "exact_dedup", "line_dedup")]
+    assert docs == [4, 3, 2, 2]
+    assert toks[0] >= toks[1] >= toks[2] >= toks[3]
