@@ -1585,6 +1585,110 @@ def _q_media_embed_ann(spark, sf_dir):
     return textops.ann_bruteforce_topk(emb, k=2, id_col="media_id", vec_col="embedding")
 
 
+# ---------------------------------------------------------------------------
+# BGP (SPARQL-style) query compiler over a KG derived from the TPC-H
+# tables: the Spark side triple-izes customer/supplier/nation/region into
+# ONE (subj, pred, obj) relation and runs compiled pattern self-joins;
+# the DuckDB oracle answers the same question with direct joins over the
+# BASE tables — an independent formulation, so a compiler bug (wrong join
+# variable, dropped OPTIONAL row, filter on the wrong binding) cannot
+# cancel out.
+# ---------------------------------------------------------------------------
+
+def _tpch_triples(spark, sf_dir):
+    """Triple-ize the TPC-H micro-KG: ~6 predicates over customers,
+    suppliers, nations, regions. `ex:highBalance` is deliberately present
+    only for acctbal > 9000 so OPTIONAL has real unbound rows."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def iri(prefix, col):
+        return F.concat(F.lit(f"urn:{prefix}:"), F.col(col).cast("string"))
+
+    def spo(df, s, p, o):
+        return df.select(s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"))
+
+    cust_iri = iri("cust", "c_custkey")
+    supp_iri = iri("supp", "s_suppkey")
+    nat_iri = iri("nation", "n_nationkey")
+    reg_iri = iri("region", "r_regionkey")
+    parts = [
+        spo(customer, cust_iri, "rdf:type", F.lit("ex:Customer")),
+        spo(customer, cust_iri, "ex:inNation", iri("nation", "c_nationkey")),
+        spo(customer, cust_iri, "ex:mktsegment", F.col("c_mktsegment")),
+        spo(customer.filter(F.col("c_acctbal") > 9000),
+            cust_iri, "ex:highBalance", F.lit("true")),
+        spo(supplier, supp_iri, "rdf:type", F.lit("ex:Supplier")),
+        spo(supplier, supp_iri, "ex:inNation", iri("nation", "s_nationkey")),
+        spo(nation, nat_iri, "rdf:type", F.lit("ex:Nation")),
+        spo(nation, nat_iri, "ex:name", F.col("n_name")),
+        spo(nation, nat_iri, "ex:inRegion", iri("region", "n_regionkey")),
+        spo(region, reg_iri, "ex:name", F.col("r_name")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_bgp_star_join(spark, sf_dir):
+    """4-hop chain query: customers in European nations, with the nation
+    name — compiled to self-joins of the single triples relation."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[
+            ("?c", "rdf:type", "ex:Customer"),
+            ("?c", "ex:inNation", "?n"),
+            ("?n", "ex:inRegion", "?r"),
+            ("?r", "ex:name", "EUROPE"),
+            ("?n", "ex:name", "?nname"),
+        ],
+        select=["?c", "?nname"],
+    )
+
+
+def _q_bgp_optional_filter(spark, sf_dir):
+    """OPTIONAL + FILTER: French/German customers, with their
+    highBalance marker when present (NULL otherwise — left-join
+    semantics the oracle reproduces with a CASE over acctbal). The
+    testdata nations are synthetic NATION_<k> names."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[
+            ("?c", "rdf:type", "ex:Customer"),
+            ("?c", "ex:inNation", "?n"),
+            ("?n", "ex:name", "?nname"),
+        ],
+        optional=[("?c", "ex:highBalance", "?hb")],
+        filters=["nname IN ('NATION_3', 'NATION_7')"],
+        select=["?c", "?nname", "?hb"],
+    )
+
+
+def _q_bgp_same_nation_join(spark, sf_dir):
+    """Many-to-many variable join: AUTOMOBILE customers × suppliers
+    sharing a nation — two entity classes meeting on variable ?n."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[
+            ("?c", "rdf:type", "ex:Customer"),
+            ("?c", "ex:mktsegment", "AUTOMOBILE"),
+            ("?c", "ex:inNation", "?n"),
+            ("?s", "rdf:type", "ex:Supplier"),
+            ("?s", "ex:inNation", "?n"),
+        ],
+        select=["?c", "?s", "?n"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG engine operators (SURVEY.md §2)
@@ -1642,6 +1746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_label_propagation": _q_kg_label_propagation,
         "kg_khop_reachability": _q_kg_khop,
+        # BGP (SPARQL-style) pattern queries over the triple-ized KG
+        "bgp_star_join": _q_bgp_star_join,
+        "bgp_optional_filter": _q_bgp_optional_filter,
+        "bgp_same_nation_join": _q_bgp_same_nation_join,
         "events_user_timeline": _q_events_user_timeline,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal binary-column ops
@@ -2753,6 +2861,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE r.hops < 2) "
             "SELECT CAST(vertex AS BIGINT) AS vertex, CAST(MIN(hops) AS BIGINT) AS hops "
             "FROM r GROUP BY vertex"
+        ),
+        # BGP oracles deliberately DON'T triple-ize: they answer the same
+        # question with direct joins over the base tables, so the compiler
+        # and the oracle share no formulation to be wrong together in.
+        "bgp_star_join": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'"
+        ),
+        "bgp_optional_filter": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname, "
+            "CASE WHEN c_acctbal > 9000 THEN 'true' END AS hb "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE n_name IN ('NATION_3', 'NATION_7')"
+        ),
+        "bgp_same_nation_join": (
+            "SELECT 'urn:cust:' || c_custkey AS c, 'urn:supp:' || s_suppkey AS s, "
+            "'urn:nation:' || c_nationkey AS n "
+            "FROM customer JOIN supplier ON c_nationkey = s_nationkey "
+            "WHERE c_mktsegment = 'AUTOMOBILE'"
         ),
         "events_user_timeline": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, "

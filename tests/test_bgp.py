@@ -1,0 +1,137 @@
+"""BGP compiler semantics + plan-shape regressions (bgp.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_rdf_spark.bgp import bgp_query, triples_spo
+
+TRIPLES = [
+    # a tiny social KG
+    ("a", "type", "Person"),
+    ("b", "type", "Person"),
+    ("c", "type", "Person"),
+    ("r", "type", "Robot"),
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("a", "knows", "c"),
+    ("r", "knows", "r"),  # self-loop for repeated-variable test
+    ("a", "name", "Alice"),
+    ("b", "name", "Bob"),
+    # c has no name — OPTIONAL must keep c with NULL
+    ("a", "age", "30"),
+    ("b", "age", "25"),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_single_pattern_constant_pred(kg):
+    out = bgp_query(kg, [("?s", "type", "Person")])
+    assert rows(out) == [("a",), ("b",), ("c",)]
+
+
+def test_chain_join_on_shared_variable(kg):
+    out = bgp_query(kg, [("?x", "knows", "?y"), ("?y", "knows", "?z")],
+                    select=["?x", "?z"])
+    # a→b→c, plus the r self-loop chain r→r→r
+    assert rows(out) == [("a", "c"), ("r", "r")]
+
+
+def test_repeated_variable_in_one_pattern_is_equality(kg):
+    out = bgp_query(kg, [("?x", "knows", "?x")])
+    assert rows(out) == [("r",)]
+
+
+def test_optional_binds_null_for_missing(kg):
+    out = bgp_query(
+        kg,
+        [("?p", "type", "Person")],
+        optional=[("?p", "name", "?n")],
+        select=["?p", "?n"],
+    )
+    assert rows(out) == [("a", "Alice"), ("b", "Bob"), ("c", None)]
+
+
+def test_filter_applies_to_bound_variables(kg):
+    out = bgp_query(
+        kg,
+        [("?p", "type", "Person"), ("?p", "age", "?a")],
+        filters=["a > '26'"],
+        select=["?p"],
+    )
+    assert rows(out) == [("a",)]
+
+
+def test_existence_guard_constant_pattern(kg):
+    hit = bgp_query(kg, [("?p", "type", "Person"), ("a", "knows", "b")])
+    miss = bgp_query(kg, [("?p", "type", "Person"), ("a", "knows", "zzz")])
+    assert hit.count() == 3 and miss.count() == 0
+
+
+def test_disconnected_patterns_cross_product(kg):
+    out = bgp_query(kg, [("?p", "type", "Person"), ("?r", "type", "Robot")])
+    assert out.count() == 3  # 3 persons × 1 robot
+
+
+def test_optional_without_shared_variable_raises(kg):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_query(kg, [("?p", "type", "Person")],
+                  optional=[("?q", "type", "Robot")])
+
+
+def test_select_unbound_variable_raises(kg):
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_query(kg, [("?p", "type", "Person")], select=["?zzz"])
+
+
+def test_distinct_order_limit(kg):
+    out = bgp_query(kg, [("?x", "knows", "?y")], select=["?x"],
+                    distinct=True, order_by=["?x"], limit=2)
+    assert [r[0] for r in out.collect()] == ["a", "b"]
+
+
+def test_triples_spo_adapter(spark):
+    from parser_rdf_spark.schemas import TRIPLES as TRIPLES_SCHEMA
+
+    full = spark.createDataFrame(
+        [("http://d", "_:default", "http://s", "http://p", "iri", "http://o", None, None, 1)],
+        schema=TRIPLES_SCHEMA,
+    )
+    out = triples_spo(full)
+    assert out.columns == ["subj", "pred", "obj"]
+    assert rows(out) == [("http://s", "http://p", "http://o")]
+
+
+# -- plan shape -------------------------------------------------------------
+
+def test_plan_constant_pred_reaches_parquet_pushdown(spark, tmp_path, kg):
+    path = str(tmp_path / "kg.parquet")
+    kg.write.parquet(path)
+    disk = spark.read.parquet(path)
+    plan = bgp_query(disk, [("?s", "type", "Person")])._jdf.queryExecution().executedPlan().toString()
+    # the constant predicate+object filter must be pushed to the scan
+    assert "PushedFilters: [" in plan
+    assert "pred" in plan.split("PushedFilters: [", 1)[1][:200]
+
+
+def test_plan_shared_variable_join_not_cartesian(kg):
+    plan = bgp_query(
+        kg, [("?x", "knows", "?y"), ("?y", "knows", "?z")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_join_order_most_constant_first(kg):
+    # both orders give identical results (compiler may reorder freely)
+    a = bgp_query(kg, [("?c", "knows", "?y"), ("?c", "type", "Person")],
+                  select=["?c", "?y"])
+    b = bgp_query(kg, [("?c", "type", "Person"), ("?c", "knows", "?y")],
+                  select=["?c", "?y"])
+    assert rows(a) == rows(b)
