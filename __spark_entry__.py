@@ -1689,6 +1689,134 @@ def _q_bgp_same_nation_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# incremental maintenance (incremental.py): the Spark side splits the
+# work into prev + delta and merges INCREMENTALLY; the oracle computes
+# the from-scratch answer over the full input — green means incremental
+# maintenance is bit-identical to a full rebuild.
+# ---------------------------------------------------------------------------
+
+def _q_kg_incremental_cc(spark, sf_dir):
+    """Connected components maintained incrementally: full CC on ~3/4 of
+    the event-graph edges, then the remaining quarter merged via the
+    quotient-graph path. Oracle: recursive-CTE CC over ALL edges."""
+    from parser_rdf_spark.incremental import incremental_connected_components
+    from parser_rdf_spark.linking import connected_components
+
+    g = _event_graph(spark, sf_dir)
+    is_delta = (F.col("src") * 31 + F.col("dst")) % 4 == 0
+    prev = connected_components(g.filter(~is_delta))
+    inc = incremental_connected_components(prev, g.filter(is_delta))
+    return inc.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def _delta_triples(spark, sf_dir):
+    """The 're-crawl batch': every custkey % 10 == 0 customer re-asserts
+    only type + an UPDATED segment (its other triples must vanish), and
+    custkey % 100 == 0 spawns a brand-new entity."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recrawled = customer.filter(F.col("c_custkey") % 10 == 0)
+    cust_iri = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    new_iri = F.concat(F.lit("urn:cust:new"), F.col("c_custkey").cast("string"))
+    return (
+        recrawled.select(cust_iri.alias("subj"), F.lit("rdf:type").alias("pred"),
+                         F.lit("ex:Customer").alias("obj"))
+        .unionByName(recrawled.select(cust_iri.alias("subj"),
+                                      F.lit("ex:mktsegment").alias("pred"),
+                                      F.lit("UPDATED").alias("obj")))
+        .unionByName(customer.filter(F.col("c_custkey") % 100 == 0)
+                     .select(new_iri.alias("subj"), F.lit("rdf:type").alias("pred"),
+                             F.lit("ex:Customer").alias("obj")))
+    )
+
+
+def _q_triples_delta_merge(spark, sf_dir):
+    """Replace-by-entity merge of the re-crawl batch into the TPC-H KG:
+    touched subjects keep ONLY their delta triples (stale assertions
+    dropped), untouched subjects carry over, new subjects append."""
+    from parser_rdf_spark.incremental import merge_triples
+
+    return merge_triples(_tpch_triples(spark, sf_dir), _delta_triples(spark, sf_dir),
+                         key="subj")
+
+
+def _q_triples_delta_stats(spark, sf_dir):
+    """Per-batch merge lineage counters (docs updated/added, triples
+    removed/added/carried) — the numbers a production merge job logs."""
+    from parser_rdf_spark.incremental import merge_stats
+
+    return merge_stats(_tpch_triples(spark, sf_dir), _delta_triples(spark, sf_dir),
+                       key="subj")
+
+
+def _q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-style snapshot log driven end-to-end: commit the TPC-H KG
+    (v1), commit the delta-merged KG (v2), roll back to v1 (v3) — then
+    read ALL THREE snapshots after the last commit. Green means old
+    snapshots stay readable (time travel), rollback republishes the old
+    file set, and the merged snapshot equals the oracle's from-scratch
+    merge."""
+    import shutil
+    import tempfile
+
+    from parser_rdf_spark.incremental import merge_triples
+    from parser_rdf_spark.snapshots import SnapshotTable
+
+    out = tempfile.mkdtemp(prefix="snap_tt")
+    try:
+        t = SnapshotTable(out)
+        s1 = t.commit_write(_tpch_triples(spark, sf_dir), mode="overwrite",
+                            operation="initial")
+        merged = merge_triples(t.read(spark, s1), _delta_triples(spark, sf_dir),
+                               key="subj")
+        s2 = t.commit_write(merged, mode="overwrite", operation="merge")
+        s3 = t.rollback(s1)
+        stats = []
+        for sid, op in ((s1, "initial"), (s2, "merge"), (s3, "rollback")):
+            stats.append(
+                t.read(spark, sid).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+                    F.countDistinct("subj").cast("bigint").alias("n_subjects"),
+                ).select(F.lit(sid).cast("bigint").alias("snap"),
+                         F.lit(op).alias("operation"), "n_triples", "n_subjects")
+            )
+        res = stats[0]
+        for s in stats[1:]:
+            res = res.unionByName(s)
+        rows = res.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(
+            rows, "snap bigint, operation string, n_triples bigint, n_subjects bigint"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# SQL mirror of _tpch_triples + _delta_triples for the merge oracles:
+# the oracle re-derives both relations in pure SQL and merges them with
+# NOT IN / UNION ALL — a different mechanism than the engine's
+# anti-join, same contract.
+_TPCH_DELTA_CTE = (
+    "old_t(subj, pred, obj) AS ("
+    "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:inNation', 'urn:nation:' || c_nationkey FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:mktsegment', c_mktsegment FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:highBalance', 'true' FROM customer WHERE c_acctbal > 9000 "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Supplier' FROM supplier "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'ex:inNation', 'urn:nation:' || s_nationkey FROM supplier "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type', 'ex:Nation' FROM nation "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:name', n_name FROM nation "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:inRegion', 'urn:region:' || n_regionkey FROM nation "
+    "UNION ALL SELECT 'urn:region:' || r_regionkey, 'ex:name', r_name FROM region), "
+    "delta(subj, pred, obj) AS ("
+    "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer WHERE c_custkey % 10 = 0 "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:mktsegment', 'UPDATED' FROM customer WHERE c_custkey % 10 = 0 "
+    "UNION ALL SELECT 'urn:cust:new' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer WHERE c_custkey % 100 = 0)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG engine operators (SURVEY.md §2)
@@ -1750,6 +1878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_same_nation_join": _q_bgp_same_nation_join,
+        # incremental maintenance (delta merge + incremental CC)
+        "kg_incremental_cc": _q_kg_incremental_cc,
+        "triples_delta_merge": _q_triples_delta_merge,
+        "triples_delta_stats": _q_triples_delta_stats,
+        "snapshot_time_travel": _q_snapshot_time_travel,
         "events_user_timeline": _q_events_user_timeline,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # multimodal binary-column ops
@@ -2883,6 +3016,48 @@ def oracle_sql() -> dict[str, str]:
             "'urn:nation:' || c_nationkey AS n "
             "FROM customer JOIN supplier ON c_nationkey = s_nationkey "
             "WHERE c_mktsegment = 'AUTOMOBILE'"
+        ),
+        # incremental-CC oracle: from-scratch CC over the FULL edge set —
+        # green pins incremental maintenance == full rebuild
+        "kg_incremental_cc": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT user_id % 997 AS src, "
+            "event_id % 997 AS dst FROM events WHERE user_id % 997 <> event_id % 997), "
+            "sym(a, b) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "reach(v, c) AS (SELECT a, a FROM sym "
+            "UNION SELECT sym.b, reach.c FROM reach JOIN sym ON sym.a = reach.v) "
+            "SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(c) AS BIGINT) AS component "
+            "FROM reach GROUP BY v"
+        ),
+        "triples_delta_merge": (
+            f"WITH {_TPCH_DELTA_CTE} "
+            "SELECT subj, pred, obj FROM old_t "
+            "WHERE subj NOT IN (SELECT subj FROM delta) "
+            "UNION ALL SELECT subj, pred, obj FROM delta"
+        ),
+        "snapshot_time_travel": (
+            f"WITH {_TPCH_DELTA_CTE}, "
+            "merged AS (SELECT subj, pred, obj FROM old_t "
+            "WHERE subj NOT IN (SELECT subj FROM delta) "
+            "UNION ALL SELECT subj, pred, obj FROM delta), "
+            "o AS (SELECT CAST(count(*) AS BIGINT) AS n_triples, "
+            "CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects FROM old_t), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n_triples, "
+            "CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects FROM merged) "
+            "SELECT CAST(1 AS BIGINT) AS snap, 'initial' AS operation, "
+            "n_triples, n_subjects FROM o "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'merge', n_triples, n_subjects FROM m "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'rollback', n_triples, n_subjects FROM o"
+        ),
+        "triples_delta_stats": (
+            f"WITH {_TPCH_DELTA_CTE}, "
+            "delta_keys AS (SELECT DISTINCT subj FROM delta), "
+            "old_keys AS (SELECT DISTINCT subj FROM old_t) "
+            "SELECT "
+            "CAST((SELECT count(*) FROM delta_keys WHERE subj IN (SELECT subj FROM old_keys)) AS BIGINT) AS docs_updated, "
+            "CAST((SELECT count(*) FROM delta_keys WHERE subj NOT IN (SELECT subj FROM old_keys)) AS BIGINT) AS docs_added, "
+            "CAST((SELECT count(*) FROM old_t WHERE subj IN (SELECT subj FROM delta_keys)) AS BIGINT) AS triples_removed, "
+            "CAST((SELECT count(*) FROM delta) AS BIGINT) AS triples_added, "
+            "CAST((SELECT count(*) FROM old_t WHERE subj NOT IN (SELECT subj FROM delta_keys)) AS BIGINT) AS triples_carried"
         ),
         "events_user_timeline": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, "

@@ -128,12 +128,20 @@ class RunResult:
 class GraphWriter:
     """Parquet-backed (Iceberg-layout) writer with bucket-level resume."""
 
+    TABLES = ("triples", "edges", "docmeta", "metrics")
+
     def __init__(self, root: str, url_buckets: int = 8, pred_buckets: int = DEFAULT_PRED_BUCKETS):
+        from .snapshots import ManifestLog
+
         self.root = root
         self.url_buckets = url_buckets
         self.pred_buckets = pred_buckets
         self._ckpt_dir = os.path.join(root, "_checkpoints")
         os.makedirs(self._ckpt_dir, exist_ok=True)
+        # Iceberg-style snapshot log: one commit per completed bucket, so
+        # readers get atomic visibility (a half-written bucket is never in
+        # any manifest) and time travel back to any bucket boundary
+        self.snapshots = ManifestLog(os.path.join(root, "_snapshots"))
         # Pin the bucketing config on first use: resuming with a different
         # url_buckets than the one the checkpoints/staging were written
         # with would silently mix two incompatible bucket layouts.
@@ -343,12 +351,63 @@ class GraphWriter:
             edges.unpersist()
 
             self._mark_processed(b, run_id, n)
+            # snapshot AFTER the bucket checkpoint: the manifest lists the
+            # exact table files on disk now. Earlier buckets' partition
+            # dirs are never rewritten (dynamic overwrite only touches
+            # url_bucket=b, and b is processed at most once per root), so
+            # older manifests stay valid — time travel to any bucket
+            # boundary. An uncommitted (crashed) bucket's files are in no
+            # manifest and get replaced invisibly on re-run.
+            self.snapshots.commit(
+                self._table_files(),
+                "append-bucket",
+                {"url_bucket": b, "run_id": run_id, "n_triples": n},
+            )
             total_triples += n
             processed += 1
 
         if len(self.processed_buckets()) == self.url_buckets:
             self._cleanup_staging()
         return RunResult(run_id, self.url_buckets, processed, skipped, total_triples)
+
+    def _table_files(self) -> list[str]:
+        """Current parquet file listing of every output table, relative to
+        root. Driver-side metadata IO, O(files written so far) — the flat
+        listing an Iceberg manifest-list would store incrementally."""
+        files = []
+        for table in self.TABLES:
+            tdir = os.path.join(self.root, table)
+            for dirpath, _, names in os.walk(tdir):
+                files.extend(
+                    os.path.relpath(os.path.join(dirpath, n), self.root)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        return sorted(files)
+
+    def table_at(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Time-travel read: a table AS OF a bucket-boundary snapshot
+        (default current). Explicit manifest file list + basePath keeps
+        the partition columns."""
+        if table not in self.TABLES:
+            raise ValueError(f"unknown table {table!r}; one of {self.TABLES}")
+        sid = snapshot_id if snapshot_id is not None else self.snapshots.current_id()
+        if sid is None:
+            raise ValueError(f"no snapshot committed yet at {self.root}")
+        prefix = table + os.sep
+        files = [
+            os.path.join(self.root, f)
+            for f in self.snapshots.manifest(sid)["files"]
+            if f.startswith(prefix)
+        ]
+        if not files:
+            raise ValueError(
+                f"snapshot {sid} lists no files for table {table!r} "
+                "(every committed bucket so far wrote zero rows to it)"
+            )
+        return spark.read.option(
+            "basePath", os.path.join(self.root, table)
+        ).parquet(*files)
 
     def edges(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "edges"))
