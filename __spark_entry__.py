@@ -1752,6 +1752,33 @@ def _q_triples_delta_stats(spark, sf_dir):
                        key="subj")
 
 
+def _q_bgp_path_query(spark, sf_dir):
+    """Property paths: a 3-hop SEQUENCE path (inNation/inRegion/name)
+    desugared to a join chain, anchored by an INVERSE-predicate pattern
+    (^ex:mktsegment) — region name for every AUTOMOBILE customer."""
+    from parser_rdf_spark.bgp import bgp_query, seq_path
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[("AUTOMOBILE", "^ex:mktsegment", "?c")]
+        + seq_path("?c", ["ex:inNation", "ex:inRegion", "ex:name"], "?rname"),
+        select=["?c", "?rname"],
+    )
+
+
+def _q_bgp_construct_rewrite(spark, sf_dir):
+    """CONSTRUCT: materialize the inferred ex:inRegion shortcut edge and
+    its ex:hasMember inverse for every entity (customers AND suppliers)
+    with an inNation→inRegion chain — the KG-to-KG rewrite primitive."""
+    from parser_rdf_spark.bgp import bgp_construct
+
+    return bgp_construct(
+        _tpch_triples(spark, sf_dir),
+        patterns=[("?c", "ex:inNation", "?n"), ("?n", "ex:inRegion", "?r")],
+        template=[("?c", "ex:inRegion", "?r"), ("?r", "ex:hasMember", "?c")],
+    )
+
+
 def _q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-style snapshot log driven end-to-end: commit the TPC-H KG
     (v1), commit the delta-merged KG (v2), roll back to v1 (v3) — then
@@ -1878,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_same_nation_join": _q_bgp_same_nation_join,
+        "bgp_path_query": _q_bgp_path_query,
+        "bgp_construct_rewrite": _q_bgp_construct_rewrite,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
         "triples_delta_merge": _q_triples_delta_merge,
@@ -3016,6 +3045,24 @@ def oracle_sql() -> dict[str, str]:
             "'urn:nation:' || c_nationkey AS n "
             "FROM customer JOIN supplier ON c_nationkey = s_nationkey "
             "WHERE c_mktsegment = 'AUTOMOBILE'"
+        ),
+        "bgp_path_query": (
+            "SELECT 'urn:cust:' || c_custkey AS c, r_name AS rname "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_mktsegment = 'AUTOMOBILE'"
+        ),
+        "bgp_construct_rewrite": (
+            "WITH members AS ("
+            "SELECT 'urn:cust:' || c_custkey AS m, 'urn:region:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL "
+            "SELECT 'urn:supp:' || s_suppkey, 'urn:region:' || n_regionkey "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT DISTINCT subj, pred, obj FROM ("
+            "SELECT m AS subj, 'ex:inRegion' AS pred, r AS obj FROM members "
+            "UNION ALL SELECT r, 'ex:hasMember', m FROM members)"
         ),
         # incremental-CC oracle: from-scratch CC over the FULL edge set —
         # green pins incremental maintenance == full rebuild

@@ -134,6 +134,30 @@ def main() -> None:
     ).count()
     queries["link_and_components"] = round(time.time() - t0, 3)
 
+    # q3b: BGP pattern query — a 4-pattern chain (two constant-bound
+    # patterns + a seeAlso hop + a label lookup) compiled to self-joins
+    # over the full parsed triples relation
+    from parser_rdf_spark.bgp import bgp_query, triples_spo
+
+    spo = triples_spo(triples)
+
+    def _q_bgp():
+        out = bgp_query(
+            spo,
+            patterns=[
+                ("?e", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                 "http://www.w3.org/2000/01/rdf-schema#Class"),
+                ("?e", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+                 "http://data.example.org/base"),
+                ("?e", "http://www.w3.org/2000/01/rdf-schema#seeAlso", "?n"),
+                ("?n", "http://www.w3.org/2000/01/rdf-schema#label", "?label"),
+            ],
+            select=["?e", "?label"],
+        )
+        _ = out.count()
+
+    queries["bgp_chain_query"] = _best_of(_q_bgp)
+
     parsed.unpersist()
 
     # q4-q6: training-data ops on the sf tables. The sf tables are single

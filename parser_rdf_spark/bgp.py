@@ -56,14 +56,46 @@ def _var_name(term: str) -> str:
     return name
 
 
-def _pattern_scan(triples: DataFrame, pattern: tuple[str, str, str]) -> tuple[DataFrame, set[str]]:
+def seq_path(subj: str, preds: list[str], obj: str, tag: str = "p") -> list[tuple[str, str, str]]:
+    """SPARQL sequence path ``subj p1/p2/.../pn obj`` desugared into a
+    chain of patterns through fresh intermediate variables (each hop is
+    one more self-join — exactly the cost the explicit syntax shows)."""
+    if not preds:
+        raise ValueError("sequence path needs at least one predicate")
+    out = []
+    cur = subj
+    for i, p in enumerate(preds):
+        nxt = obj if i == len(preds) - 1 else f"?__{tag}{i}"
+        out.append((cur, p, nxt))
+        cur = nxt
+    return out
+
+
+def _pattern_scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set[str]]:
     """One pattern → a filtered projection of the triples relation with
-    variable-named columns. Returns (scan, bound_variable_names)."""
+    variable-named columns. Returns (scan, bound_variable_names).
+
+    Predicate-position path operators (constants only):
+      * alternation — a list/tuple of predicates compiles to one
+        ``isin`` filter (SPARQL ``p1|p2``), still a pushed-down In;
+      * inverse — a ``^p`` predicate swaps the subject/object roles
+        (SPARQL ``^p``), zero extra cost.
+    """
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj): {pattern!r}")
+    s_term, p_term, o_term = pattern
+    if isinstance(p_term, str) and p_term.startswith("^"):
+        s_term, o_term = o_term, s_term
+        p_term = p_term[1:]
+    pattern = (s_term, p_term, o_term)
     scan = triples
     cols: dict[str, F.Column] = {}
     for pos, term in zip(_POSITIONS, pattern):
+        if pos == "pred" and isinstance(term, (list, tuple)):
+            if any(_is_var(t) for t in term):
+                raise ValueError(f"alternation members must be constants: {term!r}")
+            scan = scan.filter(F.col(pos).isin(list(term)))
+            continue
         if _is_var(term):
             name = _var_name(term)
             if name in cols:
@@ -178,3 +210,43 @@ def bgp_query(
     if limit is not None:
         acc = acc.limit(limit)
     return acc
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+    filters: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: run the pattern match, then instantiate
+    ``template`` triples from each solution — the KG-to-KG rewrite
+    primitive (schema alignment, inference materialization, projection
+    of a subgraph). Output is a (subj, pred, obj) relation ready for
+    :func:`bgp_query`, :mod:`.materialize`, or a delta merge.
+
+    Template rows whose terms bind to NULL (an OPTIONAL variable that
+    didn't match) are dropped, per SPARQL semantics. The instantiation
+    is a narrow select + union — all the cost is in the match."""
+    sols = bgp_query(triples, patterns, optional=optional, filters=filters)
+
+    def term_col(term: str) -> F.Column:
+        return F.col(_var_name(term)) if _is_var(term) else F.lit(term)
+
+    parts = []
+    for t in template:
+        if len(t) != 3:
+            raise ValueError(f"template entry must be (subj, pred, obj): {t!r}")
+        row = sols.select(
+            term_col(t[0]).alias("subj"),
+            term_col(t[1]).alias("pred"),
+            term_col(t[2]).alias("obj"),
+        ).filter(
+            F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if distinct else out

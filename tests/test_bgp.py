@@ -135,3 +135,70 @@ def test_join_order_most_constant_first(kg):
     b = bgp_query(kg, [("?c", "type", "Person"), ("?c", "knows", "?y")],
                   select=["?c", "?y"])
     assert rows(a) == rows(b)
+
+
+# -- property paths + CONSTRUCT ---------------------------------------------
+
+def test_predicate_alternation_compiles_to_isin(kg):
+    from parser_rdf_spark.bgp import bgp_query
+
+    out = bgp_query(kg, [("?s", ("name", "age"), "?v")], select=["?s", "?v"])
+    assert rows(out) == [("a", "30"), ("a", "Alice"), ("b", "25"), ("b", "Bob")]
+
+
+def test_inverse_predicate_swaps_roles(kg):
+    from parser_rdf_spark.bgp import bgp_query
+
+    fwd = bgp_query(kg, [("?x", "knows", "?y")], select=["?x", "?y"])
+    inv = bgp_query(kg, [("?y", "^knows", "?x")], select=["?x", "?y"])
+    assert rows(fwd) == rows(inv)
+
+
+def test_sequence_path_desugars_to_chain(kg):
+    from parser_rdf_spark.bgp import bgp_query, seq_path
+
+    out = bgp_query(kg, seq_path("?x", ["knows", "knows"], "?z"),
+                    select=["?x", "?z"])
+    assert rows(out) == [("a", "c"), ("r", "r")]
+
+
+def test_seq_path_single_hop_is_plain_pattern():
+    from parser_rdf_spark.bgp import seq_path
+
+    assert seq_path("?a", ["p"], "?b") == [("?a", "p", "?b")]
+
+
+def test_alternation_with_variable_member_raises(kg):
+    from parser_rdf_spark.bgp import bgp_query
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alternation members"):
+        bgp_query(kg, [("?s", ("name", "?p"), "?v")])
+
+
+def test_construct_instantiates_template(kg):
+    from parser_rdf_spark.bgp import bgp_construct
+
+    out = bgp_construct(
+        kg,
+        patterns=[("?x", "knows", "?y")],
+        template=[("?y", "knownBy", "?x"), ("?x", "type2", "Knower")],
+    )
+    got = rows(out)
+    assert ("b", "knownBy", "a") in got
+    assert ("a", "type2", "Knower") in got
+    # distinct: 'a' knows two people but appears once as Knower
+    assert got.count(("a", "type2", "Knower")) == 1
+
+
+def test_construct_drops_null_bound_template_rows(kg):
+    from parser_rdf_spark.bgp import bgp_construct
+
+    out = bgp_construct(
+        kg,
+        patterns=[("?p", "type", "Person")],
+        optional=[("?p", "name", "?n")],
+        template=[("?p", "hasName", "?n")],
+    )
+    # c has no name -> its template row is dropped
+    assert rows(out) == [("a", "hasName", "Alice"), ("b", "hasName", "Bob")]
