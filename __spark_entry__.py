@@ -1752,6 +1752,41 @@ def _q_triples_delta_stats(spark, sf_dir):
                        key="subj")
 
 
+def _q_stream_incremental_cc(spark, sf_dir):
+    """Continuous component maintenance end-to-end: the event graph's
+    edges arrive as TWO streamed batches (separate availableNow drains
+    against one checkpoint — the second drain resumes and sees only the
+    new file); each batch is merged by quotient-graph incremental CC
+    and committed as a snapshot. The final snapshot must equal
+    from-scratch CC over ALL edges (same recursive-CTE oracle as
+    kg_incremental_cc)."""
+    import shutil
+    import tempfile
+
+    from parser_rdf_spark.snapshots import SnapshotTable
+    from parser_rdf_spark.streaming import component_maintenance
+
+    base = tempfile.mkdtemp(prefix="stream_cc")
+    try:
+        edges_dir = f"{base}/edges"
+        g = _event_graph(spark, sf_dir)
+        is_delta = (F.col("src") * 31 + F.col("dst")) % 4 == 0
+        for batch in (g.filter(~is_delta), g.filter(is_delta)):
+            batch.coalesce(1).write.mode("append").parquet(edges_dir)
+            stream = spark.readStream.schema("src bigint, dst bigint").parquet(edges_dir)
+            q = component_maintenance(stream, f"{base}/labels", f"{base}/ckpt")
+            assert q.awaitTermination(240), "availableNow drain did not finish"
+        table = SnapshotTable(f"{base}/labels")
+        assert len(table.history()) == 2, "expected one snapshot per batch"
+        rows = table.read(spark).select(
+            F.col("vertex").cast("bigint").alias("vertex"),
+            F.col("component").cast("bigint").alias("component"),
+        ).collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(rows, "vertex bigint, component bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_bgp_path_query(spark, sf_dir):
     """Property paths: a 3-hop SEQUENCE path (inNation/inRegion/name)
     desugared to a join chain, anchored by an INVERSE-predicate pattern
@@ -1820,6 +1855,18 @@ def _q_snapshot_time_travel(spark, sf_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+
+# From-scratch connected components over the full event graph — shared
+# by the batch-incremental and streamed-incremental maintenance oracles.
+_FULL_EVENT_CC_SQL = (
+    "WITH RECURSIVE e AS (SELECT DISTINCT user_id % 997 AS src, "
+    "event_id % 997 AS dst FROM events WHERE user_id % 997 <> event_id % 997), "
+    "sym(a, b) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(v, c) AS (SELECT a, a FROM sym "
+    "UNION SELECT sym.b, reach.c FROM reach JOIN sym ON sym.a = reach.v) "
+    "SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(c) AS BIGINT) AS component "
+    "FROM reach GROUP BY v"
+)
 
 # SQL mirror of _tpch_triples + _delta_triples for the merge oracles:
 # the oracle re-derives both relations in pure SQL and merges them with
@@ -1909,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_construct_rewrite": _q_bgp_construct_rewrite,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
+        "stream_incremental_cc": _q_stream_incremental_cc,
         "triples_delta_merge": _q_triples_delta_merge,
         "triples_delta_stats": _q_triples_delta_stats,
         "snapshot_time_travel": _q_snapshot_time_travel,
@@ -3064,17 +3112,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m AS subj, 'ex:inRegion' AS pred, r AS obj FROM members "
             "UNION ALL SELECT r, 'ex:hasMember', m FROM members)"
         ),
-        # incremental-CC oracle: from-scratch CC over the FULL edge set —
-        # green pins incremental maintenance == full rebuild
-        "kg_incremental_cc": (
-            "WITH RECURSIVE e AS (SELECT DISTINCT user_id % 997 AS src, "
-            "event_id % 997 AS dst FROM events WHERE user_id % 997 <> event_id % 997), "
-            "sym(a, b) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
-            "reach(v, c) AS (SELECT a, a FROM sym "
-            "UNION SELECT sym.b, reach.c FROM reach JOIN sym ON sym.a = reach.v) "
-            "SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(c) AS BIGINT) AS component "
-            "FROM reach GROUP BY v"
-        ),
+        # incremental-CC oracles: from-scratch CC over the FULL edge set —
+        # green pins incremental (and streamed-incremental) maintenance
+        # == full rebuild
+        "kg_incremental_cc": _FULL_EVENT_CC_SQL,
+        "stream_incremental_cc": _FULL_EVENT_CC_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -207,3 +207,57 @@ def triple_rates(
         .agg(F.sum("n_triples").alias("triples"), F.count(F.lit(1)).alias("pages"))
         .select(F.col("w.start").alias("window_start"), "format", "triples", "pages")
     )
+
+
+def component_maintenance(
+    edges_stream: DataFrame,
+    labels_root: str,
+    checkpoint_dir: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Continuous connected-components maintenance over a stream of new
+    equivalence edges — the streaming face of stage 3's cross-document
+    IRI resolution. Each micro-batch is a delta merged into the current
+    labelling via the quotient-graph incremental CC
+    (:func:`~.incremental.incremental_connected_components` — work ∝
+    batch, not corpus), and each result is committed as a new snapshot
+    of a :class:`~.snapshots.SnapshotTable`, so readers always see an
+    atomic labelling and can time-travel to any batch boundary. A
+    killed job resumes from the checkpoint with the last committed
+    snapshot intact.
+
+    foreachBatch is at-least-once: a replayed batch re-merges edges the
+    labelling already absorbed, which is a semantic no-op (re-adding a
+    known edge merges nothing), so the committed labelling converges to
+    the batch answer regardless of replays. Returns the StreamingQuery.
+    """
+    from .incremental import incremental_connected_components
+    from .linking import connected_components
+    from .snapshots import SnapshotTable
+
+    table = SnapshotTable(labels_root)
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.current_id() is None:
+            labels = connected_components(batch_df, src_col=src_col, dst_col=dst_col)
+        else:
+            prev = table.read(batch_df.sparkSession)
+            labels = incremental_connected_components(
+                prev, batch_df, src_col=src_col, dst_col=dst_col
+            )
+        table.commit_write(
+            labels.select("vertex", "component", "component_id"),
+            mode="overwrite",
+            operation="cc-batch",
+            summary={"batch_id": int(batch_id)},
+        )
+
+    return (
+        edges_stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
