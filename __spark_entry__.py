@@ -1752,6 +1752,174 @@ def _q_triples_delta_stats(spark, sf_dir):
                        key="subj")
 
 
+def _q_rdfs_inference(spark, sf_dir):
+    """RDFS entailment materialization over the TPC-H KG + a 7-triple
+    ontology: subclass-chain typing (rdfs9/11 through the CLOSED chain
+    Customer⊑Agent⊑Entity), property inheritance (rdfs7:
+    inNation/inRegion ⊑ locatedIn), domain typing (rdfs2), and range
+    typing through the INHERITED property (rdfs3 on locatedIn — only
+    derivable because rdfs7 feeds the range rule). Returns inferred-only
+    triples; the oracle enumerates the consequence set rule-by-rule in
+    SQL over the base tables."""
+    from parser_rdf_spark.inference import rdfs_entailment
+
+    onto = spark.createDataFrame(
+        [
+            ("ex:Customer", "rdfs:subClassOf", "ex:Agent"),
+            ("ex:Supplier", "rdfs:subClassOf", "ex:Agent"),
+            ("ex:Agent", "rdfs:subClassOf", "ex:Entity"),
+            ("ex:inNation", "rdfs:subPropertyOf", "ex:locatedIn"),
+            ("ex:inRegion", "rdfs:subPropertyOf", "ex:locatedIn"),
+            ("ex:locatedIn", "rdfs:range", "ex:Place"),
+            ("ex:inNation", "rdfs:domain", "ex:Resident"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(onto)
+    return rdfs_entailment(
+        kg,
+        vocab={"type": "rdf:type", "subclass": "rdfs:subClassOf",
+               "subprop": "rdfs:subPropertyOf", "domain": "rdfs:domain",
+               "range": "rdfs:range"},
+    )
+
+
+def _q_ntriples_serialize(spark, sf_dir):
+    """Sink-side serialization: the quartet corpus's triples rendered to
+    canonical N-Triples lines by the pure-Column serializer. Oracle: an
+    INDEPENDENT pure-Python formatter over the golden quartet triples
+    (the W3C-verified pure-parse path), emitted as VALUES — the two
+    implementations share no code, and the round-trip law
+    parse(serialize(t)) == t is pinned separately in pytest."""
+    from parser_rdf_spark.serialize import to_ntriples
+
+    return to_ntriples(_quartet_triples(spark)).select(
+        F.substring_index("doc_url", "/", -1).alias("doc"), "line"
+    )
+
+
+def _golden_values_ntriples() -> str:
+    def term(x: str) -> str:
+        return x if x.startswith("_:") else f"<{x}>"
+
+    def fmt(t) -> str:
+        if t.obj_kind == "iri":
+            o = f"<{t.obj_value}>"
+        elif t.obj_kind == "bnode":
+            o = t.obj_value
+        else:
+            s = (t.obj_value.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+            o = f'"{s}"'
+            if t.obj_lang:
+                o += f"@{t.obj_lang}"
+            elif t.obj_datatype:
+                o += f"^^<{t.obj_datatype}>"
+        return f"{term(t.subj)} {term(t.pred)} {o} ."
+
+    rows = [
+        f"({_sql_quote(doc)}, {_sql_quote(fmt(t))})"
+        for doc, t in _golden_quartet_rows()
+    ]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc, line)"
+
+
+def _q_owl_inference(spark, sf_dir):
+    """OWL property-axiom materialization over the TPC-H KG:
+    owl:inverseOf (inNation ⇒ nation hasResident cust/supp),
+    owl:SymmetricProperty (a synthetic region adjacency chain gains its
+    reverse edges), and owl:TransitiveProperty (cust within nation
+    within region closes to cust within region — the instance-level
+    path-doubling loop). Oracle enumerates the consequence set from the
+    base tables."""
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    axioms = spark.createDataFrame(
+        [
+            ("ex:inNation", "owl:inverseOf", "ex:hasResident"),
+            ("ex:within", "rdf:type", "owl:TransitiveProperty"),
+            ("ex:adjacentTo", "rdf:type", "owl:SymmetricProperty"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    within = customer.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("ex:within").alias("pred"),
+        F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).unionByName(nation.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("ex:within").alias("pred"),
+        F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    ))
+    adjacent = region.filter(F.col("r_regionkey") < 4).select(
+        F.concat(F.lit("urn:region:"), F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit("ex:adjacentTo").alias("pred"),
+        F.concat(F.lit("urn:region:"), (F.col("r_regionkey") + 1).cast("string")).alias("obj"),
+    )
+    kg = (
+        _tpch_triples(spark, sf_dir)
+        .unionByName(axioms).unionByName(within).unionByName(adjacent)
+    )
+    return owl_property_entailment(
+        kg,
+        vocab={"type": "rdf:type", "inverse": "owl:inverseOf",
+               "symmetric": "owl:SymmetricProperty",
+               "transitive": "owl:TransitiveProperty"},
+    )
+
+
+def _q_shacl_validation(spark, sf_dir):
+    """SHACL-core validation of the TPC-H KG against 6 shapes covering
+    every constraint kind: minCount (customers lacking highBalance,
+    observed 0), maxCount (suppliers banned from inNation, observed 1),
+    sh:class (mktsegment literals are not typed ex:Segment — and the
+    conforming s-cust-nation shape proves typed values pass), pattern
+    (nation names outside ^NATION_1[0-9]$), and sh:in (region name
+    outside the 4-name enumeration). Oracle enumerates the violation
+    set per shape from the base tables."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from parser_rdf_spark.shacl import shacl_validate
+
+    shape_schema = StructType([
+        StructField("shape_id", StringType()),
+        StructField("target_class", StringType()),
+        StructField("path", StringType()),
+        StructField("min_count", IntegerType()),
+        StructField("max_count", IntegerType()),
+        StructField("node_class", StringType()),
+        StructField("pattern", StringType()),
+        StructField("value_in", ArrayType(StringType())),
+    ])
+    shapes = spark.createDataFrame(
+        [
+            ("s-cust-nation", "ex:Customer", "ex:inNation", 1, 1, "ex:Nation", None, None),
+            ("s-cust-high", "ex:Customer", "ex:highBalance", 1, None, None, None, None),
+            ("s-supp-ban", "ex:Supplier", "ex:inNation", None, 0, None, None, None),
+            ("s-nation-name", "ex:Nation", "ex:name", None, None, None,
+             "^NATION_1[0-9]$", None),
+            ("s-cust-seg", "ex:Customer", "ex:mktsegment", None, None,
+             "ex:Segment", None, None),
+            ("s-region-name", "ex:Region", "ex:name", None, None, None, None,
+             ["AFRICA", "AMERICA", "ASIA", "EUROPE"]),
+        ],
+        shape_schema,
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region_types = region.select(
+        F.concat(F.lit("urn:region:"), F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("ex:Region").alias("obj"),
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(region_types)
+    return shacl_validate(kg, shapes, type_pred="rdf:type")
+
+
 def _q_stream_incremental_cc(spark, sf_dir):
     """Continuous component maintenance end-to-end: the event graph's
     edges arrive as TWO streamed batches (separate availableNow drains
@@ -1954,6 +2122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_same_nation_join": _q_bgp_same_nation_join,
         "bgp_path_query": _q_bgp_path_query,
         "bgp_construct_rewrite": _q_bgp_construct_rewrite,
+        "rdfs_inference": _q_rdfs_inference,
+        "shacl_validation": _q_shacl_validation,
+        "owl_inference": _q_owl_inference,
+        "ntriples_serialize": _q_ntriples_serialize,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
         "stream_incremental_cc": _q_stream_incremental_cc,
@@ -2681,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "w3c_conformance_decisions": _golden_values_w3c(),
         "w3c_turtle_decisions": _golden_values_w3c_turtle(),
         "parse_cross_format_triples": _golden_values_quartet_triples(),
+        "ntriples_serialize": _golden_values_ntriples(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,
         "extract_prefixes": _golden_values_prefixes(),
@@ -3111,6 +3284,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT subj, pred, obj FROM ("
             "SELECT m AS subj, 'ex:inRegion' AS pred, r AS obj FROM members "
             "UNION ALL SELECT r, 'ex:hasMember', m FROM members)"
+        ),
+        # rdfs_inference oracle: the RDFS consequence set enumerated
+        # rule-by-rule in SQL — schema-closure novelties, rdfs7 property
+        # inheritance, rdfs2 domain typing, rdfs3 range typing via the
+        # inherited property, rdfs9 typing through the closed chain
+        "rdfs_inference": (
+            "WITH inferred(subj, pred, obj) AS ("
+            "SELECT 'ex:Customer', 'rdfs:subClassOf', 'ex:Entity' "
+            "UNION ALL SELECT 'ex:Supplier', 'rdfs:subClassOf', 'ex:Entity' "
+            "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:locatedIn', "
+            "'urn:nation:' || c_nationkey FROM customer "
+            "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'ex:locatedIn', "
+            "'urn:nation:' || s_nationkey FROM supplier "
+            "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:locatedIn', "
+            "'urn:region:' || n_regionkey FROM nation "
+            "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Resident' FROM customer "
+            "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Resident' FROM supplier "
+            "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type', 'ex:Place' FROM nation "
+            "UNION ALL SELECT 'urn:region:' || r_regionkey, 'rdf:type', 'ex:Place' FROM region "
+            "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Agent' FROM customer "
+            "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Entity' FROM customer "
+            "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Agent' FROM supplier "
+            "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Entity' FROM supplier) "
+            "SELECT DISTINCT subj, pred, obj FROM inferred"
+        ),
+        # owl_inference oracle: the OWL consequence set enumerated per
+        # axiom — inverse edges, symmetric reverses, transitive shortcut
+        "owl_inference": (
+            "WITH v(subj, pred, obj) AS ("
+            "SELECT 'urn:nation:' || c_nationkey, 'ex:hasResident', "
+            "'urn:cust:' || c_custkey FROM customer "
+            "UNION ALL SELECT 'urn:nation:' || s_nationkey, 'ex:hasResident', "
+            "'urn:supp:' || s_suppkey FROM supplier "
+            "UNION ALL SELECT 'urn:region:' || (r_regionkey + 1), 'ex:adjacentTo', "
+            "'urn:region:' || r_regionkey FROM region WHERE r_regionkey < 4 "
+            "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:within', "
+            "'urn:region:' || n_regionkey FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT DISTINCT subj, pred, obj FROM v"
+        ),
+        # shacl_validation oracle: the violation set enumerated per shape
+        # from the base tables (conforming shapes contribute nothing)
+        "shacl_validation": (
+            "WITH v(shape_id, focus, \"constraint\", value, observed) AS ("
+            "SELECT 's-cust-high', 'urn:cust:' || c_custkey, 'minCount', "
+            "CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM customer WHERE c_acctbal <= 9000 "
+            "UNION ALL SELECT 's-supp-ban', 'urn:supp:' || s_suppkey, 'maxCount', "
+            "NULL, CAST(1 AS BIGINT) FROM supplier "
+            "UNION ALL SELECT 's-nation-name', 'urn:nation:' || n_nationkey, 'pattern', "
+            "n_name, NULL FROM nation WHERE NOT regexp_matches(n_name, '^NATION_1[0-9]$') "
+            "UNION ALL SELECT 's-cust-seg', 'urn:cust:' || c_custkey, 'class', "
+            "c_mktsegment, NULL FROM customer "
+            "UNION ALL SELECT 's-region-name', 'urn:region:' || r_regionkey, 'in', "
+            "r_name, NULL FROM region "
+            "WHERE r_name NOT IN ('AFRICA', 'AMERICA', 'ASIA', 'EUROPE')) "
+            "SELECT shape_id, focus, \"constraint\", value, "
+            "CAST(observed AS BIGINT) AS observed FROM v"
         ),
         # incremental-CC oracles: from-scratch CC over the FULL edge set —
         # green pins incremental (and streamed-incremental) maintenance

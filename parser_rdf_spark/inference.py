@@ -1,0 +1,277 @@
+"""RDFS entailment materialization: schema closure + instance inference
+as DataFrame joins.
+
+The reference extracts ontology structure (classes, properties,
+subClassOf chains — reference src/Extractors/ClassExtractor.php:90,
+PropertyExtractor.php:101) but never APPLIES it; at KG-construction
+scale the standard next step is materializing the RDFS consequences so
+downstream queries don't re-derive them per query. This module
+implements the core RDFS rule set over the generic (subj, pred, obj)
+relation:
+
+  rdfs5   subPropertyOf transitivity          (schema × schema)
+  rdfs7   x p1 y, p1 subPropertyOf p2 ⇒ x p2 y  (instance × schema)
+  rdfs11  subClassOf transitivity             (schema × schema)
+  rdfs9   x type C, C subClassOf D ⇒ x type D (instance × schema)
+  rdfs2   x p y, p domain C ⇒ x type C        (instance × schema)
+  rdfs3   x p y, p range C ⇒ y type C         (instance × schema)
+
+Scale shape: the SCHEMA relations (subClassOf / subPropertyOf / domain /
+range) are ontology-sized — thousands of rows against 10^12 instance
+rows — so every instance-side rule is one broadcast hash join of the
+closed schema onto the instance scan, no instance-side shuffle at all.
+Only the schema closure iterates, via path-doubling self-joins
+(O(log diameter) rounds) with per-round localCheckpoint — the same
+pattern as connected components, on the tiny side of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+
+
+def transitive_closure(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of an ontology-sized relation by path doubling:
+    each round unions paths of length ≤2^k (closure ⋈ closure), so a
+    chain of diameter d closes in ⌈log2 d⌉ rounds. Reflexive pairs are
+    not added; cycles are safe (closure saturates). Intended for SCHEMA
+    relations — the closure is materialized and broadcast onto instance
+    data, never computed over instances."""
+    cur = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = cur.count()
+    for _ in range(max_iters):
+        hop = (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        nxt = (
+            cur.unionByName(hop)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = nxt.count()
+        cur = nxt
+        if n2 == n:
+            break
+        n = n2
+    return cur
+
+
+def _schema(triples: DataFrame, pred: str) -> DataFrame:
+    return triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+
+
+_DEFAULT_VOCAB = {
+    "type": RDF_TYPE,
+    "subclass": RDFS_SUBCLASS,
+    "subprop": RDFS_SUBPROP,
+    "domain": RDFS_DOMAIN,
+    "range": RDFS_RANGE,
+}
+
+
+def rdfs_entailment(
+    triples: DataFrame,
+    include_schema_closure: bool = True,
+    vocab: dict[str, str] | None = None,
+) -> DataFrame:
+    """Materialize the RDFS consequences of ``triples`` (generic
+    (subj, pred, obj) relation). Returns ONLY the newly inferred
+    triples — rows already asserted are subtracted — so callers can
+    audit, merge (:func:`.incremental.merge_triples` semantics don't
+    apply — inference is additive, use a plain union+distinct), or
+    count inferences per rule family.
+
+    One pass, not a fixpoint over instances: the schema relations are
+    closed first (so chained subClassOf/subPropertyOf resolve fully),
+    then rdfs7 runs before rdfs2/3/9 and the freshly-derived property
+    assertions feed the domain/range/type rules — which makes the
+    single pass complete for the rule set above (derived triples are
+    all ``rdf:type`` assertions, and no rule here consumes a type
+    assertion it didn't already see: type-chaining through subClassOf
+    is closed because the CLASS closure, not iteration, supplies the
+    transitive step).
+
+    ``vocab`` overrides the rule predicates (keys: type, subclass,
+    subprop, domain, range) for graphs using compact or non-RDFS
+    vocabularies; defaults are the full RDF/RDFS IRIs.
+    """
+    v = {**_DEFAULT_VOCAB, **(vocab or {})}
+    RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP = v["type"], v["subclass"], v["subprop"]
+    subclass = transitive_closure(_schema(triples, RDFS_SUBCLASS))
+    subprop = transitive_closure(_schema(triples, RDFS_SUBPROP))
+    domain = _schema(triples, v["domain"])
+    rng = _schema(triples, v["range"])
+
+    inst = triples.select("subj", "pred", "obj")
+
+    # rdfs7: property inheritance (broadcast the closed subproperty map)
+    inherited = (
+        inst.join(F.broadcast(subprop), inst.pred == subprop.src)
+        .select("subj", F.col("dst").alias("pred"), "obj")
+    )
+    # every non-type assertion, including inherited ones, feeds domain/range
+    assertions = inst.filter(F.col("pred") != RDF_TYPE).unionByName(inherited)
+
+    # rdfs2/rdfs3: domain/range typing
+    dom_types = (
+        assertions.join(F.broadcast(domain), assertions.pred == domain.src)
+        .select("subj", F.lit(RDF_TYPE).alias("pred"), F.col("dst").alias("obj"))
+    )
+    rng_types = (
+        assertions.join(F.broadcast(rng), assertions.pred == rng.src)
+        .select(F.col("obj").alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+                F.col("dst").alias("obj"))
+    )
+
+    # rdfs9: type inheritance through the CLOSED subclass relation, fed
+    # by asserted types AND the domain/range-derived ones
+    types = (
+        inst.filter(F.col("pred") == RDF_TYPE)
+        .unionByName(dom_types)
+        .unionByName(rng_types)
+    )
+    super_types = (
+        types.join(F.broadcast(subclass), types.obj == subclass.src)
+        .select("subj", F.lit(RDF_TYPE).alias("pred"), F.col("dst").alias("obj"))
+    )
+
+    inferred = inherited.unionByName(dom_types).unionByName(rng_types).unionByName(super_types)
+    if include_schema_closure:
+        inferred = inferred.unionByName(
+            subclass.select("src", F.lit(RDFS_SUBCLASS).alias("pred"), "dst")
+            .toDF("subj", "pred", "obj")
+        ).unionByName(
+            subprop.select("src", F.lit(RDFS_SUBPROP).alias("pred"), "dst")
+            .toDF("subj", "pred", "obj")
+        )
+    return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+
+OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+
+_OWL_VOCAB = {
+    "type": RDF_TYPE,
+    "inverse": OWL_INVERSE,
+    "symmetric": OWL_SYMMETRIC,
+    "transitive": OWL_TRANSITIVE,
+}
+
+
+def owl_property_entailment(
+    triples: DataFrame,
+    vocab: dict[str, str] | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Materialize the OWL property-axiom consequences of ``triples``:
+
+      inverseOf   p owl:inverseOf q, x p y ⇒ y q x  (both directions)
+      symmetric   p a owl:SymmetricProperty, x p y ⇒ y p x
+      transitive  p a owl:TransitiveProperty ⇒ closure of p's edges
+
+    Returns inferred-only triples (asserted subtracted), same contract
+    as :func:`rdfs_entailment`; ``vocab`` overrides the axiom
+    predicates (keys: type, inverse, symmetric, transitive).
+
+    Scale shape: axiom relations are ontology-sized (broadcast);
+    inverse/symmetric are one broadcast join each — a pure map over the
+    instance scan. TRANSITIVE closure runs per declared-transitive
+    predicate over that predicate's instance edges via the same
+    path-doubling loop as the schema closure — at 10^12 scale a
+    transitive predicate's edge set is the one genuinely iterative
+    instance workload here, and the doubling keeps it to O(log
+    diameter) shuffle rounds (each round one self-join + distinct).
+    Inverse/symmetric consequences feed the transitive closure (the one
+    cross-rule dependency that matters: p symmetric + transitive must
+    close over BOTH edge directions). Reflexive consequences of cycles
+    (x p ... p x ⇒ x p x) are deliberately not emitted, matching
+    :func:`transitive_closure`.
+    """
+    v = {**_OWL_VOCAB, **(vocab or {})}
+    inst = triples.select("subj", "pred", "obj")
+
+    inv = _schema(triples, v["inverse"])
+    # inverseOf is symmetric in its arguments: close both directions
+    inv_both = inv.unionByName(
+        inv.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    inv_inferred = (
+        inst.join(F.broadcast(inv_both), inst.pred == inv_both.src)
+        .select(F.col("obj").alias("subj"), F.col("dst").alias("pred"),
+                F.col("subj").alias("obj"))
+    )
+
+    sym_preds = (
+        triples.filter((F.col("pred") == v["type"]) & (F.col("obj") == v["symmetric"]))
+        .select(F.col("subj").alias("p"))
+        .distinct()
+    )
+    sym_inferred = (
+        inst.join(F.broadcast(sym_preds), inst.pred == sym_preds.p)
+        .select(F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"))
+    )
+
+    # transitive: close each declared predicate over asserted + the
+    # inverse/symmetric-derived edges of that predicate
+    trans_preds = (
+        triples.filter((F.col("pred") == v["type"]) & (F.col("obj") == v["transitive"]))
+        .select(F.col("subj").alias("p"))
+        .distinct()
+    )
+    base = (
+        inst.unionByName(inv_inferred)
+        .unionByName(sym_inferred)
+        .join(F.broadcast(trans_preds), F.col("pred") == F.col("p"))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    # closure is PER PREDICATE: one doubling loop with pred in the join key
+    cur = base.localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iters):
+        hop = (
+            cur.alias("a")
+            .join(
+                cur.alias("b"),
+                (F.col("a.obj") == F.col("b.subj")) & (F.col("a.pred") == F.col("b.pred")),
+            )
+            .select(F.col("a.subj").alias("subj"), F.col("a.pred").alias("pred"),
+                    F.col("b.obj").alias("obj"))
+        )
+        nxt = (
+            cur.unionByName(hop)
+            .filter(F.col("subj") != F.col("obj"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = nxt.count()
+        cur = nxt
+        if n2 == n:
+            break
+        n = n2
+
+    inferred = inv_inferred.unionByName(sym_inferred).unionByName(cur)
+    return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")

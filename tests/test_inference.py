@@ -1,0 +1,160 @@
+"""RDFS entailment rules + schema transitive closure (inference.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parser_rdf_spark.inference import rdfs_entailment, transitive_closure
+
+VOCAB = {"type": "a", "subclass": "sub", "subprop": "subp",
+         "domain": "dom", "range": "rng"}
+
+SCHEMA = "subj string, pred string, obj string"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def pairs(df):
+    return sorted((r.src, r.dst) for r in df.collect())
+
+
+def test_transitive_closure_chain(spark):
+    p = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert pairs(transitive_closure(p)) == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")
+    ]
+
+
+def test_transitive_closure_cycle_saturates(spark):
+    p = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    # closure of a 2-cycle: both cross pairs, no reflexive rows
+    assert pairs(transitive_closure(p)) == [("a", "b"), ("b", "a")]
+
+
+def _kg(spark, extra=()):
+    base = [
+        # schema
+        ("Student", "sub", "Person"),
+        ("Person", "sub", "Agent"),
+        ("enrolledAt", "subp", "memberOf"),
+        ("memberOf", "dom", "Member"),
+        ("memberOf", "rng", "Org"),
+        # instances
+        ("alice", "a", "Student"),
+        ("alice", "enrolledAt", "mit"),
+        ("bob", "a", "Agent"),
+    ]
+    return spark.createDataFrame(list(base) + list(extra), SCHEMA)
+
+
+def test_rdfs9_type_inheritance_through_closed_chain(spark):
+    inf = rows(rdfs_entailment(_kg(spark), vocab=VOCAB, include_schema_closure=False))
+    assert ("alice", "a", "Person") in inf
+    assert ("alice", "a", "Agent") in inf  # needs the CLOSED subclass chain
+    assert ("bob", "a", "Agent") not in inf  # already asserted → subtracted
+
+
+def test_rdfs7_property_inheritance(spark):
+    inf = rows(rdfs_entailment(_kg(spark), vocab=VOCAB, include_schema_closure=False))
+    assert ("alice", "memberOf", "mit") in inf
+
+
+def test_rdfs2_3_domain_range_via_inherited_property(spark):
+    # alice only asserts enrolledAt; domain/range live on the SUPER
+    # property — the inherited assertion must feed the typing rules
+    inf = rows(rdfs_entailment(_kg(spark), vocab=VOCAB, include_schema_closure=False))
+    assert ("alice", "a", "Member") in inf
+    assert ("mit", "a", "Org") in inf
+
+
+def test_schema_closure_rows_emitted_once(spark):
+    inf = rdfs_entailment(_kg(spark), vocab=VOCAB, include_schema_closure=True)
+    got = rows(inf)
+    assert ("Student", "sub", "Agent") in got  # new transitive edge
+    assert ("Student", "sub", "Person") not in got  # asserted → subtracted
+
+
+def test_inferred_disjoint_from_asserted_and_distinct(spark):
+    inf = rdfs_entailment(_kg(spark), vocab=VOCAB)
+    asserted = _kg(spark)
+    assert inf.join(asserted, ["subj", "pred", "obj"], "left_semi").count() == 0
+    assert inf.count() == inf.distinct().count()
+
+
+def test_default_vocab_full_iris(spark):
+    t = spark.createDataFrame(
+        [
+            ("C", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "D"),
+            ("x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "C"),
+        ],
+        SCHEMA,
+    )
+    inf = rows(rdfs_entailment(t, include_schema_closure=False))
+    assert inf == [("x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "D")]
+
+
+# -- OWL property entailment ------------------------------------------------
+
+OWL_VOCAB = {"type": "a", "inverse": "inv", "symmetric": "Sym", "transitive": "Trans"}
+
+
+def _owl_kg(spark, extra=()):
+    from parser_rdf_spark.inference import owl_property_entailment  # noqa: F401
+
+    base = [
+        ("hasPart", "inv", "partOf"),
+        ("adjacentTo", "a", "Sym"),
+        ("ancestorOf", "a", "Trans"),
+        ("car", "hasPart", "engine"),
+        ("wheel", "partOf", "car"),
+        ("fr", "adjacentTo", "de"),
+        ("x", "ancestorOf", "y"),
+        ("y", "ancestorOf", "z"),
+        ("z", "ancestorOf", "w"),
+    ]
+    return spark.createDataFrame(list(base) + list(extra), SCHEMA)
+
+
+def test_owl_inverse_both_directions(spark):
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    inf = rows(owl_property_entailment(_owl_kg(spark), vocab=OWL_VOCAB))
+    assert ("engine", "partOf", "car") in inf       # p -> inverse
+    assert ("car", "hasPart", "wheel") in inf       # inverse -> p
+
+
+def test_owl_symmetric(spark):
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    inf = rows(owl_property_entailment(_owl_kg(spark), vocab=OWL_VOCAB))
+    assert ("de", "adjacentTo", "fr") in inf
+
+
+def test_owl_transitive_closure_full_chain(spark):
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    inf = rows(owl_property_entailment(_owl_kg(spark), vocab=OWL_VOCAB))
+    for pair in (("x", "z"), ("x", "w"), ("y", "w")):
+        assert (pair[0], "ancestorOf", pair[1]) in inf
+    # asserted hops are subtracted
+    assert ("x", "ancestorOf", "y") not in inf
+
+
+def test_owl_symmetric_plus_transitive_interplay(spark):
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    kg = _owl_kg(spark, extra=[
+        ("near", "a", "Sym"), ("near", "a", "Trans"),
+        ("p1", "near", "p2"), ("p3", "near", "p2"),
+    ])
+    inf = rows(owl_property_entailment(kg, vocab=OWL_VOCAB))
+    # p1-p2 symmetric + p2-p3 (from symmetry of p3-p2) chain to p1-p3
+    assert ("p1", "near", "p3") in inf and ("p3", "near", "p1") in inf
+
+
+def test_owl_no_axioms_no_inferences(spark):
+    from parser_rdf_spark.inference import owl_property_entailment
+
+    t = spark.createDataFrame([("a", "p", "b")], SCHEMA)
+    assert owl_property_entailment(t, vocab=OWL_VOCAB).count() == 0
