@@ -1784,6 +1784,15 @@ def _q_rdfs_inference(spark, sf_dir):
     )
 
 
+def _q_kg_statistics(spark, sf_dir):
+    """Stats-collection pass over the TPC-H KG: per-predicate counts,
+    subject/object NDVs, and integer-div fanout — the numbers a BGP
+    join-order heuristic consumes. Oracle: plain GROUP BY."""
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    return predicate_statistics(_tpch_triples(spark, sf_dir))
+
+
 def _q_ntriples_serialize(spark, sf_dir):
     """Sink-side serialization: the quartet corpus's triples rendered to
     canonical N-Triples lines by the pure-Column serializer. Oracle: an
@@ -2126,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
         "ntriples_serialize": _q_ntriples_serialize,
+        "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
         "stream_incremental_cc": _q_stream_incremental_cc,
@@ -3308,6 +3318,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Agent' FROM supplier "
             "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Entity' FROM supplier) "
             "SELECT DISTINCT subj, pred, obj FROM inferred"
+        ),
+        "kg_statistics": (
+            f"WITH {_TPCH_DELTA_CTE} "
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples, "
+            "CAST(count(DISTINCT subj) AS BIGINT) AS ndv_subj, "
+            "CAST(count(DISTINCT obj) AS BIGINT) AS ndv_obj, "
+            "CAST((count(*) * 1000000) // count(DISTINCT subj) AS BIGINT) AS fanout_micro "
+            "FROM old_t GROUP BY pred"
         ),
         # owl_inference oracle: the OWL consequence set enumerated per
         # axiom — inverse edges, symmetric reverses, transitive shortcut

@@ -158,6 +158,45 @@ def main() -> None:
 
     queries["bgp_chain_query"] = _best_of(_q_bgp)
 
+    # q3c: SHACL validation + predicate statistics over the full corpus —
+    # ontology-sized shapes broadcast onto the instance scan (the
+    # data-quality gate + the stats pass a production deployment
+    # schedules after each merge)
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from parser_rdf_spark.graphops import predicate_statistics
+    from parser_rdf_spark.shacl import shacl_validate
+
+    shape_schema = StructType([
+        StructField("shape_id", StringType()),
+        StructField("target_class", StringType()),
+        StructField("path", StringType()),
+        StructField("min_count", IntegerType()),
+        StructField("max_count", IntegerType()),
+        StructField("node_class", StringType()),
+        StructField("pattern", StringType()),
+        StructField("value_in", ArrayType(StringType())),
+    ])
+    shapes = spark.createDataFrame(
+        [
+            ("s-label", "http://www.w3.org/2000/01/rdf-schema#Class",
+             "http://www.w3.org/2000/01/rdf-schema#label", 1, None, None,
+             "^Entity [0-9]+$", None),
+            ("s-parent", "http://www.w3.org/2000/01/rdf-schema#Class",
+             "http://www.w3.org/2000/01/rdf-schema#subClassOf", None, 1,
+             None, None, None),
+        ],
+        shape_schema,
+    )
+
+    def _q_shacl():
+        _ = shacl_validate(spo, shapes).count()
+        _ = predicate_statistics(spo).count()
+
+    queries["shacl_stats"] = _best_of(_q_shacl)
+
     parsed.unpersist()
 
     # q4-q6: training-data ops on the sf tables. The sf tables are single

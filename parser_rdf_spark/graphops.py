@@ -274,3 +274,30 @@ def khop_reachability(
         frontier = nxt.select("vertex")
     e.unpersist()
     return reached
+
+
+def predicate_statistics(triples: DataFrame) -> DataFrame:
+    """Planner-style statistics over the triples relation: per predicate,
+    the triple count, distinct subject/object counts, and the average
+    out-fanout in integer micro-units (n_triples/ndv_subj — the number a
+    BGP join-order heuristic actually wants). ONE shuffle (groupBy pred
+    with count + two count_distinct partial aggregates); at 10^12 rows
+    swap count_distinct for approx_count_distinct and keep the plan.
+
+    This is the stats-collection pass a production deployment schedules
+    after each merge — bgp_query's most-constant-first ordering is the
+    static heuristic; these are the numbers that would replace it."""
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+            F.countDistinct("subj").cast("bigint").alias("ndv_subj"),
+            F.countDistinct("obj").cast("bigint").alias("ndv_obj"),
+        )
+        .withColumn(
+            "fanout_micro",
+            # integer `div`: identical semantics to DuckDB's `//` (float
+            # division + cast disagrees between engines at .5 boundaries)
+            F.expr("(n_triples * 1000000) div ndv_subj").cast("bigint"),
+        )
+    )

@@ -61,22 +61,40 @@ def shacl_validate(
         F.col("subj").alias("t_subj"), F.col("obj").alias("t_class")
     )
 
-    # focus nodes: one broadcast join of the ontology-sized shape table
+    # focus nodes: one broadcast join of the ontology-sized shape table.
+    # DISTINCT because focus nodes are a SET — the corpus-level graph is
+    # a union of per-document graphs, so (x, type, C) can be asserted by
+    # thousands of documents, and a non-distinct focus side would join
+    # quadratically against equally-duplicated value triples (measured:
+    # 5e8 rows on the 200k-doc bench corpus before the fix)
     focus = (
         types.join(
             F.broadcast(shapes),
             types.t_class == shapes.target_class,
         )
         .select(F.col("t_subj").alias("focus"), *_SHAPE_COLS)
+        .distinct()
     )
 
-    # gather values: equi-join on the composite (subj, pred) key
-    vals = focus.join(
+    # gather values: prune the value side to shape paths first (broadcast
+    # semi-join — constant predicates also prune pred_bucket partitions
+    # on the materialized edge table), THEN collapse duplicate assertions
+    # (RDF graphs are triple SETS; SHACL cardinalities count value NODES,
+    # not assertion copies), then one equi-join on (subj, pred)
+    rel = (
         triples.select(
             F.col("subj").alias("v_subj"),
             F.col("pred").alias("v_pred"),
             F.col("obj").alias("value"),
-        ),
+        )
+        .join(
+            F.broadcast(shapes.select(F.col("path").alias("v_pred")).distinct()),
+            "v_pred", "left_semi",
+        )
+        .distinct()
+    )
+    vals = focus.join(
+        rel,
         (F.col("focus") == F.col("v_subj")) & (F.col("path") == F.col("v_pred")),
         "left",
     ).drop("v_subj", "v_pred")

@@ -198,6 +198,23 @@ class SnapshotTable:
         return spark.read.option("basePath", self._data).parquet(*files)
 
     # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int,
+                partition_by: list[str] | None = None) -> int:
+        """Small-file compaction: rewrite the CURRENT snapshot's rows into
+        ``target_files`` files and commit the rewrite as a new snapshot
+        (operation='compaction') — contents identical, history intact,
+        the old small files reclaimed by the next expire_snapshots().
+        The streaming/bucketed writers naturally accrete many small
+        files; at scale this is the scheduled maintenance job that keeps
+        scan task counts (and parquet footer overhead) bounded."""
+        df = self.read(spark).coalesce(target_files)
+        before = len(self.manifest(self.current_id())["files"])
+        return self.commit_write(
+            df, mode="overwrite", operation="compaction",
+            summary={"files_before": before, "target_files": target_files},
+            partition_by=partition_by,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` reachable snapshots, plus
         orphans older than the kept window, and delete data directories

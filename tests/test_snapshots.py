@@ -162,3 +162,21 @@ def test_manifest_log_unknown_table_raises(spark, tmp_path):
 def test_manifest_log_empty_history(tmp_path):
     log = ManifestLog(str(tmp_path / "m"))
     assert log.current_id() is None and log.history() == []
+
+
+def test_compaction_rewrites_identically_and_expire_reclaims(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").repartition(8)
+    s1 = t.commit_write(df, mode="overwrite")
+    n_before = len(t.manifest(s1)["files"])
+    assert n_before == 8
+    s2 = t.compact(spark, target_files=2)
+    m2 = t.manifest(s2)
+    assert m2["operation"] == "compaction"
+    assert m2["summary"]["files_before"] == 8
+    assert len(m2["files"]) <= 2
+    assert vset(t.read(spark)) == list(range(100))      # identical content
+    assert vset(t.read(spark, s1)) == list(range(100))  # old snapshot intact
+    t.expire_snapshots(keep_last=1)
+    assert sorted(os.listdir(t._data)) == [f"snap-{s2}"]
+    assert vset(t.read(spark)) == list(range(100))
