@@ -71,9 +71,21 @@ def seq_path(subj: str, preds: list[str], obj: str, tag: str = "p") -> list[tupl
     return out
 
 
-def _pattern_scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set[str]]:
+def _pattern_scan(triples: DataFrame, pattern: tuple,
+                  dedup: bool = True) -> tuple[DataFrame, set[str]]:
     """One pattern → a filtered projection of the triples relation with
     variable-named columns. Returns (scan, bound_variable_names).
+
+    ``dedup`` collapses each scan to distinct (subj, pred, obj) rows
+    AFTER the constant filters and BEFORE the variable projection: RDF
+    graphs are triple SETS, but a corpus-level relation unions
+    per-document graphs, so a hot subject's (x, type, C) row can repeat
+    thousands of times and a multiset join squares it (the same failure
+    mode measured in shacl_validate: 5e8-row join on the 200k-doc bench
+    corpus). Deduping post-filter keeps the exchange output-sized for
+    constant-bound patterns while preserving SPARQL solution
+    multiplicities (dedup at triple granularity, not binding
+    granularity).
 
     Predicate-position path operators (constants only):
       * alternation — a list/tuple of predicates compiles to one
@@ -108,8 +120,10 @@ def _pattern_scan(triples: DataFrame, pattern: tuple) -> tuple[DataFrame, set[st
     if not cols:
         # fully-constant pattern: an existence test; bind a constant-free
         # marker column so the join below degenerates to a cross with a
-        # 0-or-1-row side (AQE broadcasts it)
+        # 0-or-1-row side (AQE broadcasts it); limit(1) makes dedup moot
         return scan.select(F.lit(1).alias("__exists")).limit(1), set()
+    if dedup:
+        scan = scan.dropDuplicates(["subj", "pred", "obj"])
     return scan.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
 
 
@@ -146,6 +160,7 @@ def bgp_query(
     distinct: bool = False,
     order_by: list[str] | None = None,
     limit: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Compile a basic graph pattern to a DataFrame over ``triples``.
 
@@ -162,6 +177,12 @@ def bgp_query(
     cheap selectivity proxy — every constant is a pushed-down equality
     on the scan), with ties kept in user order; AQE re-plans the
     physical side at runtime, so this only needs to be roughly right.
+
+    ``dedup=True`` (default) collapses each pattern scan to distinct
+    triples — required for corpus-level relations, which union
+    per-document graphs (see :func:`_pattern_scan`); pass False only
+    when the input is already a triple SET and the extra per-scan
+    exchange should be skipped.
     """
     if not patterns:
         raise ValueError("at least one required pattern")
@@ -176,11 +197,11 @@ def bgp_query(
     acc: DataFrame | None = None
     bound: set[str] = set()
     for _, pat in ordered:
-        scan, scan_vars = _pattern_scan(triples, pat)
+        scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
         acc, bound = _join_patterns(acc, bound, scan, scan_vars, "inner")
 
     for pat in optional or []:
-        scan, scan_vars = _pattern_scan(triples, pat)
+        scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
         new_vars = scan_vars - bound
         if not (scan_vars & bound):
             raise ValueError(
@@ -219,6 +240,7 @@ def bgp_construct(
     optional: list[tuple[str, str, str]] | None = None,
     filters: list[str] | None = None,
     distinct: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: run the pattern match, then instantiate
     ``template`` triples from each solution — the KG-to-KG rewrite
@@ -229,7 +251,8 @@ def bgp_construct(
     Template rows whose terms bind to NULL (an OPTIONAL variable that
     didn't match) are dropped, per SPARQL semantics. The instantiation
     is a narrow select + union — all the cost is in the match."""
-    sols = bgp_query(triples, patterns, optional=optional, filters=filters)
+    sols = bgp_query(triples, patterns, optional=optional, filters=filters,
+                     dedup=dedup)
 
     def term_col(term: str) -> F.Column:
         return F.col(_var_name(term)) if _is_var(term) else F.lit(term)

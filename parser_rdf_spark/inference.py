@@ -77,9 +77,12 @@ def transitive_closure(
 
 
 def _schema(triples: DataFrame, pred: str) -> DataFrame:
+    # distinct: corpus-level relations union per-document graphs, and a
+    # domain/range axiom asserted by N docs would otherwise inflate every
+    # broadcast-join output N× (set semantics, same discipline as shacl)
     return triples.filter(F.col("pred") == pred).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
+    ).distinct()
 
 
 _DEFAULT_VOCAB = {

@@ -202,3 +202,18 @@ def test_construct_drops_null_bound_template_rows(kg):
     )
     # c has no name -> its template row is dropped
     assert rows(out) == [("a", "hasName", "Alice"), ("b", "hasName", "Bob")]
+
+
+def test_multiset_input_deduped_to_set_semantics(spark, kg):
+    # corpus-level relations union per-document graphs: the same triple
+    # asserted 500x must not square the join (and must not multiply
+    # solutions)
+    noisy = kg.unionByName(
+        spark.createDataFrame(
+            [("a", "type", "Person")] * 500 + [("a", "name", "Alice")] * 500,
+            "subj string, pred string, obj string",
+        )
+    )
+    out = bgp_query(noisy, [("?p", "type", "Person"), ("?p", "name", "?n")],
+                    select=["?p", "?n"])
+    assert rows(out) == [("a", "Alice"), ("b", "Bob")]
