@@ -1991,6 +1991,104 @@ def _q_bgp_construct_rewrite(spark, sf_dir):
     )
 
 
+def _q_bgp_union_query(spark, sf_dir):
+    """SPARQL UNION: customers (with their market segment) unioned with
+    suppliers — branches bind different variable sets, so the supplier
+    branch's ?seg is NULL-filled, per union semantics. Multiset union:
+    zero extra shuffles beyond each branch's own joins."""
+    from parser_rdf_spark.bgp import bgp_union
+
+    return bgp_union(
+        _tpch_triples(spark, sf_dir),
+        [
+            {"patterns": [("?m", "rdf:type", "ex:Customer"),
+                          ("?m", "ex:mktsegment", "?seg")]},
+            {"patterns": [("?m", "rdf:type", "ex:Supplier")]},
+        ],
+        select=["?m", "?seg"],
+    )
+
+
+def _q_bgp_not_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS compiled to a left-anti join: nations
+    with no high-balance customer. The negation group is itself a
+    2-pattern join, so this exercises group compilation + anti-join."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[("?n", "rdf:type", "ex:Nation"), ("?n", "ex:name", "?nname")],
+        not_exists=[[("?c", "ex:inNation", "?n"),
+                     ("?c", "ex:highBalance", "true"),
+                     ("?c", "ex:mktsegment", "AUTOMOBILE")]],
+        select=["?nname"],
+    )
+
+
+def _q_bgp_aggregate(spark, sf_dir):
+    """SPARQL VALUES + GROUP BY + HAVING in one compiled query: distinct
+    customer count per (nation name, segment) for two inline segments,
+    keeping groups of ≥2. One hash aggregate; map-side partials are
+    Catalyst-automatic."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[("?c", "rdf:type", "ex:Customer"),
+                  ("?c", "ex:inNation", "?n"),
+                  ("?n", "ex:name", "?nname"),
+                  ("?c", "ex:mktsegment", "?seg")],
+        values=(["?seg"], [("AUTOMOBILE",), ("BUILDING",)]),
+        group_by=["?nname", "?seg"],
+        aggregates={"n_cust": "count(DISTINCT c)"},
+        having=["n_cust >= 2"],
+    )
+
+
+def _q_bgp_bind_query(spark, sf_dir):
+    """SPARQL BIND: derive a numeric id and a normalized host label from
+    bound variables (pure Column expressions — BIND never leaves the
+    JVM), then FILTER on the derived column."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    return bgp_query(
+        _tpch_triples(spark, sf_dir),
+        patterns=[("?c", "rdf:type", "ex:Customer"),
+                  ("?c", "ex:inNation", "?n"),
+                  ("?n", "ex:name", "?nname")],
+        bind={"?cid": "cast(substring(c, 10) as bigint)",
+              "?host": "lower(replace(nname, '_', '-'))"},
+        filters=["cid % 10 = 0"],
+        select=["?cid", "?host"],
+    )
+
+
+def _q_bgp_kleene_path(spark, sf_dir):
+    """SPARQL transitive path (p+): every ancestor of every customer
+    through a 3-level ex:partOf hierarchy (customer → nation → region →
+    world), the closure computed by iterative path doubling with
+    checkpointing over the partOf edge subset only."""
+    from parser_rdf_spark.bgp import bgp_query
+
+    t = _tpch_triples(spark, sf_dir)
+    part_of = t.filter(F.col("pred").isin("ex:inNation", "ex:inRegion")).select(
+        "subj", F.lit("ex:partOf").alias("pred"), "obj"
+    )
+    region_up = (
+        t.filter(F.col("pred") == "ex:inRegion")
+        .select(F.col("obj").alias("subj"))
+        .distinct()
+        .select("subj", F.lit("ex:partOf").alias("pred"),
+                F.lit("urn:world:0").alias("obj"))
+    )
+    kg = t.unionByName(part_of).unionByName(region_up)
+    return bgp_query(
+        kg,
+        patterns=[("?c", "rdf:type", "ex:Customer"), ("?c", "ex:partOf+", "?anc")],
+        select=["?c", "?anc"],
+    )
+
+
 def _q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-style snapshot log driven end-to-end: commit the TPC-H KG
     (v1), commit the delta-merged KG (v2), roll back to v1 (v3) — then
@@ -2131,6 +2229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_same_nation_join": _q_bgp_same_nation_join,
         "bgp_path_query": _q_bgp_path_query,
         "bgp_construct_rewrite": _q_bgp_construct_rewrite,
+        "bgp_union_query": _q_bgp_union_query,
+        "bgp_not_exists": _q_bgp_not_exists,
+        "bgp_aggregate": _q_bgp_aggregate,
+        "bgp_bind_query": _q_bgp_bind_query,
+        "bgp_kleene_path": _q_bgp_kleene_path,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3283,6 +3386,42 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE c_mktsegment = 'AUTOMOBILE'"
+        ),
+        "bgp_union_query": (
+            "SELECT 'urn:cust:' || c_custkey AS m, c_mktsegment AS seg FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:supp:' || s_suppkey AS m, NULL AS seg FROM supplier"
+        ),
+        "bgp_not_exists": (
+            "SELECT n_name AS nname FROM nation n "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000 "
+            "AND c.c_mktsegment = 'AUTOMOBILE')"
+        ),
+        "bgp_aggregate": (
+            "SELECT n_name AS nname, c_mktsegment AS seg, "
+            "CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') "
+            "GROUP BY 1, 2 HAVING COUNT(DISTINCT c_custkey) >= 2"
+        ),
+        "bgp_bind_query": (
+            "SELECT CAST(c_custkey AS BIGINT) AS cid, "
+            "lower(replace(n_name, '_', '-')) AS host "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_custkey % 10 = 0"
+        ),
+        # kleene oracle: the 3-level partOf hierarchy has a KNOWN bounded
+        # depth, so the closure is enumerated hop-by-hop in plain SQL —
+        # no recursive CTE shares the engine's path-doubling formulation
+        "bgp_kleene_path": (
+            "SELECT 'urn:cust:' || c_custkey AS c, "
+            "'urn:nation:' || c_nationkey AS anc FROM customer "
+            "UNION ALL "
+            "SELECT 'urn:cust:' || c_custkey, 'urn:region:' || n_regionkey "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL "
+            "SELECT 'urn:cust:' || c_custkey, 'urn:world:0' FROM customer"
         ),
         "bgp_construct_rewrite": (
             "WITH members AS ("

@@ -71,6 +71,43 @@ def seq_path(subj: str, preds: list[str], obj: str, tag: str = "p") -> list[tupl
     return out
 
 
+def kleene_scan(
+    triples: DataFrame,
+    pred: str,
+    zero: bool = False,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive-closure scan for a SPARQL ``p+`` / ``p*`` path: all
+    (subj, obj) pairs connected by ≥1 hop of ``pred``, computed by
+    iterative path doubling with per-round ``localCheckpoint`` (closes a
+    diameter-d chain in ⌈log₂ d⌉ shuffles). ``zero=True`` (the ``p*``
+    form) unions the reflexive pairs over every term of the graph, per
+    SPARQL's zero-length-path semantics (one distinct over the corpus —
+    the documented cost of ``*`` vs ``+``).
+
+    Scale shape: the closure is computed over the ``pred`` edge subset
+    only (constant filter pushed to the scan), not the whole relation;
+    hierarchy predicates (partOf, subClassOf, replies-to) are orders of
+    magnitude smaller than the corpus. Returns columns (subj, obj).
+    """
+    from .inference import transitive_closure
+
+    edges = triples.filter(F.col("pred") == F.lit(pred)).select("subj", "obj")
+    closed = transitive_closure(
+        edges, src_col="subj", dst_col="obj", max_iters=max_iters
+    ).select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+    if zero:
+        nodes = (
+            triples.select(F.col("subj").alias("t"))
+            .unionByName(triples.select(F.col("obj").alias("t")))
+            .distinct()
+        )
+        closed = closed.unionByName(
+            nodes.select(F.col("t").alias("subj"), F.col("t").alias("obj"))
+        ).distinct()
+    return closed
+
+
 def _pattern_scan(triples: DataFrame, pattern: tuple,
                   dedup: bool = True) -> tuple[DataFrame, set[str]]:
     """One pattern → a filtered projection of the triples relation with
@@ -91,7 +128,11 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
       * alternation — a list/tuple of predicates compiles to one
         ``isin`` filter (SPARQL ``p1|p2``), still a pushed-down In;
       * inverse — a ``^p`` predicate swaps the subject/object roles
-        (SPARQL ``^p``), zero extra cost.
+        (SPARQL ``^p``), zero extra cost;
+      * transitive — a trailing ``+`` / ``*`` (SPARQL ``p+`` / ``p*``)
+        swaps the base relation for :func:`kleene_scan`'s closure. A
+        predicate IRI that genuinely ends in ``+``/``*`` can be matched
+        literally by passing it as a 1-element alternation ``[pred]``.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj): {pattern!r}")
@@ -99,8 +140,13 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
     if isinstance(p_term, str) and p_term.startswith("^"):
         s_term, o_term = o_term, s_term
         p_term = p_term[1:]
-    pattern = (s_term, p_term, o_term)
     scan = triples
+    if isinstance(p_term, str) and p_term.endswith(("+", "*")) and len(p_term) > 1:
+        base, op = p_term[:-1], p_term[-1]
+        scan = kleene_scan(triples, base, zero=(op == "*")).withColumn(
+            "pred", F.lit(p_term)
+        )
+    pattern = (s_term, p_term, o_term)
     cols: dict[str, F.Column] = {}
     for pos, term in zip(_POSITIONS, pattern):
         if pos == "pred" and isinstance(term, (list, tuple)):
@@ -151,6 +197,26 @@ def _join_patterns(
     return joined, bound | scan_vars
 
 
+def _compile_group(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    dedup: bool,
+) -> tuple[DataFrame, set[str]]:
+    """Inner-join a pattern group most-constant-first (the shared
+    selectivity heuristic of :func:`bgp_query`)."""
+    def n_constants(p: tuple[str, str, str]) -> int:
+        return sum(0 if _is_var(t) else 1 for t in p)
+
+    ordered = sorted(enumerate(patterns), key=lambda ip: (-n_constants(ip[1]), ip[0]))
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for _, pat in ordered:
+        scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
+        acc, bound = _join_patterns(acc, bound, scan, scan_vars, "inner")
+    assert acc is not None
+    return acc, bound
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -161,6 +227,13 @@ def bgp_query(
     order_by: list[str] | None = None,
     limit: int | None = None,
     dedup: bool = True,
+    values: tuple[list[str], list[tuple]] | None = None,
+    bind: dict[str, str] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+    group_by: list[str] | None = None,
+    aggregates: dict[str, str] | None = None,
+    having: list[str] | None = None,
 ) -> DataFrame:
     """Compile a basic graph pattern to a DataFrame over ``triples``.
 
@@ -183,22 +256,48 @@ def bgp_query(
     per-document graphs (see :func:`_pattern_scan`); pass False only
     when the input is already a triple SET and the extra per-scan
     exchange should be skipped.
+
+    SPARQL 1.1 clauses beyond the BGP core:
+
+    * ``values`` — ``(var_names, rows)`` inline data (SPARQL VALUES),
+      inner-joined as a broadcast local relation on its variables;
+    * ``bind`` — {new_var: SQL expression over bound vars} (SPARQL
+      BIND), applied in insertion order so later binds see earlier ones;
+    * ``not_exists`` — pattern GROUPS removed via left-anti join on the
+      shared variables (SPARQL FILTER NOT EXISTS). Each group must share
+      ≥1 variable with the required patterns;
+    * ``minus`` — SPARQL MINUS: like ``not_exists`` but a group sharing
+      NO variable removes nothing (per spec, incompatible domains);
+    * ``group_by`` + ``aggregates`` ({out_name: SQL aggregate expr}) +
+      ``having`` — one hash aggregate; partial (map-side) aggregation is
+      Catalyst-automatic, so a mega-group shuffles combiner output, not
+      rows. ``aggregates`` without ``group_by`` is a global aggregate.
+
+    Negation caveat: anti-join keys follow SQL NULL equality, so a
+    solution whose shared variable is NULL (possible only via OPTIONAL
+    or BIND) survives negation; reference negation vars from required
+    patterns (always bound) for spec-exact behavior.
     """
     if not patterns:
         raise ValueError("at least one required pattern")
 
-    def n_constants(p: tuple[str, str, str]) -> int:
-        return sum(0 if _is_var(t) else 1 for t in p)
+    acc, bound = _compile_group(triples, patterns, dedup)
 
-    ordered = sorted(
-        enumerate(patterns), key=lambda ip: (-n_constants(ip[1]), ip[0])
-    )
-
-    acc: DataFrame | None = None
-    bound: set[str] = set()
-    for _, pat in ordered:
-        scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
-        acc, bound = _join_patterns(acc, bound, scan, scan_vars, "inner")
+    if values is not None:
+        v_names, v_rows = values
+        names = [_var_name(v) if _is_var(v) else v for v in v_names]
+        if not names:
+            raise ValueError("values needs at least one variable")
+        spark = triples.sparkSession
+        inline = spark.createDataFrame(v_rows, schema=names)
+        shared = sorted(bound & set(names))
+        if not shared:
+            raise ValueError(
+                f"VALUES variables {names} share nothing with the patterns"
+            )
+        # inline data is by construction tiny: broadcast, never shuffle
+        acc = acc.join(F.broadcast(inline), on=shared, how="inner")
+        bound |= set(names)
 
     for pat in optional or []:
         scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
@@ -212,8 +311,45 @@ def bgp_query(
         bound |= new_vars
 
     assert acc is not None
+    for name, expr in (bind or {}).items():
+        name = _var_name(name) if _is_var(name) else name
+        if name in bound:
+            raise ValueError(f"BIND target ?{name} is already bound")
+        acc = acc.withColumn(name, F.expr(expr))
+        bound.add(name)
+
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
+
+    for kind, groups in (("not_exists", not_exists), ("minus", minus)):
+        for group in groups or []:
+            neg, neg_vars = _compile_group(triples, group, dedup)
+            shared = sorted(bound & neg_vars)
+            if not shared:
+                if kind == "minus":
+                    continue  # SPARQL MINUS: disjoint domains remove nothing
+                raise ValueError(
+                    f"NOT EXISTS group {group!r} shares no variable with "
+                    "the outer patterns; it would remove all or no rows"
+                )
+            acc = acc.join(neg.select(*shared).distinct(), on=shared,
+                           how="left_anti")
+
+    if aggregates:
+        keys = [_var_name(g) if _is_var(g) else g for g in (group_by or [])]
+        missing = [k for k in keys if k not in bound]
+        if missing:
+            raise ValueError(f"group_by references unbound variables: {missing}")
+        aggs = [F.expr(e).alias(n) for n, e in aggregates.items()]
+        acc = acc.groupBy(*keys).agg(*aggs) if keys else acc.agg(*aggs)
+        bound = set(keys) | set(aggregates)
+        default_order = keys + list(aggregates)
+        for expr in having or []:
+            acc = acc.filter(F.expr(expr))
+    elif group_by or having:
+        raise ValueError("group_by/having require aggregates")
+    else:
+        default_order = sorted(bound)
 
     if select:
         names = [_var_name(s) if _is_var(s) else s for s in select]
@@ -222,7 +358,7 @@ def bgp_query(
             raise ValueError(f"select references unbound variables: {missing}")
         acc = acc.select(*names)
     elif bound:
-        acc = acc.select(*sorted(bound))
+        acc = acc.select(*default_order)
 
     if distinct:
         acc = acc.distinct()
@@ -273,3 +409,41 @@ def bgp_construct(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct() if distinct else out
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: list[dict],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    order_by: list[str] | None = None,
+    limit: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """SPARQL UNION: each group is a dict of :func:`bgp_query` kwargs
+    (``patterns`` required; ``optional`` / ``filters`` / ``bind`` /
+    ``values`` / ``not_exists`` / ``minus`` / ``aggregates`` accepted),
+    compiled independently and unioned by column NAME — a variable bound
+    in only some branches is NULL elsewhere, per SPARQL union
+    semantics. The union is multiset (UNION ALL); pass ``distinct=True``
+    for set semantics.
+
+    Scale shape: a union is plan-level concatenation — zero extra
+    shuffles beyond each branch's own joins, and Catalyst pushes any
+    later filter into every branch independently.
+    """
+    if not groups:
+        raise ValueError("at least one union group")
+    branches = [bgp_query(triples, dedup=dedup, **g) for g in groups]
+    acc = branches[0]
+    for b in branches[1:]:
+        acc = acc.unionByName(b, allowMissingColumns=True)
+    if select:
+        acc = acc.select(*[_var_name(s) if _is_var(s) else s for s in select])
+    if distinct:
+        acc = acc.distinct()
+    if order_by:
+        acc = acc.orderBy(*[_var_name(o) if _is_var(o) else o for o in order_by])
+    if limit is not None:
+        acc = acc.limit(limit)
+    return acc

@@ -217,3 +217,179 @@ def test_multiset_input_deduped_to_set_semantics(spark, kg):
     out = bgp_query(noisy, [("?p", "type", "Person"), ("?p", "name", "?n")],
                     select=["?p", "?n"])
     assert rows(out) == [("a", "Alice"), ("b", "Bob")]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 clauses: UNION, negation, aggregates, VALUES, BIND, p+/p*
+# ---------------------------------------------------------------------------
+
+HIER = [
+    # a partOf chain with branching: leaf1/leaf2 → mid → top, lone → top
+    ("leaf1", "partOf", "mid"),
+    ("leaf2", "partOf", "mid"),
+    ("mid", "partOf", "top"),
+    ("lone", "partOf", "top"),
+    ("leaf1", "type", "Leaf"),
+    ("leaf2", "type", "Leaf"),
+]
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    return spark.createDataFrame(HIER, "subj string, pred string, obj string")
+
+
+def test_kleene_plus_transitive(hier):
+    out = bgp_query(hier, [("?x", "partOf+", "top")], select=["?x"])
+    assert rows(out) == [("leaf1",), ("leaf2",), ("lone",), ("mid",)]
+
+
+def test_kleene_star_includes_zero_length(hier):
+    out = bgp_query(hier, [("?x", "partOf*", "top")], select=["?x"])
+    # p* additionally binds top itself (zero-length path)
+    assert rows(out) == [("leaf1",), ("leaf2",), ("lone",), ("mid",), ("top",)]
+
+
+def test_kleene_joins_with_other_patterns(hier):
+    out = bgp_query(
+        hier,
+        [("?x", "type", "Leaf"), ("?x", "partOf+", "?anc")],
+        select=["?x", "?anc"],
+    )
+    assert rows(out) == [
+        ("leaf1", "mid"), ("leaf1", "top"),
+        ("leaf2", "mid"), ("leaf2", "top"),
+    ]
+
+
+def test_literal_plus_predicate_via_alternation(spark):
+    kg2 = spark.createDataFrame(
+        [("x", "weird+", "y")], "subj string, pred string, obj string"
+    )
+    out = bgp_query(kg2, [("?s", ["weird+"], "?o")], select=["?s", "?o"])
+    assert rows(out) == [("x", "y")]
+
+
+def test_not_exists_removes_matching_solutions(kg):
+    # persons with no name
+    out = bgp_query(
+        kg,
+        [("?p", "type", "Person")],
+        not_exists=[[("?p", "name", "?n")]],
+    )
+    assert rows(out) == [("c",)]
+
+
+def test_not_exists_disjoint_group_raises(kg):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_query(kg, [("?p", "type", "Person")],
+                  not_exists=[[("?q", "type", "Robot")]]).count()
+
+
+def test_minus_disjoint_group_removes_nothing(kg):
+    out = bgp_query(kg, [("?p", "type", "Person")],
+                    minus=[[("?q", "type", "Robot")]])
+    assert out.count() == 3
+
+
+def test_minus_shared_group_removes(kg):
+    out = bgp_query(kg, [("?p", "type", "Person")],
+                    minus=[[("?p", "knows", "c")]])
+    assert rows(out) == [("c",)]  # a and b know c
+
+
+def test_values_inline_join(kg):
+    out = bgp_query(
+        kg,
+        [("?p", "name", "?n")],
+        values=(["?n"], [("Alice",), ("Zed",)]),
+        select=["?p", "?n"],
+    )
+    assert rows(out) == [("a", "Alice")]
+
+
+def test_values_introduces_new_column(kg):
+    out = bgp_query(
+        kg,
+        [("?p", "name", "?n")],
+        values=(["?n", "?tag"], [("Alice", "t1"), ("Bob", "t2")]),
+        select=["?p", "?tag"],
+    )
+    assert rows(out) == [("a", "t1"), ("b", "t2")]
+
+
+def test_bind_computes_and_filters(kg):
+    out = bgp_query(
+        kg,
+        [("?p", "age", "?a")],
+        bind={"?a2": "cast(a as int) * 2", "?big": "a2 > 55"},
+        filters=["big"],
+        select=["?p", "?a2"],
+    )
+    assert rows(out) == [("a", 60)]
+
+
+def test_bind_rebinding_raises(kg):
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_query(kg, [("?p", "age", "?a")], bind={"?a": "1"})
+
+
+def test_aggregates_group_by_having(kg):
+    out = bgp_query(
+        kg,
+        [("?x", "knows", "?y")],
+        group_by=["?x"],
+        aggregates={"n_known": "count(DISTINCT y)"},
+        having=["n_known >= 2"],
+    )
+    assert rows(out) == [("a", 2)]
+
+
+def test_global_aggregate(kg):
+    out = bgp_query(kg, [("?p", "type", "Person")],
+                    aggregates={"n": "count(*)"})
+    assert rows(out) == [(3,)]
+
+
+def test_group_by_without_aggregates_raises(kg):
+    with pytest.raises(ValueError, match="require aggregates"):
+        bgp_query(kg, [("?p", "type", "?t")], group_by=["?t"])
+
+
+def test_union_branches_null_fill(kg):
+    from parser_rdf_spark.bgp import bgp_union
+
+    out = bgp_union(
+        kg,
+        [
+            {"patterns": [("?s", "type", "Person")],
+             "optional": [("?s", "name", "?n")]},
+            {"patterns": [("?s", "type", "Robot")]},
+        ],
+        select=["?s", "?n"],
+    )
+    # robot branch never binds ?n → NULL
+    assert rows(out) == [("a", "Alice"), ("b", "Bob"), ("c", None), ("r", None)]
+
+
+def test_union_is_multiset_unless_distinct(kg):
+    from parser_rdf_spark.bgp import bgp_union
+
+    groups = [
+        {"patterns": [("?s", "type", "Person")]},
+        {"patterns": [("?s", "type", "Person")]},
+    ]
+    assert bgp_union(kg, groups).count() == 6
+    assert bgp_union(kg, groups, distinct=True).count() == 3
+
+
+def test_union_adds_no_shuffle(kg):
+    from parser_rdf_spark.bgp import bgp_union
+
+    one = bgp_query(kg, [("?s", "type", "Person")])
+    two = bgp_union(kg, [{"patterns": [("?s", "type", "Person")]},
+                         {"patterns": [("?s", "type", "Robot")]}])
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+    assert n_exchanges(two) <= 2 * n_exchanges(one)
