@@ -132,7 +132,13 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
       * transitive — a trailing ``+`` / ``*`` (SPARQL ``p+`` / ``p*``)
         swaps the base relation for :func:`kleene_scan`'s closure. A
         predicate IRI that genuinely ends in ``+``/``*`` can be matched
-        literally by passing it as a 1-element alternation ``[pred]``.
+        literally by passing it as a 1-element alternation ``[pred]``;
+      * negated set — a leading ``!`` (``!p`` or ``!(p1|p2)``, SPARQL's
+        negated property set) compiles to a NOT IN filter — like
+        alternation it constrains the scan without binding the predicate
+        position, so two negated-set patterns never share a phantom join
+        variable. A predicate IRI that genuinely starts with ``!`` can
+        be matched literally via a 1-element alternation ``[pred]``.
     """
     if len(pattern) != 3:
         raise ValueError(f"pattern must be (subj, pred, obj): {pattern!r}")
@@ -141,7 +147,15 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         s_term, o_term = o_term, s_term
         p_term = p_term[1:]
     scan = triples
-    if isinstance(p_term, str) and p_term.endswith(("+", "*")) and len(p_term) > 1:
+    if isinstance(p_term, str) and p_term.startswith("!") and len(p_term) > 1:
+        inner = p_term[1:]
+        if inner.startswith("(") and inner.endswith(")"):
+            excluded = [p.strip() for p in inner[1:-1].split("|")]
+        else:
+            excluded = [inner]
+        scan = scan.filter(~F.col("pred").isin(excluded))
+        p_term = None  # constrained by the NOT IN; binds nothing
+    elif isinstance(p_term, str) and p_term.endswith(("+", "*")) and len(p_term) > 1:
         base, op = p_term[:-1], p_term[-1]
         scan = kleene_scan(triples, base, zero=(op == "*")).withColumn(
             "pred", F.lit(p_term)
@@ -149,6 +163,8 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
     pattern = (s_term, p_term, o_term)
     cols: dict[str, F.Column] = {}
     for pos, term in zip(_POSITIONS, pattern):
+        if pos == "pred" and term is None:
+            continue
         if pos == "pred" and isinstance(term, (list, tuple)):
             if any(_is_var(t) for t in term):
                 raise ValueError(f"alternation members must be constants: {term!r}")
@@ -240,11 +256,15 @@ def bgp_query(
     ``triples`` must expose (subj, pred, obj) string columns — use
     :func:`triples_spo` to adapt the engine's full parse schema.
 
-    ``patterns`` are required (inner-joined); ``optional`` patterns are
+    ``patterns`` are required (inner-joined); ``optional`` entries are
     left-joined after all required ones (unbound → NULL, SPARQL
-    OPTIONAL); ``filters`` are SQL boolean expressions over variable
-    names (SPARQL FILTER); ``select`` projects a subset of variables
-    (``?``-prefixed or bare names accepted).
+    OPTIONAL) — an entry is either a single pattern or a LIST of
+    patterns, which is compiled as one inner-joined group and
+    left-joined as a whole (SPARQL ``OPTIONAL { p1 . p2 }`` semantics:
+    all-or-nothing binding, unlike two separate OPTIONALs); ``filters``
+    are SQL boolean expressions over variable names (SPARQL FILTER);
+    ``select`` projects a subset of variables (``?``-prefixed or bare
+    names accepted).
 
     Join order: required patterns are joined most-constant-first (a
     cheap selectivity proxy — every constant is a pushed-down equality
@@ -300,7 +320,12 @@ def bgp_query(
         bound |= set(names)
 
     for pat in optional or []:
-        scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
+        if pat and isinstance(pat[0], (list, tuple)):
+            # OPTIONAL group: inner-join the group's patterns first, then
+            # left-join the whole group (all-or-nothing binding)
+            scan, scan_vars = _compile_group(triples, list(pat), dedup)
+        else:
+            scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
         new_vars = scan_vars - bound
         if not (scan_vars & bound):
             raise ValueError(
@@ -367,6 +392,17 @@ def bgp_query(
     if limit is not None:
         acc = acc.limit(limit)
     return acc
+
+
+def bgp_ask(triples: DataFrame, patterns: list, **kwargs) -> DataFrame:
+    """SPARQL ASK: does the pattern have ≥1 solution? Returns a 1-row
+    DataFrame with a single boolean ``ask`` column (a DataFrame, not a
+    bool, so the result composes with the driver contract and stays
+    lazy). The ``limit(1)`` before the count lets Spark stop each scan
+    at the first solution — an ASK over a selective pattern touches a
+    handful of rows regardless of corpus size."""
+    sols = bgp_query(triples, patterns, **kwargs).limit(1)
+    return sols.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def bgp_construct(

@@ -393,3 +393,75 @@ def test_union_adds_no_shuffle(kg):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange")
     assert n_exchanges(two) <= 2 * n_exchanges(one)
+
+
+def test_negated_property_set_single(kg):
+    # everything about 'a' said with a predicate other than knows/type
+    out = bgp_query(kg, [("a", "!(knows|type)", "?o")], select=["?o"])
+    assert rows(out) == [("30",), ("Alice",)]
+
+
+def test_negated_property_set_unparenthesized(kg):
+    out = bgp_query(kg, [("c", "!knows", "?o")], select=["?o"])
+    assert rows(out) == [("Person",)]
+
+
+def test_two_negated_sets_do_not_share_phantom_variable(kg):
+    # two negset patterns must join only on ?s (not an invented pred var)
+    out = bgp_query(
+        kg,
+        [("?s", "!knows", "?n"), ("?s", "!(name|age)", "?t")],
+        filters=["n = 'Alice'"],
+        select=["?s", "?t"],
+    )
+    assert rows(out) == [("a", "Person"), ("a", "b"), ("a", "c")]
+
+
+def test_negated_set_inverse_composes(kg):
+    # ^!knows: invert roles, then exclude knows
+    out = bgp_query(kg, [("Alice", "^!knows", "?s")], select=["?s"])
+    assert rows(out) == [("a",)]
+
+
+def test_optional_group_all_or_nothing(kg):
+    # OPTIONAL { ?p name ?n . ?p age ?g }: binds both or neither.
+    # a and b have both; c has neither -> NULL/NULL.
+    out = bgp_query(
+        kg,
+        [("?p", "type", "Person")],
+        optional=[[("?p", "name", "?n"), ("?p", "age", "?g")]],
+        select=["?p", "?n", "?g"],
+    )
+    assert rows(out) == [("a", "Alice", "30"), ("b", "Bob", "25"),
+                         ("c", None, None)]
+
+
+def test_optional_group_partial_match_stays_null(spark):
+    # d has a name but no age: the GROUP doesn't match, so ?n must be
+    # NULL too (the difference from two independent OPTIONALs)
+    kg2 = spark.createDataFrame(
+        [("d", "type", "Person"), ("d", "name", "Dee")],
+        "subj string, pred string, obj string",
+    )
+    grouped = bgp_query(
+        kg2, [("?p", "type", "Person")],
+        optional=[[("?p", "name", "?n"), ("?p", "age", "?g")]],
+        select=["?p", "?n", "?g"],
+    )
+    assert rows(grouped) == [("d", None, None)]
+    separate = bgp_query(
+        kg2, [("?p", "type", "Person")],
+        optional=[("?p", "name", "?n"), ("?p", "age", "?g")],
+        select=["?p", "?n", "?g"],
+    )
+    assert rows(separate) == [("d", "Dee", None)]
+
+
+def test_ask_true_and_false(kg):
+    from parser_rdf_spark.bgp import bgp_ask
+
+    assert rows(bgp_ask(kg, [("?s", "type", "Robot")])) == [(True,)]
+    assert rows(bgp_ask(kg, [("?s", "type", "Dragon")])) == [(False,)]
+    # with filters kwarg passing through
+    assert rows(bgp_ask(kg, [("?p", "name", "?n")],
+                        filters=["n = 'Zed'"])) == [(False,)]
