@@ -2089,6 +2089,96 @@ def _q_bgp_kleene_path(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SPARQL text front-end (sparql.py): real SPARQL 1.1 query STRINGS parsed
+# into the bgp compiler — the surface a user of the constructed KG
+# actually types. The oracles still answer over the BASE tables with
+# direct joins, so parser + compiler + oracle share no formulation.
+# ---------------------------------------------------------------------------
+
+def _q_sparql_select(spark, sf_dir):
+    """OPTIONAL group + FILTER IN, straight from query text."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?c ?nname ?hb WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:inNation ?n .
+          ?n ex:name ?nname .
+          OPTIONAL { ?c ex:highBalance ?hb }
+          FILTER (?nname IN ("NATION_2", "NATION_5"))
+        }
+    """)
+
+
+def _q_sparql_path_agg(spark, sf_dir):
+    """Sequence property path + GROUP BY aggregate from query text:
+    customers per region through inNation/inRegion."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?rname (COUNT(?c) AS ?n_cust) WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:inNation/ex:inRegion ?r .
+          ?r ex:name ?rname .
+        } GROUP BY ?rname
+    """)
+
+
+def _q_sparql_ask(spark, sf_dir):
+    """ASK: any high-balance AUTOMOBILE customer? (limit-1 existence
+    probe — the scan stops at the first solution)."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        ASK { ?c ex:mktsegment "AUTOMOBILE" . ?c ex:highBalance "true" }
+    """)
+
+
+def _q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT rewrite from query text: supplier→region shortcut edges
+    in both directions."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        CONSTRUCT { ?s ex:locatedIn ?r . ?r ex:hosts ?s } WHERE {
+          ?s rdf:type ex:Supplier .
+          ?s ex:inNation ?n .
+          ?n ex:inRegion ?r .
+        }
+    """)
+
+
+def _q_sparql_union(spark, sf_dir):
+    """UNION of two typed branches with a STRSTARTS filter in each."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?e ?nname WHERE {
+          { ?e rdf:type ex:Customer . ?e ex:inNation ?n . ?n ex:name ?nname .
+            FILTER (STRSTARTS(?nname, "NATION_1")) }
+          UNION
+          { ?e rdf:type ex:Supplier . ?e ex:inNation ?n . ?n ex:name ?nname .
+            FILTER (STRSTARTS(?nname, "NATION_1")) }
+        }
+    """)
+
+
+def _q_sparql_negated_minus(spark, sf_dir):
+    """Negated property set + MINUS from query text: every non-type,
+    non-inNation assertion about nations, minus their inRegion edges —
+    leaving exactly the name literals."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?s ?o WHERE {
+          ?s rdf:type ex:Nation .
+          ?s !(ex:inNation|rdf:type) ?o .
+          MINUS { ?s ex:inRegion ?o }
+        }
+    """)
+
+
 def _q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-style snapshot log driven end-to-end: commit the TPC-H KG
     (v1), commit the delta-merged KG (v2), roll back to v1 (v3) — then
@@ -2234,6 +2324,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_aggregate": _q_bgp_aggregate,
         "bgp_bind_query": _q_bgp_bind_query,
         "bgp_kleene_path": _q_bgp_kleene_path,
+        # SPARQL 1.1 text front-end (query strings → the bgp compiler)
+        "sparql_select": _q_sparql_select,
+        "sparql_path_agg": _q_sparql_path_agg,
+        "sparql_ask": _q_sparql_ask,
+        "sparql_construct": _q_sparql_construct,
+        "sparql_union": _q_sparql_union,
+        "sparql_negated_minus": _q_sparql_negated_minus,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3433,6 +3530,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT subj, pred, obj FROM ("
             "SELECT m AS subj, 'ex:inRegion' AS pred, r AS obj FROM members "
             "UNION ALL SELECT r, 'ex:hasMember', m FROM members)"
+        ),
+        # SPARQL front-end oracles: same discipline as the bgp_* rows —
+        # direct joins over the base tables, nothing shared with the
+        # text parser or the compiler
+        "sparql_select": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname, "
+            "CASE WHEN c_acctbal > 9000 THEN 'true' END AS hb "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE n_name IN ('NATION_2', 'NATION_5')"
+        ),
+        "sparql_path_agg": (
+            "SELECT r_name AS rname, CAST(COUNT(*) AS BIGINT) AS n_cust "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
+        "sparql_ask": (
+            "SELECT (COUNT(*) > 0) AS ask FROM customer "
+            "WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000"
+        ),
+        "sparql_construct": (
+            "WITH sr AS ("
+            "SELECT 'urn:supp:' || s_suppkey AS s, "
+            "'urn:region:' || n_regionkey AS r "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT DISTINCT subj, pred, obj FROM ("
+            "SELECT s AS subj, 'ex:locatedIn' AS pred, r AS obj FROM sr "
+            "UNION ALL SELECT r, 'ex:hosts', s FROM sr)"
+        ),
+        "sparql_union": (
+            "SELECT 'urn:cust:' || c_custkey AS e, n_name AS nname "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_1') "
+            "UNION ALL "
+            "SELECT 'urn:supp:' || s_suppkey AS e, n_name AS nname "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_1')"
+        ),
+        "sparql_negated_minus": (
+            "SELECT 'urn:nation:' || n_nationkey AS s, n_name AS o "
+            "FROM nation"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property

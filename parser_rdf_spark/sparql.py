@@ -1,0 +1,964 @@
+"""SPARQL 1.1 text front-end over the BGP compiler.
+
+:mod:`.bgp` compiles pattern LISTS to Catalyst plans; this module parses
+actual SPARQL query text into those calls, so a user of the constructed
+KG can run the queries they already have. The reference library emits
+triples and has no query language (reference: src/RdfParser.php:111-125);
+SPARQL is the standard query surface over its output, and the front-end
+is a thin, driver-side recursive-descent parser — all execution stays in
+the :mod:`.bgp` DataFrame plans (no Python per row; parsing a query
+string costs microseconds regardless of corpus size).
+
+Supported subset (everything the underlying compiler can plan):
+
+* prologue: ``PREFIX pfx: <iri>`` (``BASE`` is not supported, mirroring
+  the reference's no-``@base`` scope, docs/spec-completeness.md:147);
+* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``;
+* group graph pattern: triple blocks with ``;`` / ``,`` continuations,
+  ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
+  ``FILTER(expr)``, ``FILTER NOT EXISTS { … }``, ``MINUS { … }``,
+  ``BIND(expr AS ?v)``, ``VALUES``, and a top-level
+  ``{ … } UNION { … }``;
+* property paths in predicate position: ``^p``, ``p1|p2``, ``p1/p2``,
+  ``p+``, ``p*``, ``!p`` / ``!(p1|p2)``, and compositions the compiler
+  supports (``^p+``, sequences over any of these);
+* solution modifiers: ``GROUP BY`` + aggregates in the SELECT clause
+  (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT), ``HAVING``,
+  ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``.
+
+Out-of-scope constructs raise :class:`SparqlError` naming the construct
+(never silently mis-answer): sub-SELECT, ``EXISTS`` (positive),
+``GRAPH``, ``SERVICE``, ``OFFSET``, ``p?`` zero-or-one paths, paths
+under a parenthesized kleene, federated/update forms.
+
+Term semantics match the engine's verbatim string matching: the triples
+relation stores terms as strings (:func:`.bgp.triples_spo` projects the
+lexical form), so a ``PREFIX``-declared pname expands to its full IRI
+while an undeclared pname is matched verbatim (the micro-KG convention),
+``<iri>`` strips its angle brackets, ``"lit"`` matches the lexical form
+(language tags / ``^^`` datatypes are parsed but matching stays
+lexical-form-only — the documented projection of triples_spo), numbers
+match their lexical token, and ``a`` expands to the full rdf:type IRI.
+A blank node in a query position acts as a non-selectable variable, per
+spec. Numeric comparisons in FILTER/HAVING (``?x > 9000``) cast the
+variable side to DOUBLE, mirroring SPARQL's numeric operator mapping
+over the string-typed relation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import bgp_ask, bgp_construct, bgp_query, bgp_union, seq_path
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlError(ValueError):
+    """Raised for syntax errors and documented out-of-scope constructs."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<VAR>[?$][A-Za-z_]\w*)
+    | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<BNODE>_:[A-Za-z0-9]\w*)
+    | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:[\w\-]+(?:\.[\w\-]+)*|[A-Za-z_][\w\-]*:)
+    | (?P<NAME>[A-Za-z_]\w*)
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].;,|/^+*!=<>?:-])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "prefix", "base", "select", "distinct", "where", "optional", "filter",
+    "union", "values", "bind", "not", "exists", "minus", "group", "by",
+    "having", "order", "asc", "desc", "limit", "offset", "ask",
+    "construct", "as", "undef", "in", "true", "false", "graph", "service",
+}
+
+# SPARQL builtin → Spark SQL function (argument-preserving)
+_FUNC_MAP = {
+    "strstarts": "startswith", "strends": "endswith", "contains": "contains",
+    "strlen": "length", "lcase": "lower", "ucase": "upper",
+    "substr": "substring", "concat": "concat", "abs": "abs", "ceil": "ceil",
+    "floor": "floor", "round": "round", "coalesce": "coalesce", "if": "if",
+    "replace": "regexp_replace", "strbefore": "substring_index",
+}
+
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError(f"cannot tokenize at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append((kind, m.group()))
+    return toks
+
+
+def _unescape(body: str) -> str:
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        e = body[i + 1] if i + 1 < len(body) else ""
+        simple = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+                  '"': '"', "'": "'", "\\": "\\"}
+        if e in simple:
+            out.append(simple[e])
+            i += 2
+        elif e == "u":
+            out.append(chr(int(body[i + 2:i + 6], 16)))
+            i += 6
+        elif e == "U":
+            out.append(chr(int(body[i + 2:i + 10], 16)))
+            i += 10
+        else:
+            raise SparqlError(f"bad string escape \\{e}")
+    return "".join(out)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self._fresh = 0
+
+    # ----- token helpers -------------------------------------------------
+    def _peek(self, k: int = 0):
+        i = self.pos + k
+        return self.toks[i] if i < len(self.toks) else ("EOF", "")
+
+    def _next(self):
+        tok = self._peek()
+        self.pos += 1
+        return tok
+
+    def _at(self, text: str) -> bool:
+        k, t = self._peek()
+        return k == "OP" and t == text
+
+    def _eat(self, text: str) -> bool:
+        if self._at(text):
+            self.pos += 1
+            return True
+        return False
+
+    def _expect(self, text: str):
+        if not self._eat(text):
+            raise SparqlError(f"expected {text!r}, got {self._peek()[1]!r}")
+
+    def _at_kw(self, *words: str) -> bool:
+        k, t = self._peek()
+        return k == "NAME" and t.lower() in words
+
+    def _eat_kw(self, *words: str) -> bool:
+        if self._at_kw(*words):
+            self.pos += 1
+            return True
+        return False
+
+    def _expect_kw(self, word: str):
+        if not self._eat_kw(word):
+            raise SparqlError(f"expected {word.upper()}, got {self._peek()[1]!r}")
+
+    def _fresh_var(self, tag: str) -> str:
+        self._fresh += 1
+        return f"?__{tag}{self._fresh}"
+
+    # ----- terms ---------------------------------------------------------
+    def _expand_pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx in self.prefixes:
+            return self.prefixes[pfx] + local
+        return text  # verbatim matching against the string-typed relation
+
+    def _term(self, expect: str = "term", as_pred: bool = False) -> str:
+        kind, text = self._next()
+        if kind == "VAR":
+            return "?" + text[1:]
+        if kind == "IRIREF":
+            return text[1:-1]
+        if kind == "PNAME":
+            return self._expand_pname(text)
+        if kind == "BNODE":
+            return "?__bn_" + text[2:]
+        if kind == "NUMBER":
+            return text
+        if kind == "STRING":
+            val = _unescape(text[1:-1])
+            k2, _ = self._peek()
+            if k2 == "LANGTAG":
+                self._next()  # lexical-form matching only (module docstring)
+            elif self._peek() == ("OP", "^^"):
+                self._next()
+                self._next()  # datatype IRI, ditto
+            return val
+        if kind == "NAME":
+            if text == "a" and as_pred:
+                return RDF_TYPE_IRI
+            if text in ("true", "false"):
+                return text
+            if text.lower() in _KEYWORDS:
+                raise SparqlError(
+                    f"keyword {text!r} cannot be a term; quote it as a literal"
+                )
+            # engine extension: the relation matches strings verbatim, so
+            # a bare name is accepted as a verbatim constant (keywords
+            # excluded) — convenient for non-IRI KGs like the micro-KG
+            return text
+        raise SparqlError(f"expected {expect}, got {text!r}")
+
+    # ----- property paths ------------------------------------------------
+    def _path(self):
+        """Predicate-position path → a bgp predicate term (str, list, or
+        ('seq', parts))."""
+        alts = [self._path_seq()]
+        while self._eat("|"):
+            alts.append(self._path_seq())
+        if len(alts) == 1:
+            return alts[0]
+        members = []
+        for a in alts:
+            if not isinstance(a, str) or a[:1] in ("^", "!", "?") \
+                    or a[-1:] in ("+", "*"):
+                raise SparqlError(
+                    "alternation over modified/sequence paths is not supported"
+                )
+            members.append(a)
+        return members
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self._eat("/"):
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def _path_elt(self):
+        inverse = self._eat("^")
+        if self._eat("!"):
+            elt = "!" + self._negated_set()
+        else:
+            elt = self._path_primary()
+            if isinstance(elt, str) and not elt.startswith("?"):
+                if self._eat("+"):
+                    elt += "+"
+                elif self._eat("*"):
+                    elt += "*"
+                elif self._eat("?"):
+                    raise SparqlError("zero-or-one path p? is not supported")
+            elif self._at("+") or self._at("*"):
+                raise SparqlError(
+                    "path modifiers apply to plain IRIs only"
+                )
+        if inverse:
+            if not isinstance(elt, str) or elt.startswith("?"):
+                raise SparqlError("inverse applies to plain IRI paths only")
+            elt = "^" + elt
+        return elt
+
+    def _path_primary(self):
+        if self._eat("("):
+            inner = self._path()
+            self._expect(")")
+            return inner
+        kind, text = self._peek()
+        if kind in ("IRIREF", "PNAME", "VAR") or \
+                (kind == "NAME" and (text == "a" or text.lower() not in _KEYWORDS)):
+            return self._term("predicate", as_pred=True)
+        raise SparqlError(f"expected a predicate path, got {text!r}")
+
+    def _negated_set(self) -> str:
+        if self._eat("("):
+            members = [self._iri_only()]
+            while self._eat("|"):
+                members.append(self._iri_only())
+            self._expect(")")
+            return "(" + "|".join(members) + ")"
+        return self._iri_only()
+
+    def _iri_only(self) -> str:
+        kind, text = self._peek()
+        if kind in ("IRIREF", "PNAME") or \
+                (kind == "NAME" and (text == "a" or text.lower() not in _KEYWORDS)):
+            return self._term("IRI", as_pred=True)
+        raise SparqlError(f"negated property sets take IRIs only, got {text!r}")
+
+    # ----- triples block -------------------------------------------------
+    def _triples_block(self, patterns: list):
+        subj = self._term("subject")
+        while True:
+            pred = self._path()
+            self._emit(patterns, subj, pred, self._term("object"))
+            while self._eat(","):
+                self._emit(patterns, subj, pred, self._term("object"))
+            if self._eat(";"):
+                k, t = self._peek()
+                if k in ("IRIREF", "PNAME", "VAR") \
+                        or (k == "NAME" and (t == "a" or t.lower() not in _KEYWORDS)) \
+                        or t in ("^", "!", "("):
+                    continue
+            break
+        self._eat(".")
+
+    def _emit(self, patterns: list, s: str, p, o: str):
+        if isinstance(p, tuple) and p[0] == "seq":
+            patterns.extend(seq_path(s, list(p[1]), o, tag=self._fresh_var("q")[1:]))
+        else:
+            patterns.append((s, p, o))
+
+    # ----- group graph pattern ------------------------------------------
+    def _group(self) -> dict:
+        """Parse the body of ``{ … }`` (opening brace already consumed).
+        Returns a bgp_query kwargs dict, or {'union': [branch, …]}."""
+        spec: dict = {"patterns": []}
+        union_branches = None
+        while not self._eat("}"):
+            if self._peek()[0] == "EOF":
+                raise SparqlError("unterminated group: missing '}'")
+            if self._at("{"):
+                self._next()
+                first = self._group()
+                branches = [first]
+                while self._eat_kw("union"):
+                    self._expect("{")
+                    branches.append(self._group())
+                if len(branches) == 1:
+                    raise SparqlError("nested groups are only supported as UNION branches")
+                union_branches = branches
+                continue
+            if self._eat_kw("optional"):
+                self._expect("{")
+                sub = self._group()
+                if set(sub) - {"patterns"} or "union" in sub:
+                    raise SparqlError(
+                        "OPTIONAL groups support triple patterns only"
+                    )
+                spec.setdefault("optional", []).append(sub["patterns"])
+                continue
+            if self._eat_kw("filter"):
+                if self._at_kw("not"):
+                    self._next()
+                    self._expect_kw("exists")
+                    self._expect("{")
+                    sub = self._group()
+                    if set(sub) - {"patterns"}:
+                        raise SparqlError("NOT EXISTS groups support triple patterns only")
+                    spec.setdefault("not_exists", []).append(sub["patterns"])
+                    continue
+                if self._at_kw("exists"):
+                    raise SparqlError("positive FILTER EXISTS is not supported")
+                spec.setdefault("filters", []).append(self._bracketed_expr())
+                continue
+            if self._eat_kw("minus"):
+                self._expect("{")
+                sub = self._group()
+                if set(sub) - {"patterns"}:
+                    raise SparqlError("MINUS groups support triple patterns only")
+                spec.setdefault("minus", []).append(sub["patterns"])
+                continue
+            if self._eat_kw("bind"):
+                self._expect("(")
+                expr = self._expr_until_as()
+                self._expect_kw("as")
+                k, t = self._next()
+                if k != "VAR":
+                    raise SparqlError("BIND needs `AS ?var`")
+                self._expect(")")
+                spec.setdefault("bind", {})[t[1:]] = expr
+                continue
+            if self._eat_kw("values"):
+                spec["values"] = self._values_clause()
+                continue
+            if self._at_kw("graph", "service"):
+                raise SparqlError(f"{self._peek()[1].upper()} is not supported")
+            self._triples_block(spec["patterns"])
+        if union_branches is not None:
+            if spec["patterns"] or set(spec) - {"patterns"}:
+                raise SparqlError(
+                    "UNION mixed with other group elements is not supported; "
+                    "put the shared patterns inside every branch"
+                )
+            return {"union": union_branches}
+        return spec
+
+    def _values_clause(self):
+        if self._peek()[0] == "VAR":
+            names = ["?" + self._next()[1][1:]]
+            self._expect("{")
+            rows = []
+            while not self._eat("}"):
+                rows.append((self._values_term(),))
+            return (names, rows)
+        self._expect("(")
+        names = []
+        while self._peek()[0] == "VAR":
+            names.append("?" + self._next()[1][1:])
+        self._expect(")")
+        self._expect("{")
+        rows = []
+        while not self._eat("}"):
+            self._expect("(")
+            row = []
+            while not self._eat(")"):
+                row.append(self._values_term())
+            if len(row) != len(names):
+                raise SparqlError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        return (names, rows)
+
+    def _values_term(self):
+        if self._eat_kw("undef"):
+            return None
+        return self._term("VALUES term")
+
+    # ----- expressions → Spark SQL --------------------------------------
+    def _bracketed_expr(self) -> str:
+        """``(expr)`` — or SPARQL's bare-builtin FILTER form
+        ``FILTER regex(?x, "p")``."""
+        if self._eat("("):
+            toks = self._collect_until_close()
+        else:
+            k, t = self._next()
+            if k != "NAME" or not self._at("("):
+                raise SparqlError("FILTER needs (expr) or builtin(...)")
+            self._next()
+            toks = [(k, t), ("OP", "(")] + self._collect_until_close() \
+                + [("OP", ")")]
+        return _ExprTranslator(self, toks).translate()
+
+    def _collect_until_close(self) -> list:
+        depth, out = 1, []
+        while depth:
+            tok = self._next()
+            if tok[0] == "EOF":
+                raise SparqlError("unterminated expression: missing ')'")
+            if tok == ("OP", "("):
+                depth += 1
+            elif tok == ("OP", ")"):
+                depth -= 1
+                if not depth:
+                    break
+            out.append(tok)
+        return out
+
+    def _expr_until_as(self) -> str:
+        depth, out = 0, []
+        while True:
+            k, t = self._peek()
+            if k == "EOF":
+                raise SparqlError("unterminated BIND/SELECT expression")
+            if depth == 0 and k == "NAME" and t.lower() == "as":
+                break
+            tok = self._next()
+            if tok == ("OP", "("):
+                depth += 1
+            elif tok == ("OP", ")"):
+                if depth == 0:
+                    self.pos -= 1
+                    break
+                depth -= 1
+            out.append(tok)
+        return _ExprTranslator(self, out).translate()
+
+
+class _ExprTranslator:
+    """SPARQL expression tokens → one Spark SQL expression string.
+
+    Operands carry a tag ('var' | 'num' | other) so numeric comparisons
+    can cast the variable side to DOUBLE (SPARQL numeric semantics over
+    the string-typed relation)."""
+
+    def __init__(self, parser: _Parser, toks: list):
+        self.p = parser
+        self.toks = toks
+        self.i = 0
+
+    def _peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("EOF", "")
+
+    def _next(self):
+        tok = self._peek()
+        self.i += 1
+        return tok
+
+    def _eat(self, text: str) -> bool:
+        if self._peek() == ("OP", text):
+            self.i += 1
+            return True
+        return False
+
+    def translate(self) -> str:
+        sql, _ = self._or()
+        if self._peek()[0] != "EOF":
+            raise SparqlError(f"trailing tokens in expression: {self._peek()[1]!r}")
+        return sql
+
+    def _or(self):
+        sql, kind = self._and()
+        while self._eat("||"):
+            rhs, _ = self._and()
+            sql, kind = f"({sql} OR {rhs})", "bool"
+        return sql, kind
+
+    def _and(self):
+        sql, kind = self._not()
+        while self._eat("&&"):
+            rhs, _ = self._not()
+            sql, kind = f"({sql} AND {rhs})", "bool"
+        return sql, kind
+
+    def _not(self):
+        if self._eat("!"):
+            sql, _ = self._not()
+            return f"(NOT {sql})", "bool"
+        return self._comparison()
+
+    _CMP = {"=": "=", "!=": "<>", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+
+    def _comparison(self):
+        sql, kind = self._additive()
+        k, t = self._peek()
+        if k == "OP" and t in self._CMP:
+            self._next()
+            rhs, rkind = self._additive()
+            if t in ("<", ">", "<=", ">="):
+                if kind == "var" and rkind == "num":
+                    sql = f"CAST({sql} AS DOUBLE)"
+                elif kind == "num" and rkind == "var":
+                    rhs = f"CAST({rhs} AS DOUBLE)"
+            return f"({sql} {self._CMP[t]} {rhs})", "bool"
+        if k == "NAME" and t.lower() == "in":
+            self._next()
+            return self._in_list(sql, negated=False)
+        if k == "NAME" and t.lower() == "not" and \
+                self._peek(1)[1].lower() == "in":
+            self._next()
+            self._next()
+            return self._in_list(sql, negated=True)
+        return sql, kind
+
+    def _in_list(self, lhs: str, negated: bool):
+        if not self._eat("("):
+            raise SparqlError("IN needs a parenthesized list")
+        items = []
+        while not self._eat(")"):
+            item, _ = self._additive()
+            items.append(item)
+            self._eat(",")
+        op = "NOT IN" if negated else "IN"
+        return f"({lhs} {op} ({', '.join(items)}))", "bool"
+
+    def _additive(self):
+        sql, kind = self._mult()
+        while True:
+            k, t = self._peek()
+            if k == "OP" and t in ("+", "-"):
+                self._next()
+                rhs, _ = self._mult()
+                sql, kind = f"({sql} {t} {rhs})", "num"
+            else:
+                return sql, kind
+
+    def _mult(self):
+        sql, kind = self._unary()
+        while True:
+            k, t = self._peek()
+            if k == "OP" and t in ("*", "/"):
+                self._next()
+                rhs, _ = self._unary()
+                sql, kind = f"({sql} {t} {rhs})", "num"
+            else:
+                return sql, kind
+
+    def _unary(self):
+        if self._eat("-"):
+            sql, _ = self._unary()
+            return f"(- {sql})", "num"
+        return self._primary()
+
+    def _primary(self):
+        kind, text = self._next()
+        if kind == "VAR":
+            name = text[1:]
+            if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                raise SparqlError(f"variable ?{name} is not SQL-addressable")
+            return name, "var"
+        if kind == "NUMBER":
+            return text, "num"
+        if kind == "STRING":
+            return _sql_quote(_unescape(text[1:-1])), "str"
+        if kind in ("IRIREF", "PNAME"):
+            term = text[1:-1] if kind == "IRIREF" else self.p._expand_pname(text)
+            return _sql_quote(term), "str"
+        if kind == "OP" and text == "(":
+            sql, k = self._or()
+            if not self._eat(")"):
+                raise SparqlError("missing ')' in expression")
+            return f"({sql})", k
+        if kind == "NAME":
+            low = text.lower()
+            if low in ("true", "false"):
+                return low, "bool"
+            if self._eat("("):
+                return self._function(low)
+            raise SparqlError(f"bare name {text!r} in expression")
+        raise SparqlError(f"unexpected token {text!r} in expression")
+
+    def _function(self, name: str):
+        args = []
+        while not self._eat(")"):
+            arg, _ = self._or()
+            args.append(arg)
+            self._eat(",")
+        if name == "bound":
+            if len(args) != 1:
+                raise SparqlError("BOUND takes one variable")
+            return f"({args[0]} IS NOT NULL)", "bool"
+        if name == "regex":
+            if len(args) == 3:
+                if args[2] == "'i'":
+                    return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "bool"
+                raise SparqlError(f"REGEX flags {args[2]} not supported")
+            if len(args) != 2:
+                raise SparqlError("REGEX takes (text, pattern[, flags])")
+            return f"({args[0]} RLIKE {args[1]})", "bool"
+        if name == "str":
+            if len(args) != 1:
+                raise SparqlError("STR takes one argument")
+            return f"CAST({args[0]} AS STRING)", "str"
+        if name in _FUNC_MAP:
+            return f"{_FUNC_MAP[name]}({', '.join(args)})", "call"
+        if name in _AGG_FUNCS:
+            raise SparqlError(
+                f"aggregate {name.upper()} is only allowed in the SELECT "
+                "clause / HAVING"
+            )
+        raise SparqlError(f"function {name.upper()} is not supported")
+
+
+# ---------------------------------------------------------------------------
+# query forms
+# ---------------------------------------------------------------------------
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL query string into an execution spec dict (exposed
+    for tests; :func:`sparql_query` is the run-it entry point)."""
+    p = _Parser(text)
+    while True:
+        if p._eat_kw("prefix"):
+            k, t = p._next()
+            if k == "PNAME" and t.endswith(":") and ":" not in t[:-1]:
+                pfx = t[:-1]  # 'pfx:' tokenizes as a local-less PNAME
+            elif (k, t) == ("OP", ":"):
+                pfx = ""  # default prefix `PREFIX : <iri>`
+            else:
+                raise SparqlError(f"PREFIX needs `name:`, got {t!r}")
+            k2, iri = p._next()
+            if k2 != "IRIREF":
+                raise SparqlError("PREFIX needs an <iri>")
+            p.prefixes[pfx] = iri[1:-1]
+            continue
+        if p._at_kw("base"):
+            raise SparqlError("BASE is not supported")
+        break
+
+    if p._eat_kw("select"):
+        return _parse_select(p)
+    if p._eat_kw("ask"):
+        spec = _parse_where(p)
+        spec["form"] = "ask"
+        _parse_modifiers(p, spec, allow=())
+        return spec
+    if p._eat_kw("construct"):
+        p._expect("{")
+        template: list = []
+        while not p._eat("}"):
+            p._triples_block(template)
+        for t in template:
+            if not isinstance(t[1], str) or t[1][:1] in ("^", "!") \
+                    or t[1][-1:] in ("+", "*"):
+                raise SparqlError("CONSTRUCT templates take plain terms only")
+        spec = _parse_where(p)
+        spec["form"] = "construct"
+        spec["template"] = template
+        _parse_modifiers(p, spec, allow=())
+        return spec
+    raise SparqlError(f"expected SELECT/ASK/CONSTRUCT, got {p._peek()[1]!r}")
+
+
+def _parse_select(p: _Parser) -> dict:
+    distinct = bool(p._eat_kw("distinct"))
+    select: list[str] | None = []
+    aggregates: dict[str, str] = {}
+    if p._eat("*"):
+        select = None
+    else:
+        while True:
+            k, t = p._peek()
+            if k == "VAR":
+                p._next()
+                select.append(t[1:])
+            elif p._at("("):
+                p._next()
+                name, expr = _select_agg(p)
+                aggregates[name] = expr
+                select.append(name)
+            else:
+                break
+        if not select:
+            raise SparqlError("empty SELECT clause")
+    spec = _parse_where(p)
+    spec["form"] = "select"
+    spec["distinct"] = distinct
+    spec["select"] = select
+    if aggregates:
+        spec["aggregates"] = aggregates
+    _parse_modifiers(p, spec, allow=("group", "having", "order", "limit"))
+    return spec
+
+
+def _select_agg(p: _Parser) -> tuple[str, str]:
+    """Parse ``AGG(expr) AS ?name`` after the opening paren."""
+    k, t = p._next()
+    if k != "NAME" or t.lower() not in _AGG_FUNCS:
+        raise SparqlError(
+            "SELECT expressions must be aggregates: (COUNT(...) AS ?v)"
+        )
+    func = t.lower()
+    p._expect("(")
+    distinct = bool(p._eat_kw("distinct"))
+    if distinct and func != "count":
+        raise SparqlError("DISTINCT is supported inside COUNT only")
+    if func == "count" and p._eat("*"):
+        inner = "*"
+        p._expect(")")
+    else:
+        # _collect_until_close consumes through the matching ')'
+        inner = _ExprTranslator(p, p._collect_until_close()).translate()
+    p._expect_kw("as")
+    k2, t2 = p._next()
+    if k2 != "VAR":
+        raise SparqlError("aggregate needs `AS ?var`")
+    p._expect(")")
+    if func == "sample":
+        sql = f"first({inner})"
+    elif func in ("sum", "avg"):
+        sql = f"{func}(CAST({inner} AS DOUBLE))"
+    elif distinct:
+        sql = f"count(DISTINCT {inner})"
+    else:
+        sql = f"{func}({inner})"
+    return t2[1:], sql
+
+
+def _parse_where(p: _Parser) -> dict:
+    p._eat_kw("where")
+    p._expect("{")
+    return p._group()
+
+
+def _parse_modifiers(p: _Parser, spec: dict, allow: tuple):
+    while p._peek()[0] != "EOF":
+        if p._at_kw("group") and "group" in allow:
+            p._next()
+            p._expect_kw("by")
+            keys = []
+            while p._peek()[0] == "VAR":
+                keys.append(p._next()[1][1:])
+            if not keys:
+                raise SparqlError("GROUP BY needs ≥1 variable")
+            spec["group_by"] = keys
+            continue
+        if p._at_kw("having") and "having" in allow:
+            p._next()
+            spec.setdefault("having", []).append(_having_expr(p, spec))
+            continue
+        if p._at_kw("order") and "order" in allow:
+            p._next()
+            p._expect_kw("by")
+            order = []
+            while True:
+                if p._peek()[0] == "VAR":
+                    order.append((p._next()[1][1:], False))
+                elif p._at_kw("asc", "desc"):
+                    desc = p._next()[1].lower() == "desc"
+                    p._expect("(")
+                    k, t = p._next()
+                    if k != "VAR":
+                        raise SparqlError("ORDER BY ASC/DESC takes a variable")
+                    p._expect(")")
+                    order.append((t[1:], desc))
+                else:
+                    break
+            if not order:
+                raise SparqlError("ORDER BY needs ≥1 sort key")
+            spec["order_by"] = order
+            continue
+        if p._at_kw("limit") and "limit" in allow:
+            p._next()
+            k, t = p._next()
+            if k != "NUMBER" or not t.isdigit():
+                raise SparqlError("LIMIT needs a non-negative integer")
+            spec["limit"] = int(t)
+            continue
+        if p._at_kw("offset"):
+            raise SparqlError("OFFSET is not supported")
+        raise SparqlError(f"unexpected trailing token {p._peek()[1]!r}")
+
+
+def _having_expr(p: _Parser, spec: dict) -> str:
+    """HAVING may reference an aggregate (rewritten to its SELECT alias)
+    or an alias/group key directly."""
+    p._expect("(")
+    toks = p._collect_until_close()
+    # allow aggregate calls inside HAVING by translating them the same
+    # way as SELECT aggregates, then aliasing
+    out = []
+    i = 0
+    aggs: dict[str, str] = dict(spec.get("aggregates", {}))
+    while i < len(toks):
+        k, t = toks[i]
+        if k == "NAME" and t.lower() in _AGG_FUNCS and \
+                i + 1 < len(toks) and toks[i + 1] == ("OP", "("):
+            depth, j = 1, i + 2
+            inner = []
+            while depth:
+                if j >= len(toks):
+                    raise SparqlError("unterminated aggregate in HAVING")
+                if toks[j] == ("OP", "("):
+                    depth += 1
+                elif toks[j] == ("OP", ")"):
+                    depth -= 1
+                    if not depth:
+                        break
+                inner.append(toks[j])
+                j += 1
+            func = t.lower()
+            if inner == [("OP", "*")] and func == "count":
+                sql = "count(*)"
+            else:
+                arg = _ExprTranslator(p, inner).translate()
+                if func in ("sum", "avg"):
+                    sql = f"{func}(CAST({arg} AS DOUBLE))"
+                elif func == "sample":
+                    sql = f"first({arg})"
+                else:
+                    sql = f"{func}({arg})"
+            alias = next((n for n, s in aggs.items() if s == sql), None)
+            if alias is None:
+                raise SparqlError(
+                    "HAVING aggregates must also appear in the SELECT clause"
+                )
+            out.append(("VAR", "?" + alias))
+            i = j + 1  # past the aggregate's closing ')'
+            continue
+        out.append(toks[i])
+        i += 1
+    return _ExprTranslator(p, out).translate()
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+def _exec_kwargs(spec: dict) -> dict:
+    return {k: v for k, v in spec.items()
+            if k in ("patterns", "optional", "filters", "values", "bind",
+                     "not_exists", "minus")}
+
+
+def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
+    """Run a SPARQL query string over a (subj, pred, obj) relation.
+
+    SELECT returns one column per selected variable (names without the
+    ``?``); ASK returns a 1-row boolean ``ask`` column; CONSTRUCT
+    returns a (subj, pred, obj) relation. All plan shapes are exactly
+    :mod:`.bgp`'s — the text layer adds zero execution cost."""
+    spec = parse_sparql(text)
+    form = spec.pop("form")
+    if form == "ask":
+        if "union" in spec:
+            raise SparqlError("ASK over UNION is not supported")
+        kwargs = _exec_kwargs(spec)
+        patterns = kwargs.pop("patterns")
+        return bgp_ask(triples, patterns, dedup=dedup, **kwargs)
+    if form == "construct":
+        if "union" in spec:
+            raise SparqlError("CONSTRUCT over UNION is not supported")
+        return bgp_construct(
+            triples,
+            spec["patterns"],
+            spec["template"],
+            optional=spec.get("optional"),
+            filters=spec.get("filters"),
+            dedup=dedup,
+        )
+
+    # SELECT
+    select = spec.pop("select", None)
+    distinct = spec.pop("distinct", False)
+    order_by = spec.pop("order_by", None)
+    limit = spec.pop("limit", None)
+    aggregates = spec.pop("aggregates", None)
+    group_by = spec.pop("group_by", None)
+    having = spec.pop("having", None)
+
+    if "union" in spec:
+        if aggregates or group_by or having:
+            raise SparqlError("aggregates over UNION are not supported")
+        branches = []
+        for b in spec["union"]:
+            if "union" in b:
+                raise SparqlError("nested UNION is not supported")
+            branches.append(_exec_kwargs(b))
+        df = bgp_union(triples, branches, select=select, distinct=distinct,
+                       dedup=dedup)
+    else:
+        kwargs = _exec_kwargs(spec)
+        df = bgp_query(
+            triples,
+            kwargs.pop("patterns"),
+            select=select,
+            distinct=distinct,
+            aggregates=aggregates,
+            group_by=group_by,
+            having=having,
+            dedup=dedup,
+            **kwargs,
+        )
+    if select is None:
+        # SELECT *: internal variables (seq-path intermediates, query
+        # bnodes) are not projected, per SPARQL's bnode non-projection
+        hidden = [c for c in df.columns if c.startswith("__")]
+        if hidden:
+            df = df.drop(*hidden)
+    if order_by:
+        df = df.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
+                          for n, d in order_by])
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -1,0 +1,285 @@
+"""SPARQL text front-end (sparql.py): parse-and-run semantics against
+the same micro-KGs the bgp compiler tests use, plus error-path pins for
+every documented out-of-scope construct."""
+
+import pytest
+
+from parser_rdf_spark.sparql import SparqlError, parse_sparql, sparql_query
+
+TRIPLES = [
+    ("a", "type", "Person"),
+    ("b", "type", "Person"),
+    ("c", "type", "Person"),
+    ("r", "type", "Robot"),
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("a", "knows", "c"),
+    ("a", "name", "Alice"),
+    ("b", "name", "Bob"),
+    ("a", "age", "30"),
+    ("b", "age", "25"),
+    ("x", "urn:ex:p", "y"),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    edges = [("leaf1", "partOf", "mid"), ("leaf2", "partOf", "mid"),
+             ("mid", "partOf", "top"),
+             ("leaf1", "type", "Leaf"), ("mid", "type", "Node")]
+    return spark.createDataFrame(edges, "subj string, pred string, obj string")
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_simple_select(kg):
+    out = sparql_query(kg, 'SELECT ?s WHERE { ?s type "Person" }')
+    assert rows(out) == [("a",), ("b",), ("c",)]
+    assert out.columns == ["s"]
+
+
+def test_prefix_expansion_and_verbatim(kg):
+    # declared prefix expands; undeclared pname matches verbatim
+    out = sparql_query(kg, """
+        PREFIX ex: <urn:ex:>
+        SELECT ?o WHERE { x ex:p ?o }
+    """)
+    assert rows(out) == [("y",)]
+    out2 = sparql_query(kg, 'SELECT ?s WHERE { ?s knows c }')
+    assert rows(out2) == [("a",), ("b",)]
+
+
+def test_predicate_object_list_semicolon_comma(kg):
+    out = sparql_query(kg, """
+        SELECT ?p ?n WHERE {
+          ?p type Person ; name ?n ; knows b , c .
+        }
+    """)
+    assert rows(out) == [("a", "Alice")]
+
+
+def test_select_star_hides_internal_vars(kg):
+    out = sparql_query(kg, 'SELECT * WHERE { ?s knows/knows ?o }')
+    assert sorted(out.columns) == ["o", "s"]
+    assert rows(out.select("s", "o")) == [("a", "c")]
+
+
+def test_optional_group_text(kg):
+    out = sparql_query(kg, """
+        SELECT ?p ?n ?g WHERE {
+          ?p type Person .
+          OPTIONAL { ?p name ?n . ?p age ?g }
+        }
+    """)
+    assert rows(out) == [("a", "Alice", "30"), ("b", "Bob", "25"),
+                         ("c", None, None)]
+
+
+def test_filter_or_and_numeric_cast(kg):
+    out = sparql_query(kg, """
+        SELECT ?p WHERE {
+          ?p age ?a .
+          FILTER (?a > 26 || ?p = "b")
+        }
+    """)
+    assert rows(out) == [("a",), ("b",)]
+    # numeric comparison must be numeric, not lexicographic: "30" > "100"
+    spec = parse_sparql('SELECT ?p WHERE { ?p age ?a . FILTER(?a < 100) }')
+    assert "CAST(a AS DOUBLE)" in spec["filters"][0]
+
+
+def test_filter_bare_builtin_and_regex(kg):
+    out = sparql_query(kg, """
+        SELECT ?n WHERE { ?p name ?n . FILTER regex(?n, "^Al") }
+    """)
+    assert rows(out) == [("Alice",)]
+    out2 = sparql_query(kg, """
+        SELECT ?n WHERE { ?p name ?n . FILTER regex(?n, "^al", "i") }
+    """)
+    assert rows(out2) == [("Alice",)]
+
+
+def test_filter_functions(kg):
+    out = sparql_query(kg, """
+        SELECT ?n WHERE {
+          ?p name ?n .
+          FILTER (STRSTARTS(?n, "B") && STRLEN(?n) = 3)
+        }
+    """)
+    assert rows(out) == [("Bob",)]
+
+
+def test_filter_in_and_bound(kg):
+    out = sparql_query(kg, """
+        SELECT ?p WHERE {
+          ?p type Person .
+          OPTIONAL { ?p name ?n }
+          FILTER (!BOUND(?n))
+        }
+    """)
+    assert rows(out) == [("c",)]
+    out2 = sparql_query(kg, """
+        SELECT ?p WHERE { ?p name ?n . FILTER (?n IN ("Alice", "Zed")) }
+    """)
+    assert rows(out2) == [("a",)]
+
+
+def test_not_exists_and_minus(kg):
+    out = sparql_query(kg, """
+        SELECT ?p WHERE {
+          ?p type Person .
+          FILTER NOT EXISTS { ?p name ?n }
+        }
+    """)
+    assert rows(out) == [("c",)]
+    out2 = sparql_query(kg, """
+        SELECT ?p WHERE { ?p type Person . MINUS { ?p knows c } }
+    """)
+    assert rows(out2) == [("c",)]
+
+
+def test_values_single_and_multi(kg):
+    out = sparql_query(kg, """
+        SELECT ?p ?n WHERE { ?p name ?n . VALUES ?n { "Alice" "Zed" } }
+    """)
+    assert rows(out) == [("a", "Alice")]
+    out2 = sparql_query(kg, """
+        SELECT ?p ?n WHERE {
+          ?p name ?n .
+          VALUES (?p ?n) { ("a" "Alice") ("b" UNDEF) }
+        }
+    """)
+    # UNDEF row: join on both columns — NULL never equi-joins, so only
+    # the fully-bound row survives (matches bgp values semantics)
+    assert rows(out2) == [("a", "Alice")]
+
+
+def test_bind(kg):
+    out = sparql_query(kg, """
+        SELECT ?p ?u WHERE {
+          ?p name ?n . BIND (UCASE(?n) AS ?u)
+        }
+    """)
+    assert rows(out) == [("a", "ALICE"), ("b", "BOB")]
+
+
+def test_union(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { ?s type Robot } UNION { ?s name "Alice" }
+        }
+    """)
+    assert rows(out) == [("a",), ("r",)]
+
+
+def test_path_sequence_and_alternation(kg):
+    out = sparql_query(kg, 'SELECT ?o WHERE { a knows/name ?o }')
+    assert rows(out) == [("Bob",)]
+    out2 = sparql_query(kg, 'SELECT ?v WHERE { a name|age ?v }')
+    assert rows(out2) == [("30",), ("Alice",)]
+
+
+def test_path_inverse_and_negated(kg):
+    out = sparql_query(kg, 'SELECT ?s WHERE { Alice ^name ?s }')
+    assert rows(out) == [("a",)]
+    out2 = sparql_query(kg, 'SELECT ?o WHERE { a !(knows|type) ?o }')
+    assert rows(out2) == [("30",), ("Alice",)]
+
+
+def test_path_kleene(hier):
+    out = sparql_query(hier, 'SELECT ?o WHERE { leaf1 partOf+ ?o }')
+    assert rows(out) == [("mid",), ("top",)]
+
+
+def test_group_by_having_order_limit(kg):
+    out = sparql_query(kg, """
+        SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s knows ?o }
+        GROUP BY ?s
+        HAVING (COUNT(?o) >= 1)
+        ORDER BY DESC(?n) ?s
+        LIMIT 2
+    """)
+    assert [tuple(r) for r in out.collect()] == [("a", 2), ("b", 1)]
+
+
+def test_count_distinct_and_global_aggregate(kg):
+    out = sparql_query(kg, """
+        SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s knows ?o }
+    """)
+    assert rows(out) == [(2,)]
+
+
+def test_ask(kg):
+    assert rows(sparql_query(kg, 'ASK { a knows b }')) == [(True,)]
+    assert rows(sparql_query(kg, 'ASK { b knows a }')) == [(False,)]
+
+
+def test_construct(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT { ?y knownBy ?x } WHERE { ?x knows ?y . ?x type Person }
+    """)
+    assert ("b", "knownBy", "a") in rows(out)
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_variable_predicate(kg):
+    out = sparql_query(kg, 'SELECT ?p WHERE { a ?p b }')
+    assert rows(out) == [("knows",)]
+
+
+def test_bnode_acts_as_variable(kg):
+    out = sparql_query(kg, 'SELECT ?n WHERE { _:x knows c . _:x name ?n }')
+    assert rows(out) == [("Alice",), ("Bob",)]
+
+
+def test_string_literal_escapes_and_langtag_lexical(kg):
+    # lang tag parsed but matching is lexical-form-only (documented)
+    out = sparql_query(kg, 'SELECT ?p WHERE { ?p name "Alice"@en }')
+    assert rows(out) == [("a",)]
+
+
+@pytest.mark.parametrize("query,msg", [
+    ('SELECT ?s WHERE { ?s type Person } OFFSET 5', "OFFSET"),
+    ('SELECT ?s WHERE { ?s type Person . FILTER EXISTS { ?s name ?n } }',
+     "EXISTS"),
+    ('SELECT ?s WHERE { GRAPH ?g { ?s type Person } }', "GRAPH"),
+    ('SELECT ?s WHERE { ?s (knows/knows)+ ?o }', "plain IRIs only"),
+    ('SELECT ?s WHERE { ?s knows? ?o }', "zero-or-one"),
+    ('BASE <urn:b:> SELECT ?s WHERE { ?s type Person }', "BASE"),
+    ('SELECT ?s WHERE { { ?s type Person } }', "UNION branches"),
+])
+def test_unsupported_constructs_raise(kg, query, msg):
+    with pytest.raises(SparqlError, match=msg):
+        sparql_query(kg, query).collect()
+
+
+def test_union_mixed_with_triples_raises(kg):
+    with pytest.raises(SparqlError, match="UNION mixed"):
+        sparql_query(kg, """
+            SELECT ?s WHERE {
+              ?s type Person .
+              { ?s knows b } UNION { ?s knows c }
+            }
+        """).collect()
+
+
+def test_parse_spec_shape():
+    spec = parse_sparql("""
+        PREFIX ex: <urn:ex:>
+        SELECT DISTINCT ?s WHERE {
+          ?s ex:p ?o . OPTIONAL { ?o ex:q ?z }
+          FILTER (?z != "w")
+        } LIMIT 7
+    """)
+    assert spec["form"] == "select"
+    assert spec["distinct"] is True
+    assert spec["patterns"] == [("?s", "urn:ex:p", "?o")]
+    assert spec["optional"] == [[("?o", "urn:ex:q", "?z")]]
+    assert spec["limit"] == 7
