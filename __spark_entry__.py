@@ -2179,6 +2179,24 @@ def _q_sparql_negated_minus(spark, sf_dir):
     """)
 
 
+def _q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update applied as a pure function over the KG: a
+    DELETE/INSERT WHERE predicate migration for high-balance customers,
+    then INSERT DATA / DELETE DATA constants — returns the full
+    post-update relation, compared triple-for-triple against the oracle's
+    independent set algebra over the base tables."""
+    from parser_rdf_spark.sparql import sparql_update
+
+    return sparql_update(_tpch_triples(spark, sf_dir), """
+        DELETE { ?c ex:mktsegment ?seg }
+        INSERT { ?c ex:segment ?seg . ?c ex:migrated "true" }
+        WHERE  { ?c ex:mktsegment ?seg . ?c ex:highBalance "true" } ;
+        INSERT DATA { <urn:world:0> rdf:type ex:World .
+                      <urn:world:0> ex:name "World" } ;
+        DELETE DATA { <urn:region:0> ex:name "AFRICA" }
+    """)
+
+
 def _q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-style snapshot log driven end-to-end: commit the TPC-H KG
     (v1), commit the delta-merged KG (v2), roll back to v1 (v3) — then
@@ -2331,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": _q_sparql_construct,
         "sparql_union": _q_sparql_union,
         "sparql_negated_minus": _q_sparql_negated_minus,
+        "sparql_update_apply": _q_sparql_update,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3572,6 +3591,21 @@ def oracle_sql() -> dict[str, str]:
         "sparql_negated_minus": (
             "SELECT 'urn:nation:' || n_nationkey AS s, n_name AS o "
             "FROM nation"
+        ),
+        # sparql_update oracle: the post-update store via independent set
+        # algebra — base triple-ization minus deleted sets plus inserted
+        # sets, never touching the engine's update machinery
+        "sparql_update_apply": (
+            f"WITH {_TPCH_DELTA_CTE}, "
+            "hb AS (SELECT 'urn:cust:' || c_custkey AS c, c_mktsegment AS seg "
+            "FROM customer WHERE c_acctbal > 9000) "
+            "SELECT subj, pred, obj FROM old_t "
+            "WHERE NOT (pred = 'ex:mktsegment' AND subj IN (SELECT c FROM hb)) "
+            "AND NOT (subj = 'urn:region:0' AND pred = 'ex:name' AND obj = 'AFRICA') "
+            "UNION ALL SELECT c, 'ex:segment', seg FROM hb "
+            "UNION ALL SELECT c, 'ex:migrated', 'true' FROM hb "
+            "UNION ALL SELECT 'urn:world:0', 'rdf:type', 'ex:World' "
+            "UNION ALL SELECT 'urn:world:0', 'ex:name', 'World'"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property

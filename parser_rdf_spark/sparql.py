@@ -664,10 +664,7 @@ class _ExprTranslator:
 # query forms
 # ---------------------------------------------------------------------------
 
-def parse_sparql(text: str) -> dict:
-    """Parse a SPARQL query string into an execution spec dict (exposed
-    for tests; :func:`sparql_query` is the run-it entry point)."""
-    p = _Parser(text)
+def _prologue(p: _Parser):
     while True:
         if p._eat_kw("prefix"):
             k, t = p._next()
@@ -685,6 +682,13 @@ def parse_sparql(text: str) -> dict:
         if p._at_kw("base"):
             raise SparqlError("BASE is not supported")
         break
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL query string into an execution spec dict (exposed
+    for tests; :func:`sparql_query` is the run-it entry point)."""
+    p = _Parser(text)
+    _prologue(p)
 
     if p._eat_kw("select"):
         return _parse_select(p)
@@ -962,3 +966,175 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update
+# ---------------------------------------------------------------------------
+
+def _plain_template(template: list, what: str):
+    for t in template:
+        for term in t:
+            if not isinstance(term, str):
+                raise SparqlError(f"{what} templates take plain terms only")
+            if term.startswith("?__"):
+                # a sequence path desugars through fresh ?__ variables
+                raise SparqlError(f"property paths are not allowed in {what} templates")
+        if t[1][:1] in ("^", "!") or t[1][-1:] in ("+", "*"):
+            raise SparqlError(f"{what} templates take plain predicates only")
+    return template
+
+
+def _instantiate(sols: DataFrame, template: list) -> DataFrame:
+    """Template triples × solutions, NULL-bound rows dropped (the
+    bgp_construct instantiation, shared so DELETE and INSERT clauses
+    reuse ONE solution relation)."""
+    def term_col(term: str):
+        return F.col(term[1:]) if term.startswith("?") else F.lit(term)
+
+    parts = []
+    for t in template:
+        parts.append(
+            sols.select(
+                term_col(t[0]).alias("subj"),
+                term_col(t[1]).alias("pred"),
+                term_col(t[2]).alias("obj"),
+            ).filter(
+                F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def parse_sparql_update(text: str) -> list[dict]:
+    """Parse a SPARQL 1.1 Update request (one or more ``;``-separated
+    operations) into a list of op dicts."""
+    p = _Parser(text)
+    ops: list[dict] = []
+    while True:
+        _prologue(p)
+        if p._peek()[0] == "EOF":
+            break
+        if p._at_kw("clear", "drop", "load", "copy", "move", "add", "create",
+                    "with", "using"):
+            raise SparqlError(
+                f"update operation {p._peek()[1].upper()} is not supported "
+                "(the engine updates ONE default-graph relation)"
+            )
+        if p._eat_kw("insert"):
+            if p._eat_kw("data"):
+                ops.append({"op": "insert_data",
+                            "triples": _const_block(p)})
+            else:
+                ops.append(_modify(p, delete=None,
+                                   insert=_template_block(p)))
+        elif p._eat_kw("delete"):
+            if p._eat_kw("data"):
+                ops.append({"op": "delete_data",
+                            "triples": _const_block(p)})
+            elif p._eat_kw("where"):
+                p._expect("{")
+                sub = p._group()
+                if set(sub) - {"patterns"}:
+                    raise SparqlError("DELETE WHERE takes triple patterns only")
+                pats = _plain_template(sub["patterns"], "DELETE WHERE")
+                ops.append({"op": "modify", "delete": pats, "insert": None,
+                            "where": sub})
+            else:
+                delete = _template_block(p)
+                insert = _template_block(p) if p._eat_kw("insert") else None
+                ops.append(_modify(p, delete=delete, insert=insert))
+        else:
+            raise SparqlError(
+                f"expected an update operation, got {p._peek()[1]!r}"
+            )
+        if not p._eat(";"):
+            if p._peek()[0] != "EOF":
+                raise SparqlError(
+                    f"expected ';' between operations, got {p._peek()[1]!r}"
+                )
+    if not ops:
+        raise SparqlError("empty update request")
+    return ops
+
+
+def _const_block(p: _Parser) -> list:
+    triples = _template_block(p)
+    for t in triples:
+        for term in t:
+            if term.startswith("?"):
+                raise SparqlError("INSERT/DELETE DATA take constants only")
+    return triples
+
+
+def _template_block(p: _Parser) -> list:
+    p._expect("{")
+    template: list = []
+    while not p._eat("}"):
+        p._triples_block(template)
+    return _plain_template(template, "update")
+
+
+def _modify(p: _Parser, delete, insert) -> dict:
+    p._expect_kw("where")
+    p._expect("{")
+    sub = p._group()
+    if "union" in sub:
+        raise SparqlError("UNION in an update WHERE clause is not supported")
+    return {"op": "modify", "delete": delete, "insert": insert, "where": sub}
+
+
+def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
+    """Apply a SPARQL 1.1 Update request and return the NEW triples
+    relation — a pure function over the immutable DataFrame, which is
+    exactly how the engine's maintenance layer works: commit the result
+    via :class:`.snapshots.SnapshotTable` (atomic reader visibility,
+    time travel) or :func:`.incremental.merge_triples`.
+
+    Supported: ``INSERT DATA``, ``DELETE DATA``, ``DELETE WHERE``, and
+    the general ``DELETE {…} INSERT {…} WHERE {…}`` form, ``;``-chained.
+    Per spec each operation computes its delete and insert sets against
+    the store it starts from (one shared solution relation), removes
+    first, then adds; set semantics — deleting a triple removes ALL its
+    duplicates if the input relation is a multiset, and inserts never
+    duplicate an existing triple.
+
+    Scale shape: each op is one anti-join (delete) + one anti-join +
+    union (insert) on (subj, pred, obj) — output-sized exchanges; the
+    WHERE match costs what the equivalent :func:`bgp_query` costs. Ops
+    chain lazily; for long scripts checkpoint between commits."""
+    spark = triples.sparkSession
+    on = ["subj", "pred", "obj"]
+    acc = triples
+    for op in parse_sparql_update(text):
+        if op["op"] in ("insert_data", "delete_data"):
+            data = spark.createDataFrame(
+                [tuple(t) for t in op["triples"]],
+                "subj string, pred string, obj string",
+            )
+            if op["op"] == "delete_data":
+                acc = acc.join(F.broadcast(data), on=on, how="left_anti")
+            else:
+                fresh = data.dropDuplicates(on).join(acc, on=on, how="left_anti")
+                acc = acc.unionByName(fresh)
+            continue
+        where = dict(op["where"])
+        sols = bgp_query(acc, where.pop("patterns"), dedup=dedup,
+                         **{k: v for k, v in where.items()
+                            if k in ("optional", "filters", "values", "bind",
+                                     "not_exists", "minus")})
+        base = acc
+        if op["delete"]:
+            deleted = _instantiate(sols, op["delete"]).dropDuplicates(on)
+            acc = acc.join(deleted, on=on, how="left_anti")
+        if op["insert"]:
+            # inserted set computed against the PRE-delete store (sols
+            # bound there), added to the post-delete store without dupes
+            inserted = _instantiate(sols, op["insert"]).dropDuplicates(on)
+            acc = acc.unionByName(inserted.join(acc, on=on, how="left_anti"))
+        del base
+    return acc

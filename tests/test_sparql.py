@@ -283,3 +283,100 @@ def test_parse_spec_shape():
     assert spec["patterns"] == [("?s", "urn:ex:p", "?o")]
     assert spec["optional"] == [[("?o", "urn:ex:q", "?z")]]
     assert spec["limit"] == 7
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update
+# ---------------------------------------------------------------------------
+
+from parser_rdf_spark.sparql import sparql_update  # noqa: E402
+
+
+@pytest.fixture()
+def store(spark):
+    return spark.createDataFrame(
+        [("a", "type", "Person"), ("a", "name", "Alice"),
+         ("b", "type", "Person"), ("b", "name", "Bob")],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_insert_data_no_duplicates(store):
+    out = sparql_update(store, """
+        INSERT DATA { c type Person . a type Person }
+    """)
+    assert rows(out) == sorted(
+        [("a", "type", "Person"), ("a", "name", "Alice"),
+         ("b", "type", "Person"), ("b", "name", "Bob"),
+         ("c", "type", "Person")]
+    )
+
+
+def test_delete_data(store):
+    out = sparql_update(store, 'DELETE DATA { a name "Alice" }')
+    assert ("a", "name", "Alice") not in rows(out)
+    assert out.count() == 3
+
+
+def test_delete_where(store):
+    out = sparql_update(store, 'DELETE WHERE { ?s name ?n }')
+    assert rows(out) == [("a", "type", "Person"), ("b", "type", "Person")]
+
+
+def test_modify_delete_insert_shared_where(store):
+    # rename predicate for Persons; inserts bind against the PRE-delete
+    # store, deletes remove all matching triples
+    out = sparql_update(store, """
+        DELETE { ?p name ?n }
+        INSERT { ?p label ?n . ?p renamed "true" }
+        WHERE { ?p type Person . ?p name ?n }
+    """)
+    got = rows(out)
+    assert ("a", "label", "Alice") in got and ("b", "label", "Bob") in got
+    assert ("a", "renamed", "true") in got
+    assert not any(p == "name" for _, p, _o in got)
+
+
+def test_sequential_operations(store):
+    out = sparql_update(store, """
+        INSERT DATA { c type Robot } ;
+        DELETE WHERE { ?s type Robot . ?s name ?n } ;
+        DELETE { ?s type Person } INSERT { ?s type Human }
+        WHERE { ?s type Person . ?s name "Alice" }
+    """)
+    got = rows(out)
+    assert ("c", "type", "Robot") in got           # op2 matched nothing (no name)
+    assert ("a", "type", "Human") in got
+    assert ("a", "type", "Person") not in got
+    assert ("b", "type", "Person") in got          # untouched
+
+
+def test_insert_only_modify(store):
+    out = sparql_update(store, """
+        INSERT { ?p greeted "yes" } WHERE { ?p name "Bob" }
+    """)
+    assert ("b", "greeted", "yes") in rows(out)
+    assert out.count() == 5
+
+
+def test_update_multiset_delete_removes_all_copies(spark):
+    multi = spark.createDataFrame(
+        [("a", "p", "x")] * 3 + [("a", "q", "y")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_update(multi, 'DELETE DATA { a p x }')
+    assert rows(out) == [("a", "q", "y")]
+
+
+@pytest.mark.parametrize("text,msg", [
+    ("CLEAR ALL", "not supported"),
+    ("INSERT DATA { ?s type Person }", "constants only"),
+    ("DELETE { ?s knows/name ?n } INSERT { ?s x ?n } WHERE { ?s knows ?o }",
+     "property paths are not allowed"),
+    ("INSERT DATA { a type Person } DELETE DATA { a type Person }",
+     "expected ';'"),
+    ("", "empty update"),
+])
+def test_update_errors(store, text, msg):
+    with pytest.raises(SparqlError, match=msg):
+        sparql_update(store, text).collect()
