@@ -2179,6 +2179,39 @@ def _q_sparql_negated_minus(spark, sf_dir):
     """)
 
 
+def _q_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH over a quads relation: customer/supplier assertions
+    live in per-source named graphs, nation/region assertions in the
+    default graph — the query joins a variable-graph pattern (named
+    graphs only, per the dataset model) with a default-graph pattern."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = _tpch_triples(spark, sf_dir)
+    quads = t.select(
+        F.when(F.col("subj").startswith("urn:cust:"), "urn:g:cust")
+        .when(F.col("subj").startswith("urn:supp:"), "urn:g:supp")
+        .otherwise("_:default").alias("graph"),
+        "subj", "pred", "obj",
+    )
+    return sparql_query(quads, """
+        SELECT ?g ?e ?n WHERE {
+          GRAPH ?g { ?e ex:inNation ?n }
+          ?n ex:name ?nname .
+          FILTER (STRSTARTS(?nname, "NATION_2"))
+        }
+    """)
+
+
+def _q_sparql_describe(spark, sf_dir):
+    """DESCRIBE every nation: all triples whose subject matches the
+    WHERE solutions — one semi-join against the resource set."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        DESCRIBE ?n WHERE { ?n rdf:type ex:Nation }
+    """)
+
+
 def _q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update applied as a pure function over the KG: a
     DELETE/INSERT WHERE predicate migration for high-balance customers,
@@ -2350,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union": _q_sparql_union,
         "sparql_negated_minus": _q_sparql_negated_minus,
         "sparql_update_apply": _q_sparql_update,
+        "sparql_graph_query": _q_sparql_graph,
+        "sparql_describe": _q_sparql_describe,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3606,6 +3641,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT c, 'ex:migrated', 'true' FROM hb "
             "UNION ALL SELECT 'urn:world:0', 'rdf:type', 'ex:World' "
             "UNION ALL SELECT 'urn:world:0', 'ex:name', 'World'"
+        ),
+        "sparql_graph_query": (
+            "SELECT 'urn:g:cust' AS g, 'urn:cust:' || c_custkey AS e, "
+            "'urn:nation:' || c_nationkey AS n "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_2') "
+            "UNION ALL "
+            "SELECT 'urn:g:supp' AS g, 'urn:supp:' || s_suppkey AS e, "
+            "'urn:nation:' || s_nationkey AS n "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_2')"
+        ),
+        "sparql_describe": (
+            "SELECT 'urn:nation:' || n_nationkey AS subj, 'rdf:type' AS pred, "
+            "'ex:Nation' AS obj FROM nation "
+            "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:name', n_name "
+            "FROM nation "
+            "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:inRegion', "
+            "'urn:region:' || n_regionkey FROM nation"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property

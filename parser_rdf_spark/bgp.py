@@ -45,6 +45,16 @@ def triples_spo(triples: DataFrame) -> DataFrame:
     return triples.select("subj", "pred", F.col("obj_value").alias("obj"))
 
 
+def quads_spo(triples: DataFrame) -> DataFrame:
+    """Like :func:`triples_spo` but keeps the named-graph column (the
+    N-Quads surface of :mod:`.nquads`: '_:default' when unnamed), for
+    4-term GRAPH patterns."""
+    return triples.select(
+        F.coalesce(F.col("graph"), F.lit("_:default")).alias("graph"),
+        "subj", "pred", F.col("obj_value").alias("obj"),
+    )
+
+
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
@@ -139,10 +149,30 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         position, so two negated-set patterns never share a phantom join
         variable. A predicate IRI that genuinely starts with ``!`` can
         be matched literally via a 1-element alternation ``[pred]``.
+
+    A 4-term pattern ``(graph, subj, pred, obj)`` additionally matches /
+    binds the relation's ``graph`` column (SPARQL GRAPH over the N-Quads
+    surface — use :func:`quads_spo`); the graph term is a plain variable
+    or constant, and kleene paths are not supported inside a graph-bound
+    pattern (closure across graph boundaries would be ill-defined).
     """
-    if len(pattern) != 3:
-        raise ValueError(f"pattern must be (subj, pred, obj): {pattern!r}")
-    s_term, p_term, o_term = pattern
+    if len(pattern) == 4:
+        g_term, s_term, p_term, o_term = pattern
+        if not isinstance(g_term, str):
+            raise ValueError(f"graph term must be a plain term: {g_term!r}")
+        if "graph" not in triples.columns:
+            raise ValueError(
+                "4-term (GRAPH) patterns need a relation with a graph "
+                "column — use quads_spo()"
+            )
+        if isinstance(p_term, str) and p_term[-1:] in ("+", "*") \
+                and len(p_term) > 1 and not p_term.startswith("!"):
+            raise ValueError("kleene paths are not supported in GRAPH patterns")
+    elif len(pattern) == 3:
+        g_term, s_term, p_term, o_term = None, *pattern
+    else:
+        raise ValueError(f"pattern must be (subj, pred, obj) or "
+                         f"(graph, subj, pred, obj): {pattern!r}")
     if isinstance(p_term, str) and p_term.startswith("^"):
         s_term, o_term = o_term, s_term
         p_term = p_term[1:]
@@ -160,9 +190,12 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         scan = kleene_scan(triples, base, zero=(op == "*")).withColumn(
             "pred", F.lit(p_term)
         )
-    pattern = (s_term, p_term, o_term)
+    if g_term is None:
+        positions, terms = _POSITIONS, (s_term, p_term, o_term)
+    else:
+        positions, terms = ("graph",) + _POSITIONS, (g_term, s_term, p_term, o_term)
     cols: dict[str, F.Column] = {}
-    for pos, term in zip(_POSITIONS, pattern):
+    for pos, term in zip(positions, terms):
         if pos == "pred" and term is None:
             continue
         if pos == "pred" and isinstance(term, (list, tuple)):
@@ -185,7 +218,10 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         # 0-or-1-row side (AQE broadcasts it); limit(1) makes dedup moot
         return scan.select(F.lit(1).alias("__exists")).limit(1), set()
     if dedup:
-        scan = scan.dropDuplicates(["subj", "pred", "obj"])
+        # triple granularity for 3-term patterns (a quad store collapses
+        # to its triple SET — the documented corpus-level semantics);
+        # quad granularity when the graph term participates
+        scan = scan.dropDuplicates(list(positions))
     return scan.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
 
 

@@ -13,12 +13,17 @@ Supported subset (everything the underlying compiler can plan):
 
 * prologue: ``PREFIX pfx: <iri>`` (``BASE`` is not supported, mirroring
   the reference's no-``@base`` scope, docs/spec-completeness.md:147);
-* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``;
+* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``,
+  ``DESCRIBE`` (description = all triples whose subject is in the
+  resource set — one semi-join);
 * group graph pattern: triple blocks with ``;`` / ``,`` continuations,
   ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
   ``FILTER(expr)``, ``FILTER NOT EXISTS { … }``, ``MINUS { … }``,
-  ``BIND(expr AS ?v)``, ``VALUES``, and a top-level
-  ``{ … } UNION { … }``;
+  ``BIND(expr AS ?v)``, ``VALUES``, a top-level
+  ``{ … } UNION { … }``, and ``GRAPH g { … }`` over a quads relation
+  (:func:`.bgp.quads_spo` — un-GRAPHed patterns then match the default
+  graph, a variable graph term ranges over named graphs, per the SPARQL
+  dataset model);
 * property paths in predicate position: ``^p``, ``p1|p2``, ``p1/p2``,
   ``p+``, ``p*``, ``!p`` / ``!(p1|p2)``, and compositions the compiler
   supports (``^p+``, sequences over any of these);
@@ -28,8 +33,9 @@ Supported subset (everything the underlying compiler can plan):
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
 (never silently mis-answer): sub-SELECT, ``EXISTS`` (positive),
-``GRAPH``, ``SERVICE``, ``OFFSET``, ``p?`` zero-or-one paths, paths
-under a parenthesized kleene, federated/update forms.
+``SERVICE``, ``OFFSET``, ``p?`` zero-or-one paths, paths under a
+parenthesized kleene, nested GRAPH, kleene paths over a quads relation,
+federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -81,7 +87,8 @@ _KEYWORDS = {
     "prefix", "base", "select", "distinct", "where", "optional", "filter",
     "union", "values", "bind", "not", "exists", "minus", "group", "by",
     "having", "order", "asc", "desc", "limit", "offset", "ask",
-    "construct", "as", "undef", "in", "true", "false", "graph", "service",
+    "construct", "describe", "as", "undef", "in", "true", "false",
+    "graph", "service",
 }
 
 # SPARQL builtin → Spark SQL function (argument-preserving)
@@ -392,8 +399,21 @@ class _Parser:
             if self._eat_kw("values"):
                 spec["values"] = self._values_clause()
                 continue
-            if self._at_kw("graph", "service"):
-                raise SparqlError(f"{self._peek()[1].upper()} is not supported")
+            if self._eat_kw("graph"):
+                g_term = self._term("graph name")
+                self._expect("{")
+                sub = self._group()
+                if set(sub) - {"patterns"}:
+                    raise SparqlError("GRAPH groups support triple patterns only")
+                for pat in sub["patterns"]:
+                    if len(pat) == 4:
+                        raise SparqlError("nested GRAPH is not supported")
+                    spec["patterns"].append((g_term,) + tuple(pat))
+                if g_term.startswith("?"):
+                    spec.setdefault("graph_vars", set()).add(g_term[1:])
+                continue
+            if self._at_kw("service"):
+                raise SparqlError("SERVICE is not supported")
             self._triples_block(spec["patterns"])
         if union_branches is not None:
             if spec["patterns"] or set(spec) - {"patterns"}:
@@ -711,7 +731,25 @@ def parse_sparql(text: str) -> dict:
         spec["template"] = template
         _parse_modifiers(p, spec, allow=())
         return spec
-    raise SparqlError(f"expected SELECT/ASK/CONSTRUCT, got {p._peek()[1]!r}")
+    if p._eat_kw("describe"):
+        targets = []
+        while True:
+            k, t = p._peek()
+            if k in ("VAR", "IRIREF", "PNAME") or \
+                    (k == "NAME" and t.lower() not in _KEYWORDS):
+                targets.append(p._term("DESCRIBE target"))
+            else:
+                break
+        if not targets:
+            raise SparqlError("DESCRIBE needs ≥1 resource or variable")
+        spec = {"patterns": []}
+        if p._at_kw("where") or p._at("{"):
+            spec = _parse_where(p)
+        spec["form"] = "describe"
+        spec["describe"] = targets
+        _parse_modifiers(p, spec, allow=())
+        return spec
+    raise SparqlError(f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {p._peek()[1]!r}")
 
 
 def _parse_select(p: _Parser) -> dict:
@@ -895,6 +933,48 @@ def _exec_kwargs(spec: dict) -> dict:
                      "not_exists", "minus")}
 
 
+def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
+    """SPARQL dataset semantics over the relation shape: 4-term (GRAPH)
+    patterns need a quads relation; over a quads relation, un-GRAPHed
+    patterns match the DEFAULT graph ('_:default'); a variable graph
+    term ranges over NAMED graphs only (a ``<> '_:default'`` filter)."""
+    def conv(p):
+        if len(p) == 4:
+            if not has_graph_col:
+                raise SparqlError(
+                    "GRAPH patterns need a quads relation (graph column) — "
+                    "adapt with bgp.quads_spo"
+                )
+            return p
+        if not has_graph_col:
+            return p
+        if isinstance(p[1], str) and p[1][-1:] in ("+", "*") and len(p[1]) > 1:
+            raise SparqlError(
+                "kleene paths over a quads relation are not supported"
+            )
+        return ("_:default",) + tuple(p)
+
+    spec = dict(spec)
+    if "union" in spec:
+        spec["union"] = [_apply_graph_semantics(b, has_graph_col)
+                         for b in spec["union"]]
+        return spec
+    if "patterns" in spec:
+        spec["patterns"] = [conv(p) for p in spec["patterns"]]
+    if spec.get("optional"):
+        spec["optional"] = [
+            [conv(p) for p in ent] if ent and isinstance(ent[0], (list, tuple))
+            else conv(ent)
+            for ent in spec["optional"]
+        ]
+    for key in ("not_exists", "minus"):
+        if spec.get(key):
+            spec[key] = [[conv(p) for p in grp] for grp in spec[key]]
+    for v in sorted(spec.pop("graph_vars", ())):
+        spec.setdefault("filters", []).append(f"{v} <> '_:default'")
+    return spec
+
+
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
@@ -904,6 +984,7 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     :mod:`.bgp`'s — the text layer adds zero execution cost."""
     spec = parse_sparql(text)
     form = spec.pop("form")
+    spec = _apply_graph_semantics(spec, "graph" in triples.columns)
     if form == "ask":
         if "union" in spec:
             raise SparqlError("ASK over UNION is not supported")
@@ -921,6 +1002,8 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
             filters=spec.get("filters"),
             dedup=dedup,
         )
+    if form == "describe":
+        return _run_describe(triples, spec, dedup)
 
     # SELECT
     select = spec.pop("select", None)
@@ -966,6 +1049,39 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
+    """DESCRIBE: the (implementation-defined, per spec) description is
+    every triple whose SUBJECT is in the resource set — constants plus
+    every value the DESCRIBE variables take in the WHERE solutions. One
+    semi-join, output-sized."""
+    if "union" in spec:
+        raise SparqlError("DESCRIBE over UNION is not supported")
+    targets = spec["describe"]
+    consts = [t for t in targets if not t.startswith("?")]
+    var_names = [t[1:] for t in targets if t.startswith("?")]
+    spark = triples.sparkSession
+    parts = []
+    if consts:
+        parts.append(spark.createDataFrame([(c,) for c in consts], "r string"))
+    if var_names:
+        if not spec.get("patterns"):
+            raise SparqlError("DESCRIBE with variables needs a WHERE clause")
+        kwargs = _exec_kwargs(spec)
+        sols = bgp_query(triples, kwargs.pop("patterns"), dedup=dedup, **kwargs)
+        for v in var_names:
+            if v not in sols.columns:
+                raise SparqlError(f"DESCRIBE variable ?{v} is not bound by WHERE")
+            parts.append(sols.select(F.col(v).alias("r")))
+    resources = parts[0]
+    for q in parts[1:]:
+        resources = resources.unionByName(q)
+    resources = resources.na.drop().distinct()
+    out = triples.join(resources, on=triples["subj"] == resources["r"],
+                       how="left_semi")
+    return out.select("subj", "pred", "obj").dropDuplicates(
+        ["subj", "pred", "obj"])
 
 
 # ---------------------------------------------------------------------------
@@ -1107,6 +1223,11 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
     union (insert) on (subj, pred, obj) — output-sized exchanges; the
     WHERE match costs what the equivalent :func:`bgp_query` costs. Ops
     chain lazily; for long scripts checkpoint between commits."""
+    if "graph" in triples.columns:
+        raise SparqlError(
+            "updates over a quads relation are not supported — slice one "
+            "graph (filter + drop('graph')) and merge the result back"
+        )
     spark = triples.sparkSession
     on = ["subj", "pred", "obj"]
     acc = triples

@@ -380,3 +380,85 @@ def test_update_multiset_delete_removes_all_copies(spark):
 def test_update_errors(store, text, msg):
     with pytest.raises(SparqlError, match=msg):
         sparql_update(store, text).collect()
+
+
+# ---------------------------------------------------------------------------
+# GRAPH (quads) + DESCRIBE
+# ---------------------------------------------------------------------------
+
+QUADS = [
+    ("_:default", "a", "type", "Person"),
+    ("_:default", "b", "type", "Person"),
+    ("urn:g1", "a", "knows", "b"),
+    ("urn:g1", "a", "name", "Alice"),
+    ("urn:g2", "a", "knows", "c"),
+    ("urn:g2", "b", "name", "Bob"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "graph string, subj string, pred string, obj string")
+
+
+def test_graph_constant(quads):
+    out = sparql_query(quads, 'SELECT ?o WHERE { GRAPH <urn:g1> { a knows ?o } }')
+    assert rows(out) == [("b",)]
+
+
+def test_graph_variable_ranges_over_named_only(quads):
+    out = sparql_query(quads, 'SELECT ?g WHERE { GRAPH ?g { ?s type ?t } }')
+    assert rows(out) == []  # type triples live in the default graph
+    out2 = sparql_query(quads, 'SELECT ?g ?o WHERE { GRAPH ?g { a knows ?o } }')
+    assert rows(out2) == [("urn:g1", "b"), ("urn:g2", "c")]
+
+
+def test_default_graph_excludes_named(quads):
+    # un-GRAPHed patterns over a quads relation match the DEFAULT graph
+    out = sparql_query(quads, 'SELECT ?s WHERE { ?s type Person }')
+    assert rows(out) == [("a",), ("b",)]
+    out2 = sparql_query(quads, 'SELECT ?s WHERE { ?s knows b }')
+    assert rows(out2) == []  # knows lives only in named graphs
+
+
+def test_graph_joins_with_default(quads):
+    out = sparql_query(quads, """
+        SELECT ?s ?n WHERE {
+          ?s type Person .
+          GRAPH <urn:g2> { ?s name ?n }
+        }
+    """)
+    assert rows(out) == [("b", "Bob")]
+
+
+def test_graph_on_triple_relation_raises(kg):
+    with pytest.raises(SparqlError, match="quads relation"):
+        sparql_query(kg, 'SELECT ?s WHERE { GRAPH ?g { ?s type Person } }').collect()
+
+
+def test_update_on_quads_raises(quads):
+    with pytest.raises(SparqlError, match="quads relation"):
+        sparql_update(quads, 'DELETE DATA { a type Person }')
+
+
+def test_describe_constant(kg):
+    out = sparql_query(kg, 'DESCRIBE a')
+    assert rows(out) == [("a", "age", "30"), ("a", "knows", "b"),
+                         ("a", "knows", "c"), ("a", "name", "Alice"),
+                         ("a", "type", "Person")]
+
+
+def test_describe_variable_where(kg):
+    out = sparql_query(kg, 'DESCRIBE ?r WHERE { ?r type Robot }')
+    assert rows(out) == [("r", "type", "Robot")]
+
+
+def test_describe_mixed_and_dedup(kg):
+    out = sparql_query(kg, 'DESCRIBE r ?r WHERE { ?r type Robot }')
+    assert rows(out) == [("r", "type", "Robot")]
+
+
+def test_describe_without_where_var_raises(kg):
+    with pytest.raises(SparqlError, match="needs a WHERE"):
+        sparql_query(kg, 'DESCRIBE ?x').collect()
