@@ -281,6 +281,7 @@ def bgp_query(
     dedup: bool = True,
     values: tuple[list[str], list[tuple]] | None = None,
     bind: dict[str, str] | None = None,
+    exists: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     group_by: list[str] | None = None,
@@ -319,6 +320,10 @@ def bgp_query(
       inner-joined as a broadcast local relation on its variables;
     * ``bind`` — {new_var: SQL expression over bound vars} (SPARQL
       BIND), applied in insertion order so later binds see earlier ones;
+    * ``exists`` — pattern GROUPS kept via left-semi join on the shared
+      variables (SPARQL FILTER EXISTS); a group sharing NO variable is a
+      constant gate — ≥1 inner solution keeps everything (a broadcast
+      limit-1 cross), zero solutions keeps nothing;
     * ``not_exists`` — pattern GROUPS removed via left-anti join on the
       shared variables (SPARQL FILTER NOT EXISTS). Each group must share
       ≥1 variable with the required patterns;
@@ -381,6 +386,17 @@ def bgp_query(
 
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
+
+    for group in exists or []:
+        pos, pos_vars = _compile_group(triples, group, dedup)
+        shared = sorted(bound & pos_vars)
+        if shared:
+            acc = acc.join(pos.select(*shared).distinct(), on=shared,
+                           how="left_semi")
+        else:
+            # constant gate: ≥1 inner solution keeps all rows, else none
+            gate = pos.limit(1).select(F.lit(1).alias("__gate"))
+            acc = acc.crossJoin(F.broadcast(gate)).drop("__gate")
 
     for kind, groups in (("not_exists", not_exists), ("minus", minus)):
         for group in groups or []:

@@ -18,7 +18,8 @@ Supported subset (everything the underlying compiler can plan):
   resource set — one semi-join);
 * group graph pattern: triple blocks with ``;`` / ``,`` continuations,
   ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
-  ``FILTER(expr)``, ``FILTER NOT EXISTS { … }``, ``MINUS { … }``,
+  ``FILTER(expr)``, ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS
+  { … }`` (semi-/anti-join on the shared variables), ``MINUS { … }``,
   ``BIND(expr AS ?v)``, ``VALUES``, a top-level
   ``{ … } UNION { … }``, and ``GRAPH g { … }`` over a quads relation
   (:func:`.bgp.quads_spo` — un-GRAPHed patterns then match the default
@@ -28,14 +29,14 @@ Supported subset (everything the underlying compiler can plan):
   ``p+``, ``p*``, ``!p`` / ``!(p1|p2)``, and compositions the compiler
   supports (``^p+``, sequences over any of these);
 * solution modifiers: ``GROUP BY`` + aggregates in the SELECT clause
-  (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT), ``HAVING``,
-  ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``.
+  (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT; also over
+  UNION), ``HAVING``, ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``,
+  ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): sub-SELECT, ``EXISTS`` (positive),
-``SERVICE``, ``OFFSET``, ``p?`` zero-or-one paths, paths under a
-parenthesized kleene, nested GRAPH, kleene paths over a quads relation,
-federated forms.
+(never silently mis-answer): sub-SELECT, ``SERVICE``, ``p?``
+zero-or-one paths, paths under a parenthesized kleene, nested GRAPH,
+kleene paths over a quads relation, federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -375,8 +376,13 @@ class _Parser:
                         raise SparqlError("NOT EXISTS groups support triple patterns only")
                     spec.setdefault("not_exists", []).append(sub["patterns"])
                     continue
-                if self._at_kw("exists"):
-                    raise SparqlError("positive FILTER EXISTS is not supported")
+                if self._eat_kw("exists"):
+                    self._expect("{")
+                    sub = self._group()
+                    if set(sub) - {"patterns"}:
+                        raise SparqlError("EXISTS groups support triple patterns only")
+                    spec.setdefault("exists", []).append(sub["patterns"])
+                    continue
                 spec.setdefault("filters", []).append(self._bracketed_expr())
                 continue
             if self._eat_kw("minus"):
@@ -867,8 +873,13 @@ def _parse_modifiers(p: _Parser, spec: dict, allow: tuple):
                 raise SparqlError("LIMIT needs a non-negative integer")
             spec["limit"] = int(t)
             continue
-        if p._at_kw("offset"):
-            raise SparqlError("OFFSET is not supported")
+        if p._at_kw("offset") and "limit" in allow:
+            p._next()
+            k, t = p._next()
+            if k != "NUMBER" or not t.isdigit():
+                raise SparqlError("OFFSET needs a non-negative integer")
+            spec["offset"] = int(t)
+            continue
         raise SparqlError(f"unexpected trailing token {p._peek()[1]!r}")
 
 
@@ -930,7 +941,7 @@ def _having_expr(p: _Parser, spec: dict) -> str:
 def _exec_kwargs(spec: dict) -> dict:
     return {k: v for k, v in spec.items()
             if k in ("patterns", "optional", "filters", "values", "bind",
-                     "not_exists", "minus")}
+                     "exists", "not_exists", "minus")}
 
 
 def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
@@ -967,7 +978,7 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
             else conv(ent)
             for ent in spec["optional"]
         ]
-    for key in ("not_exists", "minus"):
+    for key in ("exists", "not_exists", "minus"):
         if spec.get(key):
             spec[key] = [[conv(p) for p in grp] for grp in spec[key]]
     for v in sorted(spec.pop("graph_vars", ())):
@@ -1010,20 +1021,38 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     distinct = spec.pop("distinct", False)
     order_by = spec.pop("order_by", None)
     limit = spec.pop("limit", None)
+    offset = spec.pop("offset", None)
     aggregates = spec.pop("aggregates", None)
     group_by = spec.pop("group_by", None)
     having = spec.pop("having", None)
 
     if "union" in spec:
-        if aggregates or group_by or having:
-            raise SparqlError("aggregates over UNION are not supported")
         branches = []
         for b in spec["union"]:
             if "union" in b:
                 raise SparqlError("nested UNION is not supported")
             branches.append(_exec_kwargs(b))
-        df = bgp_union(triples, branches, select=select, distinct=distinct,
-                       dedup=dedup)
+        if aggregates:
+            # aggregate over the unioned solution relation: the union is
+            # plan-level concatenation, the aggregate one hash agg on top
+            df = bgp_union(triples, branches, dedup=dedup)
+            keys = group_by or []
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                raise SparqlError(f"GROUP BY references unbound: {missing}")
+            aggs = [F.expr(e).alias(n) for n, e in aggregates.items()]
+            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+            for h in having or []:
+                df = df.filter(F.expr(h))
+            if select:
+                df = df.select(*select)
+            if distinct:
+                df = df.distinct()
+        elif group_by or having:
+            raise SparqlError("GROUP BY/HAVING require aggregates")
+        else:
+            df = bgp_union(triples, branches, select=select,
+                           distinct=distinct, dedup=dedup)
     else:
         kwargs = _exec_kwargs(spec)
         df = bgp_query(
@@ -1046,6 +1075,8 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     if order_by:
         df = df.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
                           for n, d in order_by])
+    if offset:
+        df = df.offset(offset)
     if limit is not None:
         df = df.limit(limit)
     return df

@@ -246,10 +246,8 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
 
 
 @pytest.mark.parametrize("query,msg", [
-    ('SELECT ?s WHERE { ?s type Person } OFFSET 5', "OFFSET"),
-    ('SELECT ?s WHERE { ?s type Person . FILTER EXISTS { ?s name ?n } }',
-     "EXISTS"),
-    ('SELECT ?s WHERE { GRAPH ?g { ?s type Person } }', "GRAPH"),
+    ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
+    ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
     ('SELECT ?s WHERE { ?s (knows/knows)+ ?o }', "plain IRIs only"),
     ('SELECT ?s WHERE { ?s knows? ?o }', "zero-or-one"),
     ('BASE <urn:b:> SELECT ?s WHERE { ?s type Person }', "BASE"),
@@ -462,3 +460,43 @@ def test_describe_mixed_and_dedup(kg):
 def test_describe_without_where_var_raises(kg):
     with pytest.raises(SparqlError, match="needs a WHERE"):
         sparql_query(kg, 'DESCRIBE ?x').collect()
+
+
+def test_filter_exists_positive(kg):
+    out = sparql_query(kg, """
+        SELECT ?p WHERE {
+          ?p type Person .
+          FILTER EXISTS { ?p name ?n }
+        }
+    """)
+    assert rows(out) == [("a",), ("b",)]
+
+
+def test_filter_exists_disjoint_gate(kg):
+    # no shared variable: a constant gate — keeps all (inner non-empty)
+    out = sparql_query(kg, """
+        SELECT ?p WHERE { ?p type Person . FILTER EXISTS { ?q type Robot } }
+    """)
+    assert out.count() == 3
+    out2 = sparql_query(kg, """
+        SELECT ?p WHERE { ?p type Person . FILTER EXISTS { ?q type Dragon } }
+    """)
+    assert out2.count() == 0
+
+
+def test_offset_and_limit(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE { ?s type Person } ORDER BY ?s LIMIT 2 OFFSET 1
+    """)
+    assert [tuple(r) for r in out.collect()] == [("b",), ("c",)]
+
+
+def test_aggregate_over_union(kg):
+    out = sparql_query(kg, """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE {
+          { ?s type Person . BIND("person" AS ?t) }
+          UNION
+          { ?s type Robot . BIND("robot" AS ?t) }
+        } GROUP BY ?t ORDER BY ?t
+    """)
+    assert [tuple(r) for r in out.collect()] == [("person", 3), ("robot", 1)]
