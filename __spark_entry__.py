@@ -2212,6 +2212,37 @@ def _q_sparql_describe(spark, sf_dir):
     """)
 
 
+def _q_sparql_exists_filter(spark, sf_dir):
+    """Positive FILTER EXISTS: nations with at least one high-balance
+    customer — a left-semi join on the shared variable, so the outer
+    cardinality never inflates however many customers match."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?n ?nname WHERE {
+          ?n rdf:type ex:Nation .
+          ?n ex:name ?nname .
+          FILTER EXISTS { ?c ex:inNation ?n . ?c ex:highBalance "true" }
+        }
+    """)
+
+
+def _q_sparql_agg_union(spark, sf_dir):
+    """GROUP BY aggregate over a UNION (entities per nation across both
+    typed branches) with ORDER BY + OFFSET + LIMIT pagination — the union
+    is plan-level concatenation, the aggregate one hash agg on top, the
+    page a global sort only over the ~25 aggregated rows."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?nname (COUNT(?e) AS ?n_ent) WHERE {
+          { ?e rdf:type ex:Customer . ?e ex:inNation ?n . ?n ex:name ?nname }
+          UNION
+          { ?e rdf:type ex:Supplier . ?e ex:inNation ?n . ?n ex:name ?nname }
+        } GROUP BY ?nname ORDER BY ?nname LIMIT 5 OFFSET 2
+    """)
+
+
 def _q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update applied as a pure function over the KG: a
     DELETE/INSERT WHERE predicate migration for high-balance customers,
@@ -2385,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_apply": _q_sparql_update,
         "sparql_graph_query": _q_sparql_graph,
         "sparql_describe": _q_sparql_describe,
+        "sparql_exists_filter": _q_sparql_exists_filter,
+        "sparql_agg_union": _q_sparql_agg_union,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3660,6 +3693,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM nation "
             "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:inRegion', "
             "'urn:region:' || n_regionkey FROM nation"
+        ),
+        # sparql_exists_filter oracle: semi-join as IN-subquery over the
+        # base tables — nations owning at least one acctbal>9000 customer
+        "sparql_exists_filter": (
+            "SELECT 'urn:nation:' || n_nationkey AS n, n_name AS nname "
+            "FROM nation WHERE n_nationkey IN "
+            "(SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)"
+        ),
+        # sparql_agg_union oracle: the same union-then-aggregate page in
+        # plain SQL; nname is unique per nation so the ORDER BY page is
+        # deterministic
+        "sparql_agg_union": (
+            "SELECT nname, CAST(COUNT(*) AS BIGINT) AS n_ent FROM ("
+            "SELECT n_name AS nname FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL SELECT n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey) "
+            "GROUP BY nname ORDER BY nname LIMIT 5 OFFSET 2"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property
