@@ -81,6 +81,17 @@ def seq_path(subj: str, preds: list[str], obj: str, tag: str = "p") -> list[tupl
     return out
 
 
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """All terms of the graph (subjects ∪ objects), one column ``t`` —
+    the domain of SPARQL's zero-length path pairs. One distinct over the
+    corpus; documented cost of the ``*``/``?`` zero-length forms."""
+    return (
+        triples.select(F.col("subj").alias("t"))
+        .unionByName(triples.select(F.col("obj").alias("t")))
+        .distinct()
+    )
+
+
 def kleene_scan(
     triples: DataFrame,
     pred: str,
@@ -107,13 +118,9 @@ def kleene_scan(
         edges, src_col="subj", dst_col="obj", max_iters=max_iters
     ).select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
     if zero:
-        nodes = (
-            triples.select(F.col("subj").alias("t"))
-            .unionByName(triples.select(F.col("obj").alias("t")))
-            .distinct()
-        )
         closed = closed.unionByName(
-            nodes.select(F.col("t").alias("subj"), F.col("t").alias("obj"))
+            _graph_nodes(triples).select(
+                F.col("t").alias("subj"), F.col("t").alias("obj"))
         ).distinct()
     return closed
 
@@ -140,8 +147,10 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
       * inverse — a ``^p`` predicate swaps the subject/object roles
         (SPARQL ``^p``), zero extra cost;
       * transitive — a trailing ``+`` / ``*`` (SPARQL ``p+`` / ``p*``)
-        swaps the base relation for :func:`kleene_scan`'s closure. A
-        predicate IRI that genuinely ends in ``+``/``*`` can be matched
+        swaps the base relation for :func:`kleene_scan`'s closure, and a
+        trailing ``?`` (zero-or-one) for the single-hop edges unioned
+        with the reflexive pairs over every graph term. A predicate IRI
+        that genuinely ends in ``+``/``*``/``?`` can be matched
         literally by passing it as a 1-element alternation ``[pred]``;
       * negated set — a leading ``!`` (``!p`` or ``!(p1|p2)``, SPARQL's
         negated property set) compiles to a NOT IN filter — like
@@ -165,7 +174,7 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
                 "4-term (GRAPH) patterns need a relation with a graph "
                 "column — use quads_spo()"
             )
-        if isinstance(p_term, str) and p_term[-1:] in ("+", "*") \
+        if isinstance(p_term, str) and p_term[-1:] in ("+", "*", "?") \
                 and len(p_term) > 1 and not p_term.startswith("!"):
             raise ValueError("kleene paths are not supported in GRAPH patterns")
     elif len(pattern) == 3:
@@ -190,6 +199,17 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         scan = kleene_scan(triples, base, zero=(op == "*")).withColumn(
             "pred", F.lit(p_term)
         )
+    elif isinstance(p_term, str) and p_term.endswith("?") \
+            and len(p_term) > 1 and not p_term.startswith("?"):
+        # SPARQL zero-or-one path p?: the single-hop edge set unioned
+        # with the reflexive pairs over every graph term — same
+        # zero-length semantics as p*, without the closure
+        base = p_term[:-1]
+        hop = triples.filter(F.col("pred") == F.lit(base)).select("subj", "obj")
+        scan = hop.unionByName(
+            _graph_nodes(triples).select(
+                F.col("t").alias("subj"), F.col("t").alias("obj"))
+        ).distinct().withColumn("pred", F.lit(p_term))
     if g_term is None:
         positions, terms = _POSITIONS, (s_term, p_term, o_term)
     else:

@@ -26,17 +26,17 @@ Supported subset (everything the underlying compiler can plan):
   graph, a variable graph term ranges over named graphs, per the SPARQL
   dataset model);
 * property paths in predicate position: ``^p``, ``p1|p2``, ``p1/p2``,
-  ``p+``, ``p*``, ``!p`` / ``!(p1|p2)``, and compositions the compiler
-  supports (``^p+``, sequences over any of these);
+  ``p+``, ``p*``, ``p?``, ``!p`` / ``!(p1|p2)``, and compositions the
+  compiler supports (``^p+``, sequences over any of these);
 * solution modifiers: ``GROUP BY`` + aggregates in the SELECT clause
   (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT; also over
   UNION), ``HAVING``, ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``,
   ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): sub-SELECT, ``SERVICE``, ``p?``
-zero-or-one paths, paths under a parenthesized kleene, nested GRAPH,
-kleene paths over a quads relation, federated forms.
+(never silently mis-answer): sub-SELECT, ``SERVICE``, paths under a
+parenthesized kleene, nested GRAPH, kleene paths over a quads relation,
+federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -251,7 +251,7 @@ class _Parser:
         members = []
         for a in alts:
             if not isinstance(a, str) or a[:1] in ("^", "!", "?") \
-                    or a[-1:] in ("+", "*"):
+                    or a[-1:] in ("+", "*", "?"):
                 raise SparqlError(
                     "alternation over modified/sequence paths is not supported"
                 )
@@ -276,7 +276,7 @@ class _Parser:
                 elif self._eat("*"):
                     elt += "*"
                 elif self._eat("?"):
-                    raise SparqlError("zero-or-one path p? is not supported")
+                    elt += "?"
             elif self._at("+") or self._at("*"):
                 raise SparqlError(
                     "path modifiers apply to plain IRIs only"

@@ -249,7 +249,6 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
     ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
     ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
     ('SELECT ?s WHERE { ?s (knows/knows)+ ?o }', "plain IRIs only"),
-    ('SELECT ?s WHERE { ?s knows? ?o }', "zero-or-one"),
     ('BASE <urn:b:> SELECT ?s WHERE { ?s type Person }', "BASE"),
     ('SELECT ?s WHERE { { ?s type Person } }', "UNION branches"),
 ])
@@ -460,6 +459,24 @@ def test_describe_mixed_and_dedup(kg):
 def test_describe_without_where_var_raises(kg):
     with pytest.raises(SparqlError, match="needs a WHERE"):
         sparql_query(kg, 'DESCRIBE ?x').collect()
+
+
+def test_zero_or_one_path(kg):
+    # knows? into a constant object: one-hop sources plus the reflexive
+    # match on the object itself
+    out = sparql_query(kg, 'SELECT ?s WHERE { ?s knows? c }')
+    assert rows(out) == [("a",), ("b",), ("c",)]
+
+
+def test_zero_or_one_in_sequence(hier):
+    out = sparql_query(hier, 'SELECT ?a WHERE { leaf1 partOf/partOf? ?a }')
+    assert rows(out) == [("mid",), ("top",)]
+
+
+def test_inverse_zero_or_one(hier):
+    # ?s ^partOf? leaf1  ⇔  leaf1 partOf? ?s
+    out = sparql_query(hier, 'SELECT ?s WHERE { ?s ^partOf? leaf1 }')
+    assert rows(out) == [("leaf1",), ("mid",)]
 
 
 def test_filter_exists_positive(kg):
