@@ -21,7 +21,10 @@ Supported subset (everything the underlying compiler can plan):
   ``FILTER(expr)``, ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS
   { … }`` (semi-/anti-join on the shared variables), ``MINUS { … }``,
   ``BIND(expr AS ?v)``, ``VALUES``, a top-level
-  ``{ … } UNION { … }``, and ``GRAPH g { … }`` over a quads relation
+  ``{ … } UNION { … }``, sub-SELECT (``{ SELECT … }`` executed
+  recursively and natural-joined with the enclosing group on its
+  projected variables; outer FILTERs may reference sub-projected
+  variables), and ``GRAPH g { … }`` over a quads relation
   (:func:`.bgp.quads_spo` — un-GRAPHed patterns then match the default
   graph, a variable graph term ranges over named graphs, per the SPARQL
   dataset model);
@@ -34,9 +37,9 @@ Supported subset (everything the underlying compiler can plan):
   ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): sub-SELECT, ``SERVICE``, paths under a
-parenthesized kleene, nested GRAPH, kleene paths over a quads relation,
-federated forms.
+(never silently mis-answer): ``SERVICE``, paths under a parenthesized
+kleene, nested GRAPH, kleene paths over a quads relation, sub-SELECT
+inside UNION branches / non-SELECT forms, federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -348,6 +351,15 @@ class _Parser:
                 raise SparqlError("unterminated group: missing '}'")
             if self._at("{"):
                 self._next()
+                if self._at_kw("select"):
+                    # sub-SELECT: a full SELECT query as a group element;
+                    # its solution relation natural-joins the enclosing
+                    # group on the shared (projected) variables
+                    self._next()
+                    sub = _parse_select(self, subquery=True)
+                    sub.pop("form", None)
+                    spec.setdefault("subselects", []).append(sub)
+                    continue
                 first = self._group()
                 branches = [first]
                 while self._eat_kw("union"):
@@ -758,7 +770,7 @@ def parse_sparql(text: str) -> dict:
     raise SparqlError(f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {p._peek()[1]!r}")
 
 
-def _parse_select(p: _Parser) -> dict:
+def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     distinct = bool(p._eat_kw("distinct"))
     select: list[str] | None = []
     aggregates: dict[str, str] = {}
@@ -785,7 +797,10 @@ def _parse_select(p: _Parser) -> dict:
     spec["select"] = select
     if aggregates:
         spec["aggregates"] = aggregates
-    _parse_modifiers(p, spec, allow=("group", "having", "order", "limit"))
+    _parse_modifiers(p, spec, allow=("group", "having", "order", "limit"),
+                     stop_at_brace=subquery)
+    if subquery:
+        p._expect("}")
     return spec
 
 
@@ -829,8 +844,9 @@ def _parse_where(p: _Parser) -> dict:
     return p._group()
 
 
-def _parse_modifiers(p: _Parser, spec: dict, allow: tuple):
-    while p._peek()[0] != "EOF":
+def _parse_modifiers(p: _Parser, spec: dict, allow: tuple,
+                     stop_at_brace: bool = False):
+    while p._peek()[0] != "EOF" and not (stop_at_brace and p._at("}")):
         if p._at_kw("group") and "group" in allow:
             p._next()
             p._expect_kw("by")
@@ -981,6 +997,9 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
     for key in ("exists", "not_exists", "minus"):
         if spec.get(key):
             spec[key] = [[conv(p) for p in grp] for grp in spec[key]]
+    if spec.get("subselects"):
+        spec["subselects"] = [_apply_graph_semantics(s, has_graph_col)
+                              for s in spec["subselects"]]
     for v in sorted(spec.pop("graph_vars", ())):
         spec.setdefault("filters", []).append(f"{v} <> '_:default'")
     return spec
@@ -996,6 +1015,8 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     spec = parse_sparql(text)
     form = spec.pop("form")
     spec = _apply_graph_semantics(spec, "graph" in triples.columns)
+    if form != "select" and _has_subselect(spec):
+        raise SparqlError("sub-SELECT is only supported in SELECT queries")
     if form == "ask":
         if "union" in spec:
             raise SparqlError("ASK over UNION is not supported")
@@ -1015,8 +1036,44 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
         )
     if form == "describe":
         return _run_describe(triples, spec, dedup)
+    return _run_select(triples, spec, dedup)
 
-    # SELECT
+
+def _has_subselect(spec: dict) -> bool:
+    if spec.get("subselects"):
+        return True
+    return any(_has_subselect(b) for b in spec.get("union", ()))
+
+
+def _finish_select(df: DataFrame, select, distinct, aggregates, group_by,
+                   having) -> DataFrame:
+    """Aggregation + projection tail shared by every solution-relation
+    producer (plain group, UNION, subselect join)."""
+    if aggregates:
+        keys = group_by or []
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise SparqlError(f"GROUP BY references unbound: {missing}")
+        aggs = [F.expr(e).alias(n) for n, e in aggregates.items()]
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        for h in having or []:
+            df = df.filter(F.expr(h))
+        if select:
+            df = df.select(*select)
+        if distinct:
+            df = df.distinct()
+        return df
+    if group_by or having:
+        raise SparqlError("GROUP BY/HAVING require aggregates")
+    if select:
+        df = df.select(*select)
+    if distinct:
+        df = df.distinct()
+    return df
+
+
+def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
+    spec = dict(spec)
     select = spec.pop("select", None)
     distinct = spec.pop("distinct", False)
     order_by = spec.pop("order_by", None)
@@ -1031,28 +1088,53 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
         for b in spec["union"]:
             if "union" in b:
                 raise SparqlError("nested UNION is not supported")
+            if b.get("subselects"):
+                raise SparqlError(
+                    "sub-SELECT inside UNION branches is not supported"
+                )
             branches.append(_exec_kwargs(b))
         if aggregates:
             # aggregate over the unioned solution relation: the union is
             # plan-level concatenation, the aggregate one hash agg on top
-            df = bgp_union(triples, branches, dedup=dedup)
-            keys = group_by or []
-            missing = [k for k in keys if k not in df.columns]
-            if missing:
-                raise SparqlError(f"GROUP BY references unbound: {missing}")
-            aggs = [F.expr(e).alias(n) for n, e in aggregates.items()]
-            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-            for h in having or []:
-                df = df.filter(F.expr(h))
-            if select:
-                df = df.select(*select)
-            if distinct:
-                df = df.distinct()
+            df = _finish_select(bgp_union(triples, branches, dedup=dedup),
+                                select, distinct, aggregates, group_by,
+                                having)
         elif group_by or having:
             raise SparqlError("GROUP BY/HAVING require aggregates")
         else:
             df = bgp_union(triples, branches, select=select,
                            distinct=distinct, dedup=dedup)
+    elif spec.get("subselects"):
+        # each sub-SELECT is executed recursively to its own solution
+        # relation, then natural-joined (inner, on the shared projected
+        # variables) with the enclosing group's solutions; the outer
+        # FILTERs run after the join so they may reference sub-projected
+        # variables, and the outer aggregate runs on the joined relation
+        subs = [_run_select(triples, s, dedup)
+                for s in spec.pop("subselects")]
+        kwargs = _exec_kwargs(spec)
+        kwargs.pop("filters", None)
+        patterns = kwargs.pop("patterns")
+        if patterns:
+            df = bgp_query(triples, patterns, dedup=dedup, **kwargs)
+        elif any(v for v in kwargs.values()):
+            raise SparqlError(
+                "a pattern-less group around a sub-SELECT supports "
+                "FILTER only"
+            )
+        else:
+            df = None
+        for sdf in subs:
+            if df is None:
+                df = sdf
+                continue
+            shared = sorted(set(df.columns) & set(sdf.columns))
+            df = (df.join(sdf, on=shared, how="inner") if shared
+                  else df.crossJoin(sdf))
+        for f in spec.get("filters") or []:
+            df = df.filter(F.expr(f))
+        df = _finish_select(df, select, distinct, aggregates, group_by,
+                            having)
     else:
         kwargs = _exec_kwargs(spec)
         df = bgp_query(

@@ -479,6 +479,75 @@ def test_inverse_zero_or_one(hier):
     assert rows(out) == [("leaf1",), ("mid",)]
 
 
+def test_subselect_join(kg):
+    # inner aggregate per person, joined back to the outer name pattern
+    out = sparql_query(kg, """
+        SELECT ?s ?name ?n WHERE {
+          ?s name ?name .
+          { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s knows ?o } GROUP BY ?s }
+        }
+    """)
+    assert rows(out) == [("a", "Alice", 2), ("b", "Bob", 1)]
+
+
+def test_subselect_outer_filter_on_inner_var(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person .
+          { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s knows ?o } GROUP BY ?s }
+          FILTER(?n >= 2)
+        }
+    """)
+    assert rows(out) == [("a",)]
+
+
+def test_subselect_bare_group(kg):
+    # a group that is ONLY a sub-select
+    out = sparql_query(kg, """
+        SELECT ?n WHERE {
+          { SELECT (COUNT(?s) AS ?n) WHERE { ?s type Person } }
+        }
+    """)
+    assert rows(out) == [(3,)]
+
+
+def test_subselect_limit_inside(kg):
+    # inner ORDER/LIMIT page feeds the outer join
+    out = sparql_query(kg, """
+        SELECT ?s ?name WHERE {
+          ?s name ?name .
+          { SELECT ?s WHERE { ?s type Person } ORDER BY ?s LIMIT 1 }
+        }
+    """)
+    assert rows(out) == [("a", "Alice")]
+
+
+def test_subselect_outer_aggregate(kg):
+    # outer aggregate over the joined relation
+    out = sparql_query(kg, """
+        SELECT (SUM(?n) AS ?total) WHERE {
+          ?s type Person .
+          { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s knows ?o } GROUP BY ?s }
+        }
+    """)
+    assert rows(out) == [(3.0,)]
+
+
+def test_subselect_rejected_outside_select(kg):
+    with pytest.raises(SparqlError, match="sub-SELECT"):
+        sparql_query(kg, """
+            ASK { { SELECT ?s WHERE { ?s type Person } } }
+        """).collect()
+    with pytest.raises(SparqlError, match="UNION"):
+        sparql_query(kg, """
+            SELECT ?s WHERE {
+              { { SELECT ?s WHERE { ?s type Person } } }
+              UNION
+              { ?s type Robot }
+            }
+        """).collect()
+
+
 def test_filter_exists_positive(kg):
     out = sparql_query(kg, """
         SELECT ?p WHERE {
