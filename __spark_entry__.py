@@ -2243,6 +2243,25 @@ def _q_sparql_agg_union(spark, sf_dir):
     """)
 
 
+def _q_sparql_subselect(spark, sf_dir):
+    """Sub-SELECT: the per-nation customer count computed in an inner
+    aggregate, natural-joined to the outer name pattern on ?n, with an
+    outer FILTER over the sub-projected count — the SPARQL idiom for
+    aggregate-then-enrich without regrouping the wide relation."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?nname ?n_cust WHERE {
+          ?n rdf:type ex:Nation .
+          ?n ex:name ?nname .
+          { SELECT ?n (COUNT(?c) AS ?n_cust) WHERE {
+              ?c rdf:type ex:Customer . ?c ex:inNation ?n
+            } GROUP BY ?n }
+          FILTER(?n_cust >= 60)
+        }
+    """)
+
+
 def _q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update applied as a pure function over the KG: a
     DELETE/INSERT WHERE predicate migration for high-balance customers,
@@ -2418,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe": _q_sparql_describe,
         "sparql_exists_filter": _q_sparql_exists_filter,
         "sparql_agg_union": _q_sparql_agg_union,
+        "sparql_subselect": _q_sparql_subselect,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3711,6 +3731,14 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT n_name FROM supplier "
             "JOIN nation ON s_nationkey = n_nationkey) "
             "GROUP BY nname ORDER BY nname LIMIT 5 OFFSET 2"
+        ),
+        # sparql_subselect oracle: inner aggregate as a plain derived
+        # table joined to the nation names
+        "sparql_subselect": (
+            "SELECT n_name AS nname, CAST(cnt AS BIGINT) AS n_cust FROM "
+            "(SELECT c_nationkey, COUNT(*) AS cnt FROM customer "
+            "GROUP BY c_nationkey) "
+            "JOIN nation ON c_nationkey = n_nationkey WHERE cnt >= 60"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property
