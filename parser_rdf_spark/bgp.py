@@ -92,14 +92,49 @@ def _graph_nodes(triples: DataFrame) -> DataFrame:
     )
 
 
+def _path_edges(triples: DataFrame, elt) -> DataFrame:
+    """The single-step (subj, obj) edge relation of a path element:
+    a plain IRI (equality filter), ``^p`` (swapped roles), an
+    alternation list (one ``isin`` filter), or a ``('seq', parts)``
+    sequence (left-fold equi-join over the parts, distinct at the end —
+    the composed relation is a set). Used as the base relation under a
+    parenthesized closure ``(…)+`` / ``(…)*`` / ``(…)?``."""
+    if isinstance(elt, str):
+        if elt.startswith("^") and len(elt) > 1:
+            inv = _path_edges(triples, elt[1:])
+            return inv.select(F.col("obj").alias("subj"),
+                              F.col("subj").alias("obj"))
+        if elt.startswith("!"):
+            raise ValueError(
+                "negated property sets under a closure are not supported")
+        if elt[-1:] in ("+", "*", "?") and len(elt) > 1:
+            raise ValueError(
+                "nested path modifiers under a closure are not supported")
+        return triples.filter(F.col("pred") == F.lit(elt)).select("subj", "obj")
+    if isinstance(elt, list):
+        return triples.filter(F.col("pred").isin(elt)).select("subj", "obj")
+    if isinstance(elt, tuple) and len(elt) == 2 and elt[0] == "seq":
+        cur = _path_edges(triples, elt[1][0])
+        for part in elt[1][1:]:
+            nxt = _path_edges(triples, part).select(
+                F.col("subj").alias("__mid"), F.col("obj").alias("__out"))
+            cur = (cur.join(nxt, cur["obj"] == nxt["__mid"])
+                   .select(cur["subj"], F.col("__out").alias("obj")))
+        return cur.distinct()
+    raise ValueError(f"unsupported path element under a closure: {elt!r}")
+
+
 def kleene_scan(
     triples: DataFrame,
-    pred: str,
+    pred,
     zero: bool = False,
     max_iters: int = 20,
 ) -> DataFrame:
     """Transitive-closure scan for a SPARQL ``p+`` / ``p*`` path: all
-    (subj, obj) pairs connected by ≥1 hop of ``pred``, computed by
+    (subj, obj) pairs connected by ≥1 hop of ``pred`` (any
+    :func:`_path_edges` element — plain IRI, ``^p``, alternation list,
+    or ``('seq', parts)`` — so parenthesized closures ``(p1|p2)+`` /
+    ``(p1/p2)+`` close over the composed edge relation), computed by
     iterative path doubling with per-round ``localCheckpoint`` (closes a
     diameter-d chain in ⌈log₂ d⌉ shuffles). ``zero=True`` (the ``p*``
     form) unions the reflexive pairs over every term of the graph, per
@@ -113,7 +148,7 @@ def kleene_scan(
     """
     from .inference import transitive_closure
 
-    edges = triples.filter(F.col("pred") == F.lit(pred)).select("subj", "obj")
+    edges = _path_edges(triples, pred)
     closed = transitive_closure(
         edges, src_col="subj", dst_col="obj", max_iters=max_iters
     ).select(F.col("src").alias("subj"), F.col("dst").alias("obj"))
@@ -174,8 +209,9 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
                 "4-term (GRAPH) patterns need a relation with a graph "
                 "column — use quads_spo()"
             )
-        if isinstance(p_term, str) and p_term[-1:] in ("+", "*", "?") \
-                and len(p_term) > 1 and not p_term.startswith("!"):
+        if (isinstance(p_term, str) and p_term[-1:] in ("+", "*", "?")
+                and len(p_term) > 1 and not p_term.startswith("!")) or \
+                (isinstance(p_term, tuple) and p_term[:1] == ("closure",)):
             raise ValueError("kleene paths are not supported in GRAPH patterns")
     elif len(pattern) == 3:
         g_term, s_term, p_term, o_term = None, *pattern
@@ -210,6 +246,21 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
             _graph_nodes(triples).select(
                 F.col("t").alias("subj"), F.col("t").alias("obj"))
         ).distinct().withColumn("pred", F.lit(p_term))
+    elif isinstance(p_term, tuple) and len(p_term) == 3 \
+            and p_term[0] == "closure":
+        # parenthesized path closure ('closure', inner, op): the closure
+        # (or zero-or-one union) over the COMPOSED edge relation of the
+        # inner alternation/sequence element
+        _, inner, op = p_term
+        if op == "?":
+            scan = _path_edges(triples, inner).distinct().unionByName(
+                _graph_nodes(triples).select(
+                    F.col("t").alias("subj"), F.col("t").alias("obj"))
+            ).distinct()
+        else:
+            scan = kleene_scan(triples, inner, zero=(op == "*"))
+        scan = scan.withColumn("pred", F.lit("__closure__"))
+        p_term = None  # constrained by the composed scan; binds nothing
     if g_term is None:
         positions, terms = _POSITIONS, (s_term, p_term, o_term)
     else:

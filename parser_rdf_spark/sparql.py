@@ -29,17 +29,21 @@ Supported subset (everything the underlying compiler can plan):
   graph, a variable graph term ranges over named graphs, per the SPARQL
   dataset model);
 * property paths in predicate position: ``^p``, ``p1|p2``, ``p1/p2``,
-  ``p+``, ``p*``, ``p?``, ``!p`` / ``!(p1|p2)``, and compositions the
-  compiler supports (``^p+``, sequences over any of these);
+  ``p+``, ``p*``, ``p?``, ``!p`` / ``!(p1|p2)``, parenthesized
+  closures over composed elements (``(p1|p2)+``, ``(p1/p2)*``,
+  ``(…)?`` — the closure runs over the composed edge relation), and
+  compositions the compiler supports (``^p+``, sequences over any of
+  these);
 * solution modifiers: ``GROUP BY`` + aggregates in the SELECT clause
   (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT; also over
   UNION), ``HAVING``, ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``,
   ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): ``SERVICE``, paths under a parenthesized
-kleene, nested GRAPH, kleene paths over a quads relation, sub-SELECT
-inside UNION branches / non-SELECT forms, federated forms.
+(never silently mis-answer): ``SERVICE``, nested path closures,
+closures over negated sets, nested GRAPH, kleene paths over a quads
+relation, sub-SELECT inside UNION branches / non-SELECT forms,
+federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -280,6 +284,15 @@ class _Parser:
                     elt += "*"
                 elif self._eat("?"):
                     elt += "?"
+            elif isinstance(elt, (list, tuple)) and \
+                    (self._at("+") or self._at("*") or self._at("?")):
+                # parenthesized alternation/sequence under a closure:
+                # (p1|p2)+ / (p1/p2)* / (...)? — the compiler closes over
+                # the composed edge relation
+                if isinstance(elt, tuple) and elt[:1] == ("closure",):
+                    raise SparqlError("nested path closures are not supported")
+                op = self._next()[1]
+                elt = ("closure", elt, op)
             elif self._at("+") or self._at("*"):
                 raise SparqlError(
                     "path modifiers apply to plain IRIs only"
@@ -975,7 +988,9 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
             return p
         if not has_graph_col:
             return p
-        if isinstance(p[1], str) and p[1][-1:] in ("+", "*") and len(p[1]) > 1:
+        if (isinstance(p[1], str) and p[1][-1:] in ("+", "*", "?")
+                and len(p[1]) > 1 and not p[1].startswith("?")) or \
+                (isinstance(p[1], tuple) and p[1][:1] == ("closure",)):
             raise SparqlError(
                 "kleene paths over a quads relation are not supported"
             )

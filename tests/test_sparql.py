@@ -248,7 +248,7 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
 @pytest.mark.parametrize("query,msg", [
     ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
     ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
-    ('SELECT ?s WHERE { ?s (knows/knows)+ ?o }', "plain IRIs only"),
+    ('SELECT ?s WHERE { ?s ((knows/knows)+)* ?o }', "nested path closures"),
     ('BASE <urn:b:> SELECT ?s WHERE { ?s type Person }', "BASE"),
     ('SELECT ?s WHERE { { ?s type Person } }', "UNION branches"),
 ])
@@ -477,6 +477,23 @@ def test_inverse_zero_or_one(hier):
     # ?s ^partOf? leaf1  ⇔  leaf1 partOf? ?s
     out = sparql_query(hier, 'SELECT ?s WHERE { ?s ^partOf? leaf1 }')
     assert rows(out) == [("leaf1",), ("mid",)]
+
+
+def test_closure_over_sequence(kg):
+    # (knows/knows)+ — closure over the composed 2-hop relation
+    out = sparql_query(kg, 'SELECT ?s ?o WHERE { ?s (knows/knows)+ ?o }')
+    assert rows(out) == [("a", "c")]
+
+
+def test_closure_over_alternation(kg):
+    out = sparql_query(kg, 'SELECT ?s ?o WHERE { ?s (knows|name)+ ?o }')
+    assert rows(out) == [("a", "Alice"), ("a", "Bob"), ("a", "b"),
+                         ("a", "c"), ("b", "Bob"), ("b", "c")]
+
+
+def test_zero_or_one_over_sequence(kg):
+    out = sparql_query(kg, 'SELECT ?o WHERE { a (knows/knows)? ?o }')
+    assert rows(out) == [("a",), ("c",)]
 
 
 def test_subselect_join(kg):
