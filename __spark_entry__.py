@@ -2262,6 +2262,21 @@ def _q_sparql_subselect(spark, sf_dir):
     """)
 
 
+def _q_sparql_proj_expr(spark, sf_dir):
+    """SPARQL 1.1 projection expressions: a computed column in the
+    SELECT clause ((LCASE(...) AS ?v), (?x op k AS ?w)) — applied after
+    the solution relation, never a per-row Python call."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?n (LCASE(?nname) AS ?lname)
+               (CONCAT(?nname, "|", ?nname) AS ?twice) WHERE {
+          ?n rdf:type ex:Nation .
+          ?n ex:name ?nname .
+        }
+    """)
+
+
 def _q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update applied as a pure function over the KG: a
     DELETE/INSERT WHERE predicate migration for high-balance customers,
@@ -2438,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_exists_filter": _q_sparql_exists_filter,
         "sparql_agg_union": _q_sparql_agg_union,
         "sparql_subselect": _q_sparql_subselect,
+        "sparql_proj_expr": _q_sparql_proj_expr,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3739,6 +3755,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_nationkey, COUNT(*) AS cnt FROM customer "
             "GROUP BY c_nationkey) "
             "JOIN nation ON c_nationkey = n_nationkey WHERE cnt >= 60"
+        ),
+        "sparql_proj_expr": (
+            "SELECT 'urn:nation:' || n_nationkey AS n, "
+            "lower(n_name) AS lname, n_name || '|' || n_name AS twice "
+            "FROM nation"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property

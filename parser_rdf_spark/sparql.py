@@ -787,6 +787,7 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     distinct = bool(p._eat_kw("distinct"))
     select: list[str] | None = []
     aggregates: dict[str, str] = {}
+    proj_exprs: dict[str, str] = {}
     if p._eat("*"):
         select = None
     else:
@@ -797,8 +798,21 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                 select.append(t[1:])
             elif p._at("("):
                 p._next()
-                name, expr = _select_agg(p)
-                aggregates[name] = expr
+                k2, t2 = p._peek()
+                if k2 == "NAME" and t2.lower() in _AGG_FUNCS:
+                    name, expr = _select_agg(p)
+                    aggregates[name] = expr
+                else:
+                    # SPARQL 1.1 projection expression: (expr AS ?v)
+                    expr = p._expr_until_as()
+                    p._expect_kw("as")
+                    k3, t3 = p._next()
+                    if k3 != "VAR":
+                        raise SparqlError(
+                            "SELECT expression needs `AS ?var`")
+                    p._expect(")")
+                    name = t3[1:]
+                    proj_exprs[name] = expr
                 select.append(name)
             else:
                 break
@@ -810,6 +824,8 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     spec["select"] = select
     if aggregates:
         spec["aggregates"] = aggregates
+    if proj_exprs:
+        spec["proj_exprs"] = proj_exprs
     _parse_modifiers(p, spec, allow=("group", "having", "order", "limit"),
                      stop_at_brace=subquery)
     if subquery:
@@ -1089,6 +1105,7 @@ def _finish_select(df: DataFrame, select, distinct, aggregates, group_by,
 
 def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     spec = dict(spec)
+    proj_exprs = spec.pop("proj_exprs", None)
     select = spec.pop("select", None)
     distinct = spec.pop("distinct", False)
     order_by = spec.pop("order_by", None)
@@ -1097,6 +1114,11 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     aggregates = spec.pop("aggregates", None)
     group_by = spec.pop("group_by", None)
     having = spec.pop("having", None)
+    # projection expressions run AFTER the solution relation (and any
+    # aggregate) is built, so the inner paths project nothing and the
+    # final select/distinct move to the tail
+    inner_select, inner_distinct = \
+        (None, False) if proj_exprs else (select, distinct)
 
     if "union" in spec:
         branches = []
@@ -1112,13 +1134,13 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
             # aggregate over the unioned solution relation: the union is
             # plan-level concatenation, the aggregate one hash agg on top
             df = _finish_select(bgp_union(triples, branches, dedup=dedup),
-                                select, distinct, aggregates, group_by,
-                                having)
+                                inner_select, inner_distinct, aggregates,
+                                group_by, having)
         elif group_by or having:
             raise SparqlError("GROUP BY/HAVING require aggregates")
         else:
-            df = bgp_union(triples, branches, select=select,
-                           distinct=distinct, dedup=dedup)
+            df = bgp_union(triples, branches, select=inner_select,
+                           distinct=inner_distinct, dedup=dedup)
     elif spec.get("subselects"):
         # each sub-SELECT is executed recursively to its own solution
         # relation, then natural-joined (inner, on the shared projected
@@ -1148,21 +1170,28 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
                   else df.crossJoin(sdf))
         for f in spec.get("filters") or []:
             df = df.filter(F.expr(f))
-        df = _finish_select(df, select, distinct, aggregates, group_by,
-                            having)
+        df = _finish_select(df, inner_select, inner_distinct, aggregates,
+                            group_by, having)
     else:
         kwargs = _exec_kwargs(spec)
         df = bgp_query(
             triples,
             kwargs.pop("patterns"),
-            select=select,
-            distinct=distinct,
+            select=inner_select,
+            distinct=inner_distinct,
             aggregates=aggregates,
             group_by=group_by,
             having=having,
             dedup=dedup,
             **kwargs,
         )
+    if proj_exprs:
+        for name, expr in proj_exprs.items():
+            df = df.withColumn(name, F.expr(expr))
+        if select:
+            df = df.select(*select)
+        if distinct:
+            df = df.distinct()
     if select is None:
         # SELECT *: internal variables (seq-path intermediates, query
         # bnodes) are not projected, per SPARQL's bnode non-projection

@@ -479,6 +479,31 @@ def test_inverse_zero_or_one(hier):
     assert rows(out) == [("leaf1",), ("mid",)]
 
 
+def test_projection_expression(kg):
+    out = sparql_query(kg, """
+        SELECT ?s (UCASE(?name) AS ?u) WHERE { ?s name ?name }
+    """)
+    assert rows(out) == [("a", "ALICE"), ("b", "BOB")]
+    assert out.columns == ["s", "u"]
+
+
+def test_projection_expression_numeric(kg):
+    out = sparql_query(kg, """
+        SELECT ?s (?age + 1 AS ?next) WHERE { ?s age ?age }
+        ORDER BY ?next
+    """)
+    assert [tuple(r) for r in out.collect()] == [("b", 26.0), ("a", 31.0)]
+
+
+def test_projection_expression_over_aggregate(kg):
+    out = sparql_query(kg, """
+        SELECT ?s (COUNT(?o) AS ?n) (CONCAT(?s, "!") AS ?tag) WHERE {
+          ?s knows ?o
+        } GROUP BY ?s ORDER BY ?s
+    """)
+    assert [tuple(r) for r in out.collect()] == [("a", 2, "a!"), ("b", 1, "b!")]
+
+
 def test_closure_over_sequence(kg):
     # (knows/knows)+ — closure over the composed 2-hop relation
     out = sparql_query(kg, 'SELECT ?s ?o WHERE { ?s (knows/knows)+ ?o }')
