@@ -1833,6 +1833,32 @@ def _golden_values_ntriples() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc, line)"
 
 
+def _q_owl_sameas(spark, sf_dir):
+    """owl:sameAs canonicalization over the TPC-H KG: every nation IRI
+    gains a 2-link alias chain (urn:nation:k ~ urn:nat:k ~ urn:n:k), the
+    engine clusters the chains with the CC routine and rewrites every
+    subject/object to the lexicographic minimum (urn:n:k) — the oracle
+    rewrites the triple-ization analytically."""
+    from parser_rdf_spark.inference import OWL_SAMEAS, sameas_canonicalize
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def alias_edges(src_prefix, dst_prefix):
+        k = F.col("n_nationkey").cast("string")
+        return nation.select(
+            F.concat(F.lit(src_prefix), k).alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.concat(F.lit(dst_prefix), k).alias("obj"),
+        )
+
+    kg = (
+        _tpch_triples(spark, sf_dir)
+        .unionByName(alias_edges("urn:nation:", "urn:nat:"))
+        .unionByName(alias_edges("urn:nat:", "urn:n:"))
+    )
+    return sameas_canonicalize(kg)
+
+
 def _q_owl_inference(spark, sf_dir):
     """OWL property-axiom materialization over the TPC-H KG:
     owl:inverseOf (inNation ⇒ nation hasResident cust/supp),
@@ -2457,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
+        "owl_sameas_canonicalize": _q_owl_sameas,
         "ntriples_serialize": _q_ntriples_serialize,
         "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
@@ -3807,6 +3834,19 @@ def oracle_sql() -> dict[str, str]:
             "'urn:region:' || n_regionkey FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey) "
             "SELECT DISTINCT subj, pred, obj FROM v"
+        ),
+        # owl_sameas oracle: the canonical rewrite computed analytically —
+        # every urn:nation:k collapses to urn:n:k (the lexicographic
+        # minimum of its 3-member alias class); sameAs edges dropped
+        "owl_sameas_canonicalize": (
+            f"WITH {_TPCH_DELTA_CTE} "
+            "SELECT DISTINCT "
+            "CASE WHEN subj LIKE 'urn:nation:%' "
+            "THEN 'urn:n:' || substr(subj, 12) ELSE subj END AS subj, "
+            "pred, "
+            "CASE WHEN obj LIKE 'urn:nation:%' "
+            "THEN 'urn:n:' || substr(obj, 12) ELSE obj END AS obj "
+            "FROM old_t"
         ),
         # shacl_validation oracle: the violation set enumerated per shape
         # from the base tables (conforming shapes contribute nothing)

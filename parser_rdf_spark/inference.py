@@ -278,3 +278,62 @@ def owl_property_entailment(
 
     inferred = inv_inferred.unionByName(sym_inferred).unionByName(cur)
     return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_canonicalize(
+    triples: DataFrame,
+    sameas_pred: str = OWL_SAMEAS,
+    max_iters: int = 50,
+) -> DataFrame:
+    """owl:sameAs equality reasoning as CANONICALIZATION: equivalence
+    classes of the (symmetric, transitive) sameAs relation are computed
+    by the hash-min connected-components routine over the sameAs edge
+    subset only, then every member IRI — subject or object position —
+    is rewritten to its class's lexicographically-least member. The
+    sameAs assertions themselves are dropped from the output (their
+    information is now carried by the rewrite), and the result is a
+    distinct (subj, pred, obj) set, since two non-canonical spellings
+    of one fact collapse to the same row.
+
+    This is the standard scalable alternative to materializing the full
+    sameAs entailment (which is quadratic in class size: every fact
+    restated for every member); rewriting to one representative keeps
+    the relation linear and preserves query answers up to IRI choice.
+
+    Scale shape: the CC loop touches only sameAs edges (ontology-/
+    linkage-sized, orders of magnitude smaller than the corpus); the
+    rewrite is two left equi-joins of the corpus against the
+    (member → canonical) map — AQE broadcasts the map when it fits.
+    Literals never appear in the map, so they pass through untouched.
+    """
+    from .linking import connected_components
+
+    edges = (
+        triples.filter(F.col("pred") == F.lit(sameas_pred))
+        .select("subj", "obj")
+    )
+    mapping = connected_components(
+        edges, src_col="subj", dst_col="obj", max_iters=max_iters
+    ).select("vertex", F.col("component").alias("canon"))
+
+    rest = (
+        triples.filter(F.col("pred") != F.lit(sameas_pred))
+        .select("subj", "pred", "obj")
+    )
+    m_subj = mapping.select(F.col("vertex").alias("subj"),
+                            F.col("canon").alias("__subj_canon"))
+    m_obj = mapping.select(F.col("vertex").alias("obj"),
+                           F.col("canon").alias("__obj_canon"))
+    return (
+        rest.join(m_subj, on="subj", how="left")
+        .join(m_obj, on="obj", how="left")
+        .select(
+            F.coalesce("__subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("__obj_canon", "obj").alias("obj"),
+        )
+        .distinct()
+    )

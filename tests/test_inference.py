@@ -158,3 +158,29 @@ def test_owl_no_axioms_no_inferences(spark):
 
     t = spark.createDataFrame([("a", "p", "b")], SCHEMA)
     assert owl_property_entailment(t, vocab=OWL_VOCAB).count() == 0
+
+
+def test_sameas_canonicalize_chain_and_literals(spark):
+    from parser_rdf_spark.inference import sameas_canonicalize
+
+    rows = [
+        # a ~ b ~ c: canonical is "a" (lexicographic minimum)
+        ("b", "sameAs", "a"),
+        ("c", "sameAs", "b"),
+        ("c", "name", "Carol"),          # literal object untouched
+        ("b", "knows", "d"),             # subject rewritten
+        ("e", "knows", "c"),             # object rewritten
+        ("a", "knows", "d"),             # collapses with the b-row
+        ("x", "knows", "y"),             # untouched (no sameAs)
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = sorted(
+        tuple(r)
+        for r in sameas_canonicalize(t, sameas_pred="sameAs").collect()
+    )
+    assert out == [
+        ("a", "knows", "d"),
+        ("a", "name", "Carol"),
+        ("e", "knows", "a"),
+        ("x", "knows", "y"),
+    ]
