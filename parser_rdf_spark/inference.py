@@ -85,13 +85,26 @@ def _schema(triples: DataFrame, pred: str) -> DataFrame:
     ).distinct()
 
 
+OWL_EQUIV_CLASS = "http://www.w3.org/2002/07/owl#equivalentClass"
+OWL_EQUIV_PROP = "http://www.w3.org/2002/07/owl#equivalentProperty"
+
 _DEFAULT_VOCAB = {
     "type": RDF_TYPE,
     "subclass": RDFS_SUBCLASS,
     "subprop": RDFS_SUBPROP,
     "domain": RDFS_DOMAIN,
     "range": RDFS_RANGE,
+    "equiv_class": OWL_EQUIV_CLASS,
+    "equiv_prop": OWL_EQUIV_PROP,
 }
+
+
+def _sym_pairs(edges: DataFrame) -> DataFrame:
+    """Both directions of a (src, dst) relation — owl equivalence
+    axioms entail the sub-edge each way."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
 
 
 def rdfs_entailment(
@@ -117,13 +130,26 @@ def rdfs_entailment(
     transitive step).
 
     ``vocab`` overrides the rule predicates (keys: type, subclass,
-    subprop, domain, range) for graphs using compact or non-RDFS
-    vocabularies; defaults are the full RDF/RDFS IRIs.
+    subprop, domain, range, equiv_class, equiv_prop) for graphs using
+    compact or non-RDFS vocabularies; defaults are the full
+    RDF/RDFS/OWL IRIs. owl:equivalentClass / owl:equivalentProperty
+    assertions contribute their mutual sub-edges to the closures, so
+    typing and property inheritance flow through equivalences.
     """
     v = {**_DEFAULT_VOCAB, **(vocab or {})}
     RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP = v["type"], v["subclass"], v["subprop"]
-    subclass = transitive_closure(_schema(triples, RDFS_SUBCLASS))
-    subprop = transitive_closure(_schema(triples, RDFS_SUBPROP))
+    # owl:equivalentClass/Property entail the sub-edge in BOTH
+    # directions; feeding them into the closure makes rdfs9/rdfs7
+    # inherit through equivalences (and emits the mutual
+    # subClassOf/subPropertyOf rows with the schema closure)
+    subclass = transitive_closure(
+        _schema(triples, RDFS_SUBCLASS)
+        .unionByName(_sym_pairs(_schema(triples, v["equiv_class"])))
+    )
+    subprop = transitive_closure(
+        _schema(triples, RDFS_SUBPROP)
+        .unionByName(_sym_pairs(_schema(triples, v["equiv_prop"])))
+    )
     domain = _schema(triples, v["domain"])
     rng = _schema(triples, v["range"])
 

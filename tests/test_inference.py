@@ -184,3 +184,21 @@ def test_sameas_canonicalize_chain_and_literals(spark):
         ("e", "knows", "a"),
         ("x", "knows", "y"),
     ]
+
+
+def test_equivalent_class_and_property(spark):
+    vocab = {**VOCAB, "equiv_class": "eqc", "equiv_prop": "eqp"}
+    rows_in = [
+        ("B", "eqc", "C"),           # B ≡ C
+        ("p", "eqp", "q"),           # p ≡ q
+        ("x", "a", "B"),
+        ("y", "p", "z"),
+    ]
+    t = spark.createDataFrame(rows_in, SCHEMA)
+    out = rows(rdfs_entailment(t, vocab=vocab))
+    # typing flows through the equivalence, both mutual sub rows
+    # emitted with the schema closure, property inherited both ways
+    assert ("x", "a", "C") in out
+    assert ("B", "sub", "C") in out and ("C", "sub", "B") in out
+    assert ("p", "subp", "q") in out and ("q", "subp", "p") in out
+    assert ("y", "q", "z") in out
