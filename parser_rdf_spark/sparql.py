@@ -35,9 +35,11 @@ Supported subset (everything the underlying compiler can plan):
   compositions the compiler supports (``^p+``, sequences over any of
   these);
 * solution modifiers: ``GROUP BY`` + aggregates in the SELECT clause
-  (COUNT/SUM/AVG/MIN/MAX/SAMPLE, DISTINCT inside COUNT; also over
-  UNION), ``HAVING``, ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``,
-  ``OFFSET``.
+  (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT with ``SEPARATOR``,
+  DISTINCT inside COUNT/GROUP_CONCAT; also over UNION; GROUP_CONCAT
+  renders members in lexicographic order — SPARQL leaves the order
+  undefined, the engine pins it for determinism), ``HAVING``,
+  ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
 (never silently mis-answer): ``SERVICE``, nested path closures,
@@ -108,7 +110,7 @@ _FUNC_MAP = {
     "replace": "regexp_replace", "strbefore": "substring_index",
 }
 
-_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample"}
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -843,14 +845,19 @@ def _select_agg(p: _Parser) -> tuple[str, str]:
     func = t.lower()
     p._expect("(")
     distinct = bool(p._eat_kw("distinct"))
-    if distinct and func != "count":
-        raise SparqlError("DISTINCT is supported inside COUNT only")
+    if distinct and func not in ("count", "group_concat"):
+        raise SparqlError(
+            "DISTINCT is supported inside COUNT/GROUP_CONCAT only")
+    separator = None
     if func == "count" and p._eat("*"):
         inner = "*"
         p._expect(")")
     else:
         # _collect_until_close consumes through the matching ')'
-        inner = _ExprTranslator(p, p._collect_until_close()).translate()
+        toks = p._collect_until_close()
+        if func == "group_concat":
+            toks, separator = _split_separator(toks)
+        inner = _ExprTranslator(p, toks).translate()
     p._expect_kw("as")
     k2, t2 = p._next()
     if k2 != "VAR":
@@ -860,11 +867,39 @@ def _select_agg(p: _Parser) -> tuple[str, str]:
         sql = f"first({inner})"
     elif func in ("sum", "avg"):
         sql = f"{func}(CAST({inner} AS DOUBLE))"
+    elif func == "group_concat":
+        # deterministic rendering: SPARQL leaves group order undefined,
+        # the engine pins lexicographic order (portable across runs,
+        # partitionings, and the DuckDB oracle's ORDER BY)
+        collect = "collect_set" if distinct else "collect_list"
+        sep = separator if separator is not None else _sql_quote(" ")
+        sql = f"array_join(sort_array({collect}({inner})), {sep})"
     elif distinct:
         sql = f"count(DISTINCT {inner})"
     else:
         sql = f"{func}({inner})"
     return t2[1:], sql
+
+
+def _split_separator(toks: list) -> tuple[list, str | None]:
+    """Split ``GROUP_CONCAT`` argument tokens at a top-level ``;`` and
+    parse the trailing ``SEPARATOR = "str"`` clause. Returns
+    (expr_tokens, quoted_sql_separator | None)."""
+    depth = 0
+    for i, (k, t) in enumerate(toks):
+        if (k, t) == ("OP", "("):
+            depth += 1
+        elif (k, t) == ("OP", ")"):
+            depth -= 1
+        elif depth == 0 and (k, t) == ("OP", ";"):
+            tail = toks[i + 1:]
+            if len(tail) != 3 or tail[0][0] != "NAME" \
+                    or tail[0][1].lower() != "separator" \
+                    or tail[1] != ("OP", "=") or tail[2][0] != "STRING":
+                raise SparqlError(
+                    'GROUP_CONCAT takes `; SEPARATOR = "str"` only')
+            return toks[:i], _sql_quote(_unescape(tail[2][1][1:-1]))
+    return toks, None
 
 
 def _parse_where(p: _Parser) -> dict:

@@ -628,3 +628,27 @@ def test_aggregate_over_union(kg):
         } GROUP BY ?t ORDER BY ?t
     """)
     assert [tuple(r) for r in out.collect()] == [("person", 3), ("robot", 1)]
+
+
+def test_group_concat(kg):
+    out = sparql_query(kg, """
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?who) WHERE {
+          ?s knows ?o
+        } GROUP BY ?s ORDER BY ?s
+    """)
+    assert [tuple(r) for r in out.collect()] == [("a", "b,c"), ("b", "c")]
+
+
+def test_group_concat_default_sep_and_distinct(kg):
+    out = sparql_query(kg, """
+        SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?types) WHERE { ?s type ?t }
+    """)
+    assert [tuple(r) for r in out.collect()] == [("Person Robot",)]
+
+
+def test_group_concat_bad_separator(kg):
+    import pytest as _pytest
+    with _pytest.raises(SparqlError, match="SEPARATOR"):
+        sparql_query(kg, """
+            SELECT (GROUP_CONCAT(?t; SEP=",") AS ?x) WHERE { ?s type ?t }
+        """)
