@@ -2303,6 +2303,24 @@ def _q_sparql_proj_expr(spark, sf_dir):
     """)
 
 
+def _q_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT aggregate: the distinct market segments per nation
+    rendered as one delimited string. SPARQL leaves member order
+    undefined; the engine pins lexicographic order, so the oracle's
+    list_sort/list_distinct rendering is bit-identical."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?nname (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segs)
+               (COUNT(?c) AS ?n_cust) WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:mktsegment ?seg .
+          ?c ex:inNation ?n .
+          ?n ex:name ?nname .
+        } GROUP BY ?nname
+    """)
+
+
 def _q_sparql_update(spark, sf_dir):
     """SPARQL 1.1 Update applied as a pure function over the KG: a
     DELETE/INSERT WHERE predicate migration for high-balance customers,
@@ -2480,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_union": _q_sparql_agg_union,
         "sparql_subselect": _q_sparql_subselect,
         "sparql_proj_expr": _q_sparql_proj_expr,
+        "sparql_group_concat": _q_sparql_group_concat,
         "rdfs_inference": _q_rdfs_inference,
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
@@ -3787,6 +3806,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'urn:nation:' || n_nationkey AS n, "
             "lower(n_name) AS lname, n_name || '|' || n_name AS twice "
             "FROM nation"
+        ),
+        # sparql_group_concat oracle: list -> distinct -> sort -> join
+        # mirrors the engine's pinned lexicographic GROUP_CONCAT order
+        "sparql_group_concat": (
+            "SELECT n_name AS nname, "
+            "array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') AS segs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cust "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
         ),
         # rdfs_inference oracle: the RDFS consequence set enumerated
         # rule-by-rule in SQL — schema-closure novelties, rdfs7 property
