@@ -1833,6 +1833,81 @@ def _golden_values_ntriples() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc, line)"
 
 
+def _q_turtle_serialize(spark, sf_dir):
+    """Sink-side Turtle serialization: the quartet corpus rendered to
+    prefix-compacted, subject-grouped Turtle blocks by the pure-Column
+    serializer. Oracle: an INDEPENDENT pure-Python formatter over the
+    golden quartet triples emitted as VALUES; the round-trip law
+    turtle_parse(to_turtle(t)) == t is pinned separately in pytest."""
+    from parser_rdf_spark.serialize import to_turtle_blocks
+
+    return to_turtle_blocks(_quartet_triples(spark)).select(
+        F.substring_index("doc_url", "/", -1).alias("doc"), "block"
+    )
+
+
+def _golden_values_turtle() -> str:
+    """Independent Turtle block formatter (shares no code with
+    serialize.py): same prefix table, grouping mirrored by explicitly
+    sorting on (line_no, rendered-term) the way Spark's struct sort
+    breaks ties."""
+    import re as _re
+
+    PREF = {
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "owl": "http://www.w3.org/2002/07/owl#",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+        "sh": "http://www.w3.org/ns/shacl#",
+        "foaf": "http://xmlns.com/foaf/0.1/",
+        "dcterms": "http://purl.org/dc/terms/",
+        "schema": "https://schema.org/",
+    }
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def compact(iri: str) -> str:
+        for pfx, ns in sorted(PREF.items(), key=lambda kv: -len(kv[1])):
+            local = iri[len(ns):]
+            if iri.startswith(ns) and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_-]*", local):
+                return f"{pfx}:{local}"
+        return f"<{iri}>"
+
+    def esc(v: str) -> str:
+        return (v.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+    def obj(t) -> str:
+        if t.obj_kind == "iri":
+            return compact(t.obj_value)
+        if t.obj_kind == "bnode":
+            return t.obj_value
+        o = f'"{esc(t.obj_value)}"'
+        if t.obj_lang:
+            o += f"@{t.obj_lang}"
+        elif t.obj_datatype:
+            o += f"^^{compact(t.obj_datatype)}"
+        return o
+
+    groups: dict = {}
+    for doc, t in _golden_quartet_rows():
+        groups.setdefault((doc, t.subj), {}).setdefault(t.pred, []).append(
+            (t.line_no or 0, obj(t)))
+    blocks = []
+    for (doc, subj), preds in groups.items():
+        rendered = []
+        for pred, objs in preds.items():
+            objs.sort()  # (line_no, rendered) — same tie-break as struct sort
+            pv = "a" if pred == RDF_TYPE else compact(pred)
+            rendered.append((min(ln for ln, _ in objs), pv,
+                             ", ".join(o for _, o in objs)))
+        rendered.sort()
+        s = subj if subj.startswith("_:") else compact(subj)
+        body = " ;\n    ".join(f"{pv} {ov}" for _, pv, ov in rendered)
+        blocks.append((doc, f"{s} {body} ."))
+    rows = [f"({_sql_quote(doc)}, {_sql_quote(b)})" for doc, b in blocks]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc, block)"
+
+
 def _q_owl_sameas(spark, sf_dir):
     """owl:sameAs canonicalization over the TPC-H KG: every nation IRI
     gains a 2-link alias chain (urn:nation:k ~ urn:nat:k ~ urn:n:k), the
@@ -2504,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_inference": _q_owl_inference,
         "owl_sameas_canonicalize": _q_owl_sameas,
         "ntriples_serialize": _q_ntriples_serialize,
+        "turtle_serialize": _q_turtle_serialize,
         "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
@@ -3233,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         "w3c_turtle_decisions": _golden_values_w3c_turtle(),
         "parse_cross_format_triples": _golden_values_quartet_triples(),
         "ntriples_serialize": _golden_values_ntriples(),
+        "turtle_serialize": _golden_values_turtle(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,
         "extract_prefixes": _golden_values_prefixes(),

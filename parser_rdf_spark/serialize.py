@@ -76,3 +76,154 @@ def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None)
     if partitions:
         lines = lines.repartition(partitions)
     lines.write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# Turtle serialization: prefix-compacted, subject-grouped blocks.
+#
+# The in-repo Turtle parser (turtle.py) consumes @prefix, prefixed names,
+# `a`, predicate lists `;` and object lists `,` — this is the emitting
+# twin, restricted to exactly that subset so the round-trip law
+# ``turtle_parse(to_turtle(t)) == t`` holds for every triple the engine
+# can represent. Everything is pure Column expressions: term compaction
+# is a chained CASE over the prefix map (longest namespace wins), the
+# per-subject block is two partial-aggregating groupBys sharing the
+# (doc_url, subj) key prefix — no Python per row, no window over an
+# unpartitioned relation, scale-clean.
+# ---------------------------------------------------------------------------
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+#: Default prefix map for compaction. Only locals matching
+#: _SAFE_LOCAL_RE compact; everything else stays a full <IRI>, so an
+#: incomplete map is never a correctness problem, only a verbosity one.
+TURTLE_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "sh": "http://www.w3.org/ns/shacl#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "schema": "https://schema.org/",
+}
+
+# conservative PN_LOCAL subset: no dots (a trailing '.' is a statement
+# terminator in Turtle), no %-escapes — anything fancier keeps <IRI> form
+_SAFE_LOCAL = "^[A-Za-z_][A-Za-z0-9_-]*$"
+
+
+def _compact_iri(col: Column, prefixes: dict[str, str]) -> Column:
+    """prefix:local when a namespace matches and the local name is safe,
+    else <IRI>. Longest namespace wins (checked first)."""
+    expr: Column = F.concat(F.lit("<"), col, F.lit(">"))
+    # build the CASE chain inside-out: iterate SHORTEST namespace first so
+    # the longest ends up as the outermost (first-checked) branch
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 1 << 30)
+        expr = F.when(
+            col.startswith(ns) & local.rlike(_SAFE_LOCAL),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(expr)
+    return expr
+
+
+def _turtle_subject(col: Column, prefixes: dict[str, str]) -> Column:
+    return F.when(col.startswith("_:"), col).otherwise(_compact_iri(col, prefixes))
+
+
+def _turtle_predicate(col: Column, prefixes: dict[str, str]) -> Column:
+    return F.when(col == RDF_TYPE_IRI, F.lit("a")).otherwise(_compact_iri(col, prefixes))
+
+
+def _turtle_object(prefixes: dict[str, str]) -> Column:
+    return (
+        F.when(F.col("obj_kind") == "iri", _compact_iri(F.col("obj_value"), prefixes))
+        .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                _escape_literal(F.col("obj_value")),
+                F.lit('"'),
+                F.when(
+                    F.col("obj_lang").isNotNull(),
+                    F.concat(F.lit("@"), F.col("obj_lang")),
+                ).when(
+                    F.col("obj_datatype").isNotNull(),
+                    F.concat(F.lit("^^"), _compact_iri(F.col("obj_datatype"), prefixes)),
+                ).otherwise(F.lit("")),
+            )
+        )
+    )
+
+
+def to_turtle_blocks(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """triples (full schema) → (doc_url, subj_line, block): one Turtle
+    statement block per subject, predicates joined with ``;`` in first-
+    line order, objects joined with ``,`` in line order. Deterministic:
+    every ordering is pinned to line_no (struct sort), so the rendering
+    is stable across partitionings and retries."""
+    p = prefixes if prefixes is not None else TURTLE_PREFIXES
+    t = triples.select(
+        "doc_url",
+        F.coalesce(F.col("line_no"), F.lit(0)).alias("line_no"),
+        _turtle_subject(F.col("subj"), p).alias("s"),
+        _turtle_predicate(F.col("pred"), p).alias("v"),
+        _turtle_object(p).alias("o"),
+    )
+    per_pred = t.groupBy("doc_url", "s", "v").agg(
+        F.min("line_no").alias("pred_line"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(line_no, o))),"
+            " x -> x.o), ', ')"
+        ).alias("objs"),
+    )
+    return per_pred.groupBy("doc_url", "s").agg(
+        F.min("pred_line").alias("subj_line"),
+        F.concat(
+            F.col("s"), F.lit(" "),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(pred_line, v, objs))),"
+                " x -> concat(x.v, ' ', x.objs)), ' ;\n    ')"
+            ),
+            F.lit(" ."),
+        ).alias("block"),
+    ).select("doc_url", "subj_line", "block")
+
+
+def turtle_header(prefixes: dict[str, str] | None = None) -> str:
+    p = prefixes if prefixes is not None else TURTLE_PREFIXES
+    return "\n".join(f"@prefix {k}: <{v}> ." for k, v in sorted(p.items()))
+
+
+def to_turtle_docs(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """triples → (doc_url, turtle): one full Turtle document per source
+    document — the @prefix header plus the subject blocks in first-seen
+    order. The groupBy reuses the (doc_url, subj) exchange of
+    :func:`to_turtle_blocks` (same key prefix), so the whole rendering is
+    one shuffle chain."""
+    header = turtle_header(prefixes)
+    return (
+        to_turtle_blocks(triples, prefixes)
+        .groupBy("doc_url")
+        .agg(
+            F.concat(
+                F.lit(header + "\n\n"),
+                F.expr(
+                    "array_join(transform(sort_array(collect_list(struct(subj_line, block))),"
+                    " x -> x.block), '\n\n')"
+                ),
+            ).alias("turtle")
+        )
+    )
+
+
+def write_turtle(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+                 partitions: int | None = None) -> None:
+    """Distributed Turtle export. Each row is a complete document with its
+    own @prefix header, so a partition file (a concatenation of documents —
+    re-declaring a prefix is legal Turtle) is itself a valid document."""
+    docs = to_turtle_docs(triples, prefixes).select("turtle")
+    if partitions:
+        docs = docs.repartition(partitions)
+    docs.write.mode("overwrite").text(path)

@@ -119,3 +119,136 @@ def test_write_ntriples_files_are_valid_documents(spark, tmp_path):
     for r in text.collect():
         parsed.extend(parse_document(r.value))
     assert len(parsed) == 2
+
+
+# ---------------------------------------------------------------------------
+# Turtle serialization (to_turtle_blocks / to_turtle_docs)
+# ---------------------------------------------------------------------------
+
+def test_turtle_golden_doc(spark):
+    from parser_rdf_spark.serialize import to_turtle_docs
+
+    df = _rows(
+        spark,
+        ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://xmlns.com/foaf/0.1/Person", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/name",
+         "literal", 'Al"ice\n', None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/knows",
+         "bnode", "_:b1", None, None),
+        ("_:b1", "http://xmlns.com/foaf/0.1/name", "literal", "Bob", "en", None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/age",
+         "literal", "42", None, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://example.org/odd.name/Thing", None, None),
+    )
+    [doc] = [r.turtle for r in to_turtle_docs(df).collect()]
+    body = doc.split("\n\n", 1)[1]
+    assert body == (
+        '<http://example.org/alice> a foaf:Person, <http://example.org/odd.name/Thing> ;\n'
+        '    foaf:name "Al\\"ice\\n" ;\n'
+        '    foaf:knows _:b1 ;\n'
+        '    foaf:age "42"^^xsd:integer .\n'
+        '\n'
+        '_:b1 foaf:name "Bob"@en .'
+    )
+    # header declares every default prefix, sorted
+    assert doc.startswith('@prefix dcterms: <http://purl.org/dc/terms/> .')
+
+
+def test_turtle_roundtrip_quartet_through_spark_pipeline(spark):
+    """Serialize the golden quartet's triples to Turtle documents and
+    re-parse them through the FULL Spark pipeline (fmt=turtle): the same
+    multiset must come back, bnode labels compared modulo the extra
+    doc-scope layer the re-parse adds (P5)."""
+    import re
+
+    from parser_rdf_spark import w3c_fixtures as w3c
+    from parser_rdf_spark.parse import parse_pages, triples_of
+    from parser_rdf_spark.serialize import to_turtle_docs
+
+    def norm(term):
+        return re.sub(r"^_:(?:d[0-9a-f]+-)+", "_:", term)
+
+    docs = {f"https://quartet.example.org/{n}": c for n, c in w3c.SAMPLES.items()}
+    t1 = triples_of(parse_pages(pages_df(spark, docs))).filter("graph = '_:default' OR graph IS NULL")
+
+    redocs = {r.doc_url: r.turtle for r in to_turtle_docs(t1).collect()}
+    t2 = triples_of(parse_pages(pages_df(spark, redocs), fmt="turtle"))
+
+    key = lambda r: (r.doc_url, norm(r.subj), r.pred, r.obj_kind,  # noqa: E731
+                     norm(r.obj_value) if r.obj_kind == "bnode" else r.obj_value,
+                     r.obj_lang or "", r.obj_datatype or "")
+    assert sorted(map(key, t1.collect())) == sorted(map(key, t2.collect()))
+
+
+def test_turtle_roundtrip_random_bulk(spark):
+    """Seeded-random bulk property test at one-Spark-job cost: 300 random
+    triples over 30 docs — unicode literals, langtags, datatypes, bnodes,
+    compactable and non-compactable IRIs — serialized by the engine and
+    re-parsed by the pure Turtle parser."""
+    import random
+
+    from parser_rdf_spark.schemas import TRIPLES
+    from parser_rdf_spark.serialize import to_turtle_docs
+    from parser_rdf_spark.turtle import parse_document as turtle_parse
+
+    rng = random.Random(42)
+    NS = ["http://xmlns.com/foaf/0.1/", "http://example.org/v/",
+          "http://www.w3.org/2000/01/rdf-schema#"]
+
+    def iri():
+        local_alpha = "abzAZ09_-~!$&'()*+=/?.%\u00e9\u4e2d"
+        n = rng.randint(1, 8)
+        return rng.choice(NS) + "".join(rng.choice(local_alpha) for _ in range(n))
+
+    def bnode():
+        return "_:" + "".join(rng.choice("ab01_") for _ in range(rng.randint(1, 5)))
+
+    def lit():
+        alpha = 'ab \\"\n\r\t\u00e9\u4e2d\U0001f600\'`'
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+
+    rows = []
+    for i in range(300):
+        doc = f"https://r/{i % 30}"
+        s = bnode() if rng.random() < 0.2 else iri()
+        p = iri()
+        r = rng.random()
+        if r < 0.3:
+            row = (doc, None, s, p, "iri", iri(), None, None, i + 1)
+        elif r < 0.4:
+            row = (doc, None, s, p, "bnode", bnode(), None, None, i + 1)
+        elif r < 0.6:
+            row = (doc, None, s, p, "literal", lit(), rng.choice(["en", "en-GB", "de"]), None, i + 1)
+        elif r < 0.8:
+            row = (doc, None, s, p, "literal", lit(), None, iri(), i + 1)
+        else:
+            row = (doc, None, s, p, "literal", lit(), None, None, i + 1)
+        rows.append(row)
+
+    df = spark.createDataFrame(rows, TRIPLES)
+    got = []
+    for r in to_turtle_docs(df).collect():
+        triples, _ = turtle_parse(r.turtle)
+        for t in triples:
+            got.append((r.doc_url, t.subj, t.pred, t.obj_kind, t.obj_value,
+                        t.obj_lang, t.obj_datatype))
+    want = [(d, s, p, k, v, lg, dt) for (d, _, s, p, k, v, lg, dt, _ln) in rows]
+    assert sorted(got) == sorted(want)
+
+
+def test_write_turtle_partition_files_are_valid_documents(spark, tmp_path):
+    from parser_rdf_spark.serialize import write_turtle
+    from parser_rdf_spark.turtle import parse_document as turtle_parse
+
+    df = _rows(
+        spark,
+        ("http://e/s1", "http://e/p", "iri", "http://e/o", None, None),
+        ("http://e/s2", "http://e/p", "literal", "x", None, None),
+    )
+    out = str(tmp_path / "ttl")
+    write_turtle(df, out, partitions=1)
+    text = "\n".join(r.value for r in spark.read.text(out).collect())
+    triples, _ = turtle_parse(text)
+    assert len(triples) == 2
