@@ -1846,6 +1846,25 @@ def _q_turtle_serialize(spark, sf_dir):
     )
 
 
+def _q_nquads_serialize(spark, sf_dir):
+    """N-Quads round-circle: parse the canonical N-Quads fixture through
+    the full pipeline, serialize it back with the pure-Column N-Quads
+    renderer — on canonical input, parse∘serialize is the identity, so
+    the oracle is simply the fixture's own lines."""
+    from parser_rdf_spark.serialize import to_nquads
+
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/nq/doc1": _NQUADS_DOC}
+    )
+    return to_nquads(triples_of(parse_pages(pages))).select("line")
+
+
+def _golden_values_nquads() -> str:
+    lines = [ln for ln in _NQUADS_DOC.splitlines() if ln.strip()]
+    rows = ", ".join(f"({_sql_quote(ln)})" for ln in lines)
+    return f"SELECT * FROM (VALUES {rows}) AS t(line)"
+
+
 def _golden_values_turtle() -> str:
     """Independent Turtle block formatter (shares no code with
     serialize.py): same prefix table, grouping mirrored by explicitly
@@ -2580,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_sameas_canonicalize": _q_owl_sameas,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
+        "nquads_serialize": _q_nquads_serialize,
         "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
@@ -3310,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_cross_format_triples": _golden_values_quartet_triples(),
         "ntriples_serialize": _golden_values_ntriples(),
         "turtle_serialize": _golden_values_turtle(),
+        "nquads_serialize": _golden_values_nquads(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,
         "extract_prefixes": _golden_values_prefixes(),

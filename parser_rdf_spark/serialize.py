@@ -36,8 +36,9 @@ def _term(col: Column) -> Column:
     return F.when(col.startswith("_:"), col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
 
 
-def ntriples_line() -> Column:
-    """The N-Triples rendering of one full-schema triples row."""
+def _spo() -> Column:
+    """The "subject predicate object" body shared by the N-Triples and
+    N-Quads line renderings."""
     obj = (
         F.when(F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
         .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
@@ -58,7 +59,12 @@ def ntriples_line() -> Column:
     )
     return F.concat(_term(F.col("subj")), F.lit(" "),
                     _term(F.col("pred")), F.lit(" "),
-                    obj, F.lit(" ."))
+                    obj)
+
+
+def ntriples_line() -> Column:
+    """The N-Triples rendering of one full-schema triples row."""
+    return F.concat(_spo(), F.lit(" ."))
 
 
 def to_ntriples(triples: DataFrame) -> DataFrame:
@@ -73,6 +79,35 @@ def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None)
     is line-delimited, so any per-file subset is itself a valid document —
     the property that makes this format the interchange default at scale."""
     lines = to_ntriples(triples).select("line")
+    if partitions:
+        lines = lines.repartition(partitions)
+    lines.write.mode("overwrite").text(path)
+
+
+def nquads_line() -> Column:
+    """The N-Quads rendering of one full-schema triples row: the
+    N-Triples line plus a fourth graph term for named graphs. The
+    engine's default-graph sentinel ('_:default', parse.py:41) and NULL
+    both mean "no graph term" — those rows are emitted as plain
+    N-Triples statements, exactly what the strict quad parser
+    (ntriples.parse_document(allow_graph=True)) hands back as
+    graph=None."""
+    g = F.col("graph")
+    gterm = F.when(
+        g.isNull() | (g == "_:default"), F.lit("")
+    ).otherwise(F.concat(F.lit(" "), _term(g)))
+    return F.concat(_spo(), gterm, F.lit(" ."))
+
+
+def to_nquads(triples: DataFrame) -> DataFrame:
+    """triples (full schema incl. graph) → (doc_url, line) N-Quads lines."""
+    return triples.select("doc_url", nquads_line().alias("line"))
+
+
+def write_nquads(triples: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Distributed N-Quads export; like N-Triples, any per-file subset of
+    the line-delimited output is itself a valid dataset document."""
+    lines = to_nquads(triples).select("line")
     if partitions:
         lines = lines.repartition(partitions)
     lines.write.mode("overwrite").text(path)

@@ -252,3 +252,59 @@ def test_write_turtle_partition_files_are_valid_documents(spark, tmp_path):
     text = "\n".join(r.value for r in spark.read.text(out).collect())
     triples, _ = turtle_parse(text)
     assert len(triples) == 2
+
+
+# ---------------------------------------------------------------------------
+# N-Quads serialization (to_nquads)
+# ---------------------------------------------------------------------------
+
+def _quad_rows(spark, *quads):
+    # (graph, subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)
+    from parser_rdf_spark.schemas import TRIPLES
+
+    full = [("https://d/1", g, s, p, k, v, lg, dt, i + 1)
+            for i, (g, s, p, k, v, lg, dt) in enumerate(quads)]
+    return spark.createDataFrame(full, TRIPLES)
+
+
+def test_nquads_golden_forms(spark):
+    from parser_rdf_spark.serialize import to_nquads
+
+    df = _quad_rows(
+        spark,
+        ("http://e/g", "http://e/s", "http://e/p", "iri", "http://e/o", None, None),
+        ("_:g1", "http://e/s", "http://e/p", "literal", "x", "en", None),
+        ("_:default", "http://e/s", "http://e/p", "literal", "plain", None, None),
+        (None, "_:b1", "http://e/p", "bnode", "_:b2", None, None),
+    )
+    assert sorted(r.line for r in to_nquads(df).collect()) == sorted([
+        "<http://e/s> <http://e/p> <http://e/o> <http://e/g> .",
+        '<http://e/s> <http://e/p> "x"@en _:g1 .',
+        '<http://e/s> <http://e/p> "plain" .',
+        "_:b1 <http://e/p> _:b2 .",
+    ])
+
+
+def test_nquads_roundtrip_through_strict_quad_parser(spark):
+    from parser_rdf_spark.serialize import to_nquads
+
+    df = _quad_rows(
+        spark,
+        ("http://e/g", "http://e/s", "http://e/p", "literal", 'a"b\\c\nd', None, None),
+        ("_:graphb", "_:s", "http://e/p", "iri", "http://e/o", None, None),
+        (None, "http://e/s", "http://e/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    )
+    reparsed = []
+    for r in to_nquads(df).collect():
+        reparsed.extend(parse_document(r.line, allow_graph=True))
+    key = lambda q: tuple("" if x is None else x for x in q)  # noqa: E731
+    got = sorted(((t.graph, t.subj, t.pred, t.obj_kind, t.obj_value,
+                   t.obj_lang, t.obj_datatype) for t in reparsed), key=key)
+    want = sorted([
+        ("http://e/g", "http://e/s", "http://e/p", "literal", 'a"b\\c\nd', None, None),
+        ("_:graphb", "_:s", "http://e/p", "iri", "http://e/o", None, None),
+        (None, "http://e/s", "http://e/p", "literal", "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    ], key=key)
+    assert got == want
