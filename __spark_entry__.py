@@ -1865,6 +1865,56 @@ def _golden_values_nquads() -> str:
     return f"SELECT * FROM (VALUES {rows}) AS t(line)"
 
 
+def _q_jsonld_serialize_roundtrip(spark, sf_dir):
+    """JSON-LD round-circle IN the driver gate: the quartet's triples
+    serialized to flattened JSON-LD by the pure-Column writer, fed back
+    through the FULL Spark parse pipeline (fmt=json-ld), and compared
+    as triples against the golden quartet — i.e. parse∘serialize = id.
+    Bnode labels are normalized modulo P5 doc-scope layers (the re-parse
+    legitimately adds one)."""
+    from parser_rdf_spark.serialize import to_jsonld_docs
+
+    docs = to_jsonld_docs(_quartet_triples(spark))
+    pages2 = docs.select(
+        F.col("doc_url").alias("url"),
+        F.lit("2026-01-01T00:00:00Z").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("jsonld").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    t2 = triples_of(parse_pages(pages2, fmt="json-ld"))
+    descope = lambda c: F.regexp_replace(c, r"^_:(d[0-9a-f]+-)+", "_:")  # noqa: E731
+    return t2.select(
+        F.substring_index("doc_url", "/", -1).alias("doc"),
+        descope(F.col("subj")).alias("subj"),
+        F.col("pred"),
+        F.col("obj_kind"),
+        F.when(F.col("obj_kind") == "bnode", descope(F.col("obj_value")))
+         .otherwise(F.col("obj_value")).alias("obj_value"),
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _golden_values_quartet_descoped() -> str:
+    import re as _re
+
+    def descope(term: str) -> str:
+        return _re.sub(r"^_:(?:d[0-9a-f]+-)+", "_:", term)
+
+    rows = [
+        f"({_sql_quote(doc)}, {_sql_quote(descope(t.subj))}, {_sql_quote(t.pred)}, "
+        f"{_sql_quote(t.obj_kind)}, "
+        f"{_sql_quote(descope(t.obj_value) if t.obj_kind == 'bnode' else t.obj_value)}, "
+        f"{_sql_quote(t.obj_lang or '')}, {_sql_quote(t.obj_datatype or '')})"
+        for doc, t in _golden_quartet_rows()
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(doc, subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)"
+    )
+
+
 def _golden_values_turtle() -> str:
     """Independent Turtle block formatter (shares no code with
     serialize.py): same prefix table, grouping mirrored by explicitly
@@ -2600,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
+        "jsonld_serialize_roundtrip": _q_jsonld_serialize_roundtrip,
         "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
@@ -3331,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_serialize": _golden_values_ntriples(),
         "turtle_serialize": _golden_values_turtle(),
         "nquads_serialize": _golden_values_nquads(),
+        "jsonld_serialize_roundtrip": _golden_values_quartet_descoped(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,
         "extract_prefixes": _golden_values_prefixes(),

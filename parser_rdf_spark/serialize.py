@@ -253,6 +253,122 @@ def to_turtle_docs(triples: DataFrame, prefixes: dict[str, str] | None = None) -
     )
 
 
+# ---------------------------------------------------------------------------
+# JSON-LD serialization: flattened node objects under @graph.
+#
+# The emitting twin of jsonld.py, restricted to its accepted subset:
+# inline @context of prefix → namespace mappings, a @graph array of flat
+# node objects, {"@id"} references (nested nodes are emitted flat — the
+# parser links them identically), and expanded-object literal values
+# ({"@value"[, "@language" | "@type"]}). Every literal lexical form stays
+# a JSON string, so numeric re-typing never rewrites a value. Leaf JSON
+# is produced by Spark's to_json (correct JSON string escaping in the
+# JVM); object/array assembly is pure concat over pre-escaped snippets —
+# predicate keys and @id values are IRIs/CURIEs the parsers validated to
+# contain no quotes or control characters (backslash is escaped here).
+#
+# Known sharp edge (inherent to the parser's expansion rule, which tries
+# context prefixes before treating a term as an absolute IRI): an IRI
+# whose SCHEME equals a context prefix but which is not inside that
+# prefix's namespace (e.g. a literal IRI "foaf:xyz") re-expands to the
+# namespace on reparse. No real-world scheme collides with the default
+# prefix table; callers emitting exotic schemes should pass a prefix map
+# that avoids them.
+# ---------------------------------------------------------------------------
+
+
+def _compact_bare(col: Column, prefixes: dict[str, str]) -> Column:
+    """prefix:local when a namespace matches and the local is safe, else
+    the raw IRI (no <> wrapping — JSON-LD keys/refs are bare strings)."""
+    expr: Column = col
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 1 << 30)
+        expr = F.when(
+            col.startswith(ns) & local.rlike(_SAFE_LOCAL),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(expr)
+    return expr
+
+
+def _json_key_escape(col: Column) -> Column:
+    # IRIs/CURIEs: parsers ban quotes and control chars; backslash can
+    # legally survive (Turtle IRIREF allows it), so escape it
+    return F.regexp_replace(col, r"\\", r"\\\\")
+
+
+def _jsonld_leaf(prefixes: dict[str, str]) -> Column:
+    """One value's JSON: {"@id"} for iri/bnode objects, expanded-object
+    form for literals. to_json drops null struct fields."""
+    is_ref = F.col("obj_kind").isin("iri", "bnode")
+    leaf = F.struct(
+        F.when(is_ref, F.col("obj_value")).alias("@id"),
+        F.when(~is_ref, F.col("obj_value")).alias("@value"),
+        F.when(~is_ref, F.col("obj_lang")).alias("@language"),
+        F.when(
+            ~is_ref & F.col("obj_lang").isNull() & F.col("obj_datatype").isNotNull(),
+            _compact_bare(F.col("obj_datatype"), prefixes),
+        ).alias("@type"),
+    )
+    return F.to_json(leaf, {"ignoreNullFields": "true"})
+
+
+def to_jsonld_docs(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """triples (full schema) → (doc_url, jsonld): one flattened JSON-LD
+    document per source document. Same deterministic ordering discipline
+    as the Turtle writer: nodes by first line_no, predicate keys by first
+    line_no, values by line_no — stable across partitionings."""
+    p = prefixes if prefixes is not None else TURTLE_PREFIXES
+    ctx = "{" + ", ".join(
+        f'"{k}": "{v}"' for k, v in sorted(p.items())
+    ) + "}"
+    t = triples.select(
+        "doc_url",
+        F.coalesce(F.col("line_no"), F.lit(0)).alias("line_no"),
+        _json_key_escape(F.col("subj")).alias("s"),
+        _json_key_escape(_compact_bare(F.col("pred"), p)).alias("v"),
+        _jsonld_leaf(p).alias("o"),
+    )
+    per_pred = t.groupBy("doc_url", "s", "v").agg(
+        F.min("line_no").alias("pred_line"),
+        F.expr(
+            "concat('\"', v, '\": [', "
+            "array_join(transform(sort_array(collect_list(struct(line_no, o))),"
+            " x -> x.o), ', '), ']')"
+        ).alias("entry"),
+    )
+    nodes = per_pred.groupBy("doc_url", "s").agg(
+        F.min("pred_line").alias("subj_line"),
+        F.concat(
+            F.lit('{"@id": "'), F.col("s"), F.lit('", '),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(pred_line, entry))),"
+                " x -> x.entry), ', ')"
+            ),
+            F.lit("}"),
+        ).alias("node"),
+    )
+    return nodes.groupBy("doc_url").agg(
+        F.concat(
+            F.lit('{"@context": ' + ctx + ', "@graph": ['),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(subj_line, node))),"
+                " x -> x.node), ', ')"
+            ),
+            F.lit("]}"),
+        ).alias("jsonld")
+    )
+
+
+def write_jsonld(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+                 partitions: int | None = None) -> None:
+    """Distributed JSON-LD export: one complete document per line
+    (ndjson-style — each line is independently parseable)."""
+    docs = to_jsonld_docs(triples, prefixes).select("jsonld")
+    if partitions:
+        docs = docs.repartition(partitions)
+    docs.write.mode("overwrite").text(path)
+
+
 def write_turtle(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
                  partitions: int | None = None) -> None:
     """Distributed Turtle export. Each row is a complete document with its

@@ -308,3 +308,130 @@ def test_nquads_roundtrip_through_strict_quad_parser(spark):
          "http://www.w3.org/2001/XMLSchema#integer"),
     ], key=key)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD serialization (to_jsonld_docs)
+# ---------------------------------------------------------------------------
+
+def test_jsonld_golden_doc(spark):
+    import json
+
+    from parser_rdf_spark.serialize import to_jsonld_docs
+
+    df = _rows(
+        spark,
+        ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://xmlns.com/foaf/0.1/Person", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/name",
+         "literal", 'Al"i\\ce\n', None, None),
+        ("_:b1", "http://xmlns.com/foaf/0.1/name", "literal", "Bob", "en", None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/age",
+         "literal", "42", None, "http://www.w3.org/2001/XMLSchema#integer"),
+    )
+    [doc] = [r.jsonld for r in to_jsonld_docs(df).collect()]
+    parsed = json.loads(doc)  # valid JSON, escaping correct
+    assert parsed["@context"]["foaf"] == "http://xmlns.com/foaf/0.1/"
+    nodes = {n["@id"]: n for n in parsed["@graph"]}
+    alice = nodes["http://example.org/alice"]
+    assert alice["rdf:type"] == [{"@id": "http://xmlns.com/foaf/0.1/Person"}]
+    assert alice["foaf:name"] == [{"@value": 'Al"i\\ce\n'}]
+    assert alice["foaf:age"] == [{"@value": "42", "@type": "xsd:integer"}]
+    assert nodes["_:b1"]["foaf:name"] == [{"@value": "Bob", "@language": "en"}]
+
+
+def test_jsonld_roundtrip_quartet_through_spark_pipeline(spark):
+    """Serialize the quartet's triples to JSON-LD and re-parse through
+    the FULL Spark pipeline (fmt=json-ld): same multiset, bnode labels
+    modulo the extra doc-scope layer (P5)."""
+    import re
+
+    from parser_rdf_spark import w3c_fixtures as w3c
+    from parser_rdf_spark.parse import parse_pages, triples_of
+    from parser_rdf_spark.serialize import to_jsonld_docs
+
+    def norm(term):
+        return re.sub(r"^_:(?:d[0-9a-f]+-)+", "_:", term)
+
+    docs = {f"https://quartet.example.org/{n}": c for n, c in w3c.SAMPLES.items()}
+    t1 = triples_of(parse_pages(pages_df(spark, docs)))
+
+    redocs = {r.doc_url: r.jsonld for r in to_jsonld_docs(t1).collect()}
+    t2 = triples_of(parse_pages(pages_df(spark, redocs), fmt="json-ld"))
+
+    key = lambda r: (r.doc_url, norm(r.subj), r.pred, r.obj_kind,  # noqa: E731
+                     norm(r.obj_value) if r.obj_kind == "bnode" else r.obj_value,
+                     r.obj_lang or "", r.obj_datatype or "")
+    assert sorted(map(key, t1.collect())) == sorted(map(key, t2.collect()))
+
+
+def test_jsonld_roundtrip_random_bulk(spark):
+    """Seeded-random bulk property test: 300 random triples over 30 docs
+    serialized by the engine, re-parsed by the pure JSON-LD parser."""
+    import random
+
+    from parser_rdf_spark.jsonld import parse_document as jsonld_parse
+    from parser_rdf_spark.schemas import TRIPLES
+    from parser_rdf_spark.serialize import to_jsonld_docs
+
+    rng = random.Random(7)
+    NS = ["http://xmlns.com/foaf/0.1/", "http://example.org/v/",
+          "http://www.w3.org/2000/01/rdf-schema#"]
+
+    def iri():
+        local_alpha = "abzAZ09_-~!$&'()*+=/?.%\u00e9\u4e2d"
+        n = rng.randint(1, 8)
+        return rng.choice(NS) + "".join(rng.choice(local_alpha) for _ in range(n))
+
+    def bnode():
+        return "_:" + "".join(rng.choice("ab01_") for _ in range(rng.randint(1, 5)))
+
+    def lit():
+        alpha = 'ab \\"\n\r\t\u00e9\u4e2d\U0001f600\'`{}[]:,'
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+
+    rows = []
+    for i in range(300):
+        doc = f"https://r/{i % 30}"
+        s = bnode() if rng.random() < 0.2 else iri()
+        p = iri()
+        r = rng.random()
+        if r < 0.3:
+            row = (doc, None, s, p, "iri", iri(), None, None, i + 1)
+        elif r < 0.4:
+            row = (doc, None, s, p, "bnode", bnode(), None, None, i + 1)
+        elif r < 0.6:
+            row = (doc, None, s, p, "literal", lit(), rng.choice(["en", "en-GB", "de"]), None, i + 1)
+        elif r < 0.8:
+            row = (doc, None, s, p, "literal", lit(), None, iri(), i + 1)
+        else:
+            row = (doc, None, s, p, "literal", lit(), None, None, i + 1)
+        rows.append(row)
+
+    df = spark.createDataFrame(rows, TRIPLES)
+    got = []
+    for r in to_jsonld_docs(df).collect():
+        triples, _ = jsonld_parse(r.jsonld)
+        for t in triples:
+            got.append((r.doc_url, t.subj, t.pred, t.obj_kind, t.obj_value,
+                        t.obj_lang, t.obj_datatype))
+    want = [(d, s, p, k, v, lg, dt) for (d, _, s, p, k, v, lg, dt, _ln) in rows]
+    assert sorted(got) == sorted(want)
+
+
+def test_write_jsonld_lines_are_independent_documents(spark, tmp_path):
+    from parser_rdf_spark.jsonld import parse_document as jsonld_parse
+    from parser_rdf_spark.serialize import write_jsonld
+
+    df = _rows(
+        spark,
+        ("http://e/s1", "http://e/p", "iri", "http://e/o", None, None),
+        ("http://e/s2", "http://e/p", "literal", "x", None, None),
+    )
+    out = str(tmp_path / "jsonld")
+    write_jsonld(df, out, partitions=1)
+    parsed = []
+    for r in spark.read.text(out).collect():
+        triples, _ = jsonld_parse(r.value)
+        parsed.extend(triples)
+    assert len(parsed) == 2
