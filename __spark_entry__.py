@@ -1896,6 +1896,48 @@ def _q_jsonld_serialize_roundtrip(spark, sf_dir):
     )
 
 
+def _q_rdfxml_serialize_roundtrip(spark, sf_dir):
+    """RDF/XML round-circle IN the driver gate: quartet triples
+    serialized (bnodes skolemized to urn:bnode: IRIs — the rdf:nodeID-
+    free subset cannot carry labels), fed back through the FULL parse
+    pipeline (fmt=rdf/xml), compared against the skolem-mapped golden
+    quartet."""
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    docs = to_rdfxml_docs(_quartet_triples(spark), on_bnode="skolemize")
+    pages2 = docs.select(
+        F.col("doc_url").alias("url"),
+        F.lit("2026-01-01T00:00:00Z").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("rdfxml").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    t2 = triples_of(parse_pages(pages2, fmt="rdf/xml"))
+    return t2.select(
+        F.substring_index("doc_url", "/", -1).alias("doc"),
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _golden_values_quartet_skolemized() -> str:
+    def skolem(term: str) -> str:
+        return "urn:bnode:" + term[2:] if term.startswith("_:") else term
+
+    rows = [
+        f"({_sql_quote(doc)}, {_sql_quote(skolem(t.subj))}, {_sql_quote(t.pred)}, "
+        f"{_sql_quote('iri' if t.obj_kind == 'bnode' else t.obj_kind)}, "
+        f"{_sql_quote(skolem(t.obj_value) if t.obj_kind == 'bnode' else t.obj_value)}, "
+        f"{_sql_quote(t.obj_lang or '')}, {_sql_quote(t.obj_datatype or '')})"
+        for doc, t in _golden_quartet_rows()
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(doc, subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)"
+    )
+
+
 def _golden_values_quartet_descoped() -> str:
     import re as _re
 
@@ -2651,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
         "jsonld_serialize_roundtrip": _q_jsonld_serialize_roundtrip,
+        "rdfxml_serialize_roundtrip": _q_rdfxml_serialize_roundtrip,
         "kg_statistics": _q_kg_statistics,
         # incremental maintenance (delta merge + incremental CC)
         "kg_incremental_cc": _q_kg_incremental_cc,
@@ -3383,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "turtle_serialize": _golden_values_turtle(),
         "nquads_serialize": _golden_values_nquads(),
         "jsonld_serialize_roundtrip": _golden_values_quartet_descoped(),
+        "rdfxml_serialize_roundtrip": _golden_values_quartet_skolemized(),
         "extract_classes": _QUARTET_CLASSES_SQL,
         "extract_properties": _QUARTET_PROPERTIES_SQL,
         "extract_prefixes": _golden_values_prefixes(),

@@ -369,6 +369,179 @@ def write_jsonld(triples: DataFrame, path: str, prefixes: dict[str, str] | None 
     docs.write.mode("overwrite").text(path)
 
 
+# ---------------------------------------------------------------------------
+# RDF/XML serialization: rdf:Description property elements.
+#
+# The emitting twin of rdfxml.py, restricted to its accepted subset:
+# an rdf:RDF root, rdf:Description nodes with rdf:about, property
+# elements carrying rdf:resource references or text content with
+# xml:lang / rdf:datatype. The parser subset has NO rdf:nodeID
+# (spec-completeness:162-166), so blank-node labels cannot be
+# represented: the writer is total over GROUND graphs and handles
+# bnodes per `on_bnode` — 'error' (default: per-row raise_error, the
+# job fails with a clear message) or 'skolemize' (bnodes become
+# urn:bnode:<label> IRIs, RDF 1.1 skolemization — round-trips modulo
+# that mapping). Literals containing XML-1.0-illegal control characters
+# (anything < 0x20 except TAB/LF/CR) also raise. Everything else is
+# chained-regexp escaping + the same two-groupBy assembly as the other
+# writers; namespace prefixes are the well-known table where the
+# predicate namespace matches, else a deterministic md5-derived prefix,
+# with per-document xmlns declarations collected through the
+# aggregation.
+# ---------------------------------------------------------------------------
+
+# '-' is last in the class so it needs no escaping — the pattern embeds
+# verbatim in both the Python regexp_extract and the SQL expr string
+_NCNAME_TAIL = "([A-Za-z_][A-Za-z0-9_.-]*)$"
+_XML_ILLEGAL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def _xml_text_escape(col: Column) -> Column:
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    # raw CR is normalized away by XML parsers; keep it as a char ref
+    return F.regexp_replace(out, "\r", "&#13;")
+
+
+def _xml_attr_escape(col: Column) -> Column:
+    out = _xml_text_escape(col)
+    out = F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, "\n", "&#10;")
+    return F.regexp_replace(out, "\t", "&#9;")
+
+
+def _xml_guard(col: Column, what: str) -> Column:
+    """raise_error on XML-1.0-unrepresentable control characters."""
+    return F.when(
+        col.rlike(_XML_ILLEGAL),
+        F.expr(f"raise_error('rdfxml serialize: {what} contains an "
+               "XML-1.0-illegal control character')"),
+    ).otherwise(col)
+
+
+def _skolem_or_error(col: Column, on_bnode: str, what: str) -> Column:
+    if on_bnode == "skolemize":
+        return F.when(
+            col.startswith("_:"),
+            F.concat(F.lit("urn:bnode:"), F.substring(col, 3, 1 << 30)),
+        ).otherwise(col)
+    return F.when(
+        col.startswith("_:"),
+        F.expr(f"raise_error('rdfxml serialize: blank-node {what} is not "
+               "representable in the rdf:nodeID-free RDF/XML subset; pass "
+               "on_bnode=skolemize or export Turtle/N-Quads instead')"),
+    ).otherwise(col)
+
+
+def _xml_prefix(ns_col: Column, prefixes: dict[str, str]) -> Column:
+    """Deterministic prefix for a predicate namespace: the well-known
+    table where it matches, else 'n' + md5(ns)[:8]."""
+    expr: Column = F.concat(F.lit("n"), F.substring(F.md5(ns_col), 1, 8))
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        expr = F.when(ns_col == ns, F.lit(pfx)).otherwise(expr)
+    return F.when(ns_col == "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                  F.lit("rdf")).otherwise(expr)
+
+
+def to_rdfxml_docs(triples: DataFrame, prefixes: dict[str, str] | None = None,
+                   on_bnode: str = "error") -> DataFrame:
+    """triples (full schema) → (doc_url, rdfxml): one RDF/XML document
+    per source document. Deterministic ordering as the other writers:
+    subjects by first line_no, property elements by line_no."""
+    if on_bnode not in ("error", "skolemize"):
+        raise ValueError("on_bnode must be 'error' or 'skolemize'")
+    p = prefixes if prefixes is not None else TURTLE_PREFIXES
+
+    pred_local = F.regexp_extract(F.col("pred"), _NCNAME_TAIL, 1)
+    pred_ns = F.expr(
+        f"substring(pred, 1, length(pred) - length(regexp_extract(pred, '{_NCNAME_TAIL}', 1)))"
+    )
+    pred_local = F.when(
+        pred_local == "",
+        F.expr("raise_error(concat('rdfxml serialize: predicate IRI has no "
+               "NCName-splittable local part: ', pred))"),
+    ).otherwise(pred_local)
+
+    subj = _skolem_or_error(F.col("subj"), on_bnode, "subject")
+    obj_ref = _skolem_or_error(F.col("obj_value"), on_bnode, "object")
+    pfx = _xml_prefix(pred_ns, p)
+    qname = F.concat(pfx, F.lit(":"), pred_local)
+
+    lit_body = _xml_text_escape(_xml_guard(F.col("obj_value"), "literal"))
+    prop_el = F.when(
+        F.col("obj_kind").isin("iri", "bnode"),
+        F.concat(F.lit("<"), qname, F.lit(' rdf:resource="'),
+                 _xml_attr_escape(obj_ref), F.lit('"/>')),
+    ).otherwise(
+        F.concat(
+            F.lit("<"), qname,
+            F.when(F.col("obj_lang").isNotNull(),
+                   F.concat(F.lit(' xml:lang="'), F.col("obj_lang"), F.lit('"')))
+             .when(F.col("obj_datatype").isNotNull(),
+                   F.concat(F.lit(' rdf:datatype="'),
+                            _xml_attr_escape(F.col("obj_datatype")), F.lit('"')))
+             .otherwise(F.lit("")),
+            F.lit(">"), lit_body, F.lit("</"), qname, F.lit(">"),
+        )
+    )
+
+    t = triples.select(
+        "doc_url",
+        F.coalesce(F.col("line_no"), F.lit(0)).alias("line_no"),
+        subj.alias("s"),
+        prop_el.alias("prop"),
+        # rdf: is already declared on the root — an empty decl here keeps
+        # the flatten/join below from emitting a duplicate attribute
+        F.when(
+            pred_ns == "http://www.w3.org/1999/02/22-rdf-syntax-ns#", F.lit("")
+        ).otherwise(
+            F.concat(F.lit(" xmlns:"), pfx, F.lit('="'),
+                     _xml_attr_escape(pred_ns), F.lit('"'))
+        ).alias("xmlns_decl"),
+    )
+    nodes = t.groupBy("doc_url", "s").agg(
+        F.min("line_no").alias("subj_line"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(line_no, prop))),"
+            " x -> x.prop), '\n    ')"
+        ).alias("props"),
+        F.collect_set("xmlns_decl").alias("decls"),
+    ).select(
+        "doc_url", "subj_line",
+        F.concat(F.lit('  <rdf:Description rdf:about="'),
+                 _xml_attr_escape(F.col("s")), F.lit('">\n    '),
+                 F.col("props"), F.lit("\n  </rdf:Description>")).alias("node"),
+        "decls",
+    )
+    return nodes.groupBy("doc_url").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF xmlns:rdf="'
+                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#"'),
+            F.expr(
+                "array_join(array_sort(array_distinct(flatten(collect_list(decls)))), '')"
+            ),
+            F.lit(">\n"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(subj_line, node))),"
+                " x -> x.node), '\n')"
+            ),
+            F.lit("\n</rdf:RDF>"),
+        ).alias("rdfxml")
+    )
+
+
+def write_rdfxml(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+                 on_bnode: str = "error", partitions: int | None = None) -> None:
+    """Distributed RDF/XML export: one complete document per row. Unlike
+    the line-based formats a partition file is NOT one valid XML
+    document (XML forbids multiple roots) — consumers read row-wise."""
+    docs = to_rdfxml_docs(triples, prefixes, on_bnode=on_bnode).select("rdfxml")
+    if partitions:
+        docs = docs.repartition(partitions)
+    docs.write.mode("overwrite").text(path)
+
+
 def write_turtle(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
                  partitions: int | None = None) -> None:
     """Distributed Turtle export. Each row is a complete document with its

@@ -435,3 +435,140 @@ def test_write_jsonld_lines_are_independent_documents(spark, tmp_path):
         triples, _ = jsonld_parse(r.value)
         parsed.extend(triples)
     assert len(parsed) == 2
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML serialization (to_rdfxml_docs)
+# ---------------------------------------------------------------------------
+
+def test_rdfxml_golden_doc_and_escaping(spark):
+    from parser_rdf_spark.rdfxml import parse_document as rdfxml_parse
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    df = _rows(
+        spark,
+        ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://xmlns.com/foaf/0.1/Person", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/name",
+         "literal", 'Al<i&ce>\n"q"', None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/knows",
+         "iri", "http://example.org/bob?a=1&b=2", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/age",
+         "literal", "42", None, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/bob?a=1&b=2", "http://xmlns.com/foaf/0.1/name",
+         "literal", "Bob", "en", None),
+    )
+    [doc] = [r.rdfxml for r in to_rdfxml_docs(df).collect()]
+    assert 'xmlns:foaf="http://xmlns.com/foaf/0.1/"' in doc
+    assert "&amp;b=2" in doc and "&lt;i&amp;ce&gt;" in doc
+    triples, _ = rdfxml_parse(doc)
+    got = sorted((t.subj, t.pred, t.obj_kind, t.obj_value, t.obj_lang, t.obj_datatype)
+                 for t in triples)
+    want = sorted([
+        ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://xmlns.com/foaf/0.1/Person", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/name",
+         "literal", 'Al<i&ce>\n"q"', None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/knows",
+         "iri", "http://example.org/bob?a=1&b=2", None, None),
+        ("http://example.org/alice", "http://xmlns.com/foaf/0.1/age",
+         "literal", "42", None, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/bob?a=1&b=2", "http://xmlns.com/foaf/0.1/name",
+         "literal", "Bob", "en", None),
+    ], key=lambda q: tuple("" if x is None else x for x in q))
+    got = sorted(got, key=lambda q: tuple("" if x is None else x for x in q))
+    assert got == want
+
+
+def test_rdfxml_roundtrip_random_bulk_ground(spark):
+    """Seeded-random GROUND (bnode-free — the documented subset) bulk
+    round-trip: odd namespaces, xml-special characters in literals,
+    datatypes, langtags."""
+    import random
+
+    from parser_rdf_spark.rdfxml import parse_document as rdfxml_parse
+    from parser_rdf_spark.schemas import TRIPLES
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    rng = random.Random(13)
+    NS = ["http://xmlns.com/foaf/0.1/", "http://example.org/v?q=1&r=2#",
+          "http://www.w3.org/2000/01/rdf-schema#"]
+
+    def pred():
+        n = rng.randint(1, 6)
+        return rng.choice(NS) + "p" + "".join(rng.choice("abz09_-.") for _ in range(n))
+
+    def iri():
+        n = rng.randint(1, 8)
+        return "http://e.org/" + "".join(rng.choice("abzAZ09_-~!$&'()*+=/?.%é中") for _ in range(n))
+
+    def lit():
+        alpha = 'ab <>&"\n\r\té中\U0001f600\']]>'
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+
+    rows = []
+    for i in range(200):
+        doc = f"https://r/{i % 20}"
+        s, p = iri(), pred()
+        r = rng.random()
+        if r < 0.3:
+            row = (doc, None, s, p, "iri", iri(), None, None, i + 1)
+        elif r < 0.55:
+            row = (doc, None, s, p, "literal", lit(), rng.choice(["en", "en-GB"]), None, i + 1)
+        elif r < 0.8:
+            row = (doc, None, s, p, "literal", lit(), None, iri(), i + 1)
+        else:
+            row = (doc, None, s, p, "literal", lit(), None, None, i + 1)
+        rows.append(row)
+
+    df = spark.createDataFrame(rows, TRIPLES)
+    got = []
+    for r in to_rdfxml_docs(df).collect():
+        triples, _ = rdfxml_parse(r.rdfxml)
+        for t in triples:
+            got.append((r.doc_url, t.subj, t.pred, t.obj_kind, t.obj_value,
+                        t.obj_lang, t.obj_datatype))
+    want = [(d, s, p, k, v, lg, dt) for (d, _, s, p, k, v, lg, dt, _ln) in rows]
+    assert sorted(got) == sorted(want)
+
+
+def test_rdfxml_bnode_error_and_skolemize(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from parser_rdf_spark.rdfxml import parse_document as rdfxml_parse
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    df = _rows(
+        spark,
+        ("_:b1", "http://e/p", "literal", "x", None, None),
+        ("http://e/s", "http://e/q", "bnode", "_:b1", None, None),
+    )
+    with pytest.raises(Exception) as exc:
+        to_rdfxml_docs(df).collect()
+    assert "rdf:nodeID-free" in str(exc.value)
+
+    [doc] = [r.rdfxml for r in to_rdfxml_docs(df, on_bnode="skolemize").collect()]
+    triples, _ = rdfxml_parse(doc)
+    got = sorted((t.subj, t.pred, t.obj_kind, t.obj_value) for t in triples)
+    assert got == [
+        ("http://e/s", "http://e/q", "iri", "urn:bnode:b1"),
+        ("urn:bnode:b1", "http://e/p", "literal", "x"),
+    ]
+
+
+def test_rdfxml_illegal_control_char_raises(spark):
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    df = _rows(spark, ("http://e/s", "http://e/p", "literal", "a\x01b", None, None))
+    with pytest.raises(Exception) as exc:
+        to_rdfxml_docs(df).collect()
+    assert "XML-1.0-illegal" in str(exc.value)
+
+
+def test_rdfxml_unsplittable_predicate_raises(spark):
+    from parser_rdf_spark.serialize import to_rdfxml_docs
+
+    df = _rows(spark, ("http://e/s", "http://e/p/", "literal", "x", None, None))
+    with pytest.raises(Exception) as exc:
+        to_rdfxml_docs(df).collect()
+    assert "NCName" in str(exc.value)
