@@ -629,6 +629,14 @@ def _q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vertices_with_component",
                 vertices.filter(F.col("component_id").isNotNull()),
             ),
+            # lineage accounting (north rule: "every partition writes
+            # lineage + triple-count metrics"): the per-partition metrics
+            # table must account for every edge row exactly once
+            writer.metrics(spark)
+            .agg(F.sum("triple_count").cast("bigint").alias("value"))
+            .select(F.lit("lineage_edges_accounted").alias("metric"), "value"),
+            _stat("lineage_runs",
+                  writer.metrics(spark).select("run_id").distinct()),
         ]
         res = stats[0]
         for s in stats[1:]:
@@ -2817,6 +2825,8 @@ _PIPELINE_E2E_ROWS = [
     ("components_distinct", 2),
     ("vertices_rows", 37),
     ("vertices_with_component", 5),
+    ("lineage_edges_accounted", 43),
+    ("lineage_runs", 1),
 ]
 
 _PIPELINE_E2E_SQL = (
