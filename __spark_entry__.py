@@ -1841,6 +1841,32 @@ def _golden_values_ntriples() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc, line)"
 
 
+def _q_owl_ifp_sameas(spark, sf_dir):
+    """OWL 2 RL prp-ifp entity resolution: ex:email declared
+    owl:InverseFunctionalProperty; customers below custkey 200 share a
+    mailbox with custkey+100, so the engine must infer one sameAs star
+    pair per shared mailbox (group minimum as canonical). Oracle: the
+    same grouping as plain SQL min/self-join over the base table."""
+    from parser_rdf_spark.inference import owl_functional_sameas
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    emails = customer.filter(F.col("c_custkey") < 200).select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("ex:email").alias("pred"),
+        F.concat(F.lit("urn:mail:"),
+                 (F.col("c_custkey") % 100).cast("string")).alias("obj"),
+    )
+    axiom = spark.createDataFrame(
+        [("ex:email", "rdf:type",
+          "http://www.w3.org/2002/07/owl#InverseFunctionalProperty")],
+        "subj string, pred string, obj string",
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(emails).unionByName(axiom)
+    return owl_functional_sameas(kg, vocab={"type": "rdf:type"}).select(
+        "subj", "pred", "obj"
+    )
+
+
 def _q_turtle_serialize(spark, sf_dir):
     """Sink-side Turtle serialization: the quartet corpus rendered to
     prefix-compacted, subject-grouped Turtle blocks by the pure-Column
@@ -2697,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validation": _q_shacl_validation,
         "owl_inference": _q_owl_inference,
         "owl_sameas_canonicalize": _q_owl_sameas,
+        "owl_ifp_sameas": _q_owl_ifp_sameas,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
@@ -4079,6 +4106,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN obj LIKE 'urn:nation:%' "
             "THEN 'urn:n:' || substr(obj, 12) ELSE obj END AS obj "
             "FROM old_t"
+        ),
+        # owl_ifp_sameas oracle: group-by-mailbox min/self-join mirrors
+        # the engine's star pairing (SQL MIN on VARCHAR = the same
+        # lexicographic canonical)
+        "owl_ifp_sameas": (
+            "WITH e AS (SELECT 'urn:cust:' || c_custkey AS s, "
+            "'urn:mail:' || (c_custkey % 100) AS m "
+            "FROM customer WHERE c_custkey < 200) "
+            "SELECT a.s AS subj, "
+            "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
+            "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
+            "ON a.m = g.m WHERE a.s <> g.mn"
         ),
         # shacl_validation oracle: the violation set enumerated per shape
         # from the base tables (conforming shapes contribute nothing)

@@ -27,7 +27,7 @@ pattern as connected components, on the tiny side of the data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -304,6 +304,82 @@ def owl_property_entailment(
 
     inferred = inv_inferred.unionByName(sym_inferred).unionByName(cur)
     return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+
+OWL_FUNCTIONAL = "http://www.w3.org/2002/07/owl#FunctionalProperty"
+OWL_INV_FUNCTIONAL = "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
+
+
+def owl_functional_sameas(
+    triples: DataFrame,
+    vocab: dict[str, str] | None = None,
+) -> DataFrame:
+    """owl:sameAs consequences of (inverse-)functional properties — the
+    classic web-KG entity-resolution rule (OWL 2 RL prp-fp / prp-ifp):
+
+      IFP  p a owl:InverseFunctionalProperty, x p y, z p y ⇒ x sameAs z
+      FP   p a owl:FunctionalProperty,        x p y, x p z ⇒ y sameAs z
+
+    (e.g. two page-local IRIs sharing a foaf:mbox are the same entity).
+    Returns (subj, pred=owl:sameAs, obj) rows, subj != obj.
+
+    Scale shape: declared-functional predicate sets are ontology-sized
+    and broadcast; the grouping is ONE keyed-window shuffle per rule.
+    Groups are STAR-PAIRED to their minimum member (same discipline as
+    the MinHash mega-bucket fix, linking.py) — sameAs is closed
+    transitively downstream by connected components
+    (:func:`sameas_canonicalize`), so the star preserves every
+    equivalence class while keeping a hostile k-member collision group
+    at k-1 output rows instead of k². FP consequences over literal
+    objects are skipped (sameAs relates resources; a functional-property
+    literal clash is a data-quality signal, not an identity).
+    """
+    v = {**_OWL_VOCAB, **(vocab or {})}
+    fp_type = v.get("functional", OWL_FUNCTIONAL)
+    ifp_type = v.get("inv_functional", OWL_INV_FUNCTIONAL)
+
+    # accept both the module's bare (subj, pred, obj) relation and the
+    # engine's full triples schema (obj_value + obj_kind); without a
+    # kind column every object is treated as a resource
+    obj = F.col("obj") if "obj" in triples.columns else F.col("obj_value")
+    kind = F.col("obj_kind") if "obj_kind" in triples.columns else F.lit("iri")
+    inst = triples.select(
+        "subj", "pred", obj.alias("obj"), kind.alias("obj_kind")
+    ).distinct()
+
+    def declared(axiom: str) -> DataFrame:
+        return (
+            inst.filter((F.col("pred") == v["type"]) & (F.col("obj") == axiom))
+            .select(F.col("subj").alias("p"))
+            .distinct()
+        )
+
+    def star_pairs(edges: DataFrame, group_cols: list[str], member: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols)
+        return (
+            edges.withColumn("_canon", F.min(member).over(w))
+            .filter(F.col(member) != F.col("_canon"))
+            .select(
+                F.col(member).alias("subj"),
+                F.lit(OWL_SAMEAS).alias("pred"),
+                F.col("_canon").alias("obj"),
+            )
+        )
+
+    ifp_edges = (
+        inst.join(F.broadcast(declared(ifp_type)), inst.pred == F.col("p"))
+        .select("pred", "subj", "obj")
+    )
+    ifp_pairs = star_pairs(ifp_edges, ["pred", "obj"], "subj")
+
+    fp_edges = (
+        inst.filter(F.col("obj_kind") != "literal")
+        .join(F.broadcast(declared(fp_type)), inst.pred == F.col("p"))
+        .select("pred", "subj", "obj")
+    )
+    fp_pairs = star_pairs(fp_edges, ["pred", "subj"], "obj")
+
+    return ifp_pairs.unionByName(fp_pairs).distinct()
 
 
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"

@@ -202,3 +202,52 @@ def test_equivalent_class_and_property(spark):
     assert ("B", "sub", "C") in out and ("C", "sub", "B") in out
     assert ("p", "subp", "q") in out and ("q", "subp", "p") in out
     assert ("y", "q", "z") in out
+
+
+def test_owl_ifp_and_fp_sameas(spark):
+    from parser_rdf_spark.inference import owl_functional_sameas
+
+    SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+    t = spark.createDataFrame([
+        # axioms
+        ("mbox", "a", "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"),
+        ("bornIn", "a", "http://www.w3.org/2002/07/owl#FunctionalProperty"),
+        # IFP: x/y/z share a mailbox -> star to min member x
+        ("x", "mbox", "m1"), ("y", "mbox", "m1"), ("z", "mbox", "m1"),
+        ("w", "mbox", "m2"),  # singleton group: no pair
+        # FP: one subject, two birthplace resources -> they're the same
+        ("s", "bornIn", "cityB"), ("s", "bornIn", "cityA"),
+    ], SCHEMA)
+    out = rows(owl_functional_sameas(t, vocab={"type": "a"}))
+    assert out == sorted([
+        ("y", SAMEAS, "x"), ("z", SAMEAS, "x"),
+        ("cityB", SAMEAS, "cityA"),
+    ])
+
+
+def test_owl_fp_skips_literals(spark):
+    from parser_rdf_spark.inference import owl_functional_sameas
+
+    t = spark.createDataFrame([
+        ("https://d/1", None, "age", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://www.w3.org/2002/07/owl#FunctionalProperty", None, None, 1),
+        ("https://d/1", None, "s", "age", "literal", "41", None, None, 2),
+        ("https://d/1", None, "s", "age", "literal", "42", None, None, 3),
+    ], __import__("parser_rdf_spark.schemas", fromlist=["TRIPLES"]).TRIPLES)
+    # a functional-property literal clash is data quality, not identity
+    assert owl_functional_sameas(t).count() == 0
+
+
+def test_owl_ifp_feeds_canonicalization(spark):
+    from parser_rdf_spark.inference import owl_functional_sameas, sameas_canonicalize
+
+    t = spark.createDataFrame([
+        ("mbox", "a", "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"),
+        ("b", "mbox", "m1"), ("a", "mbox", "m1"),
+        ("b", "likes", "c"),
+    ], SCHEMA)
+    sameas = owl_functional_sameas(t, vocab={"type": "a"})
+    canon = sameas_canonicalize(t.unionByName(sameas))
+    got = sorted((r.subj, r.pred, r.obj) for r in canon.collect())
+    # b collapses into a: b's edges now assert from a
+    assert ("a", "likes", "c") in got and ("a", "mbox", "m1") in got
