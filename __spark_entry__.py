@@ -1867,6 +1867,23 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_owl_chain_entailment(spark, sf_dir):
+    """OWL 2 RL prp-spo2 property chains: ex:basedInRegion declared as
+    the chain (ex:inNation ∘ ex:inRegion) — every customer and supplier
+    gains the region it transits through. Oracle: the two explicit
+    2-hop joins over the base tables."""
+    from parser_rdf_spark.inference import owl_chain_entailment
+
+    chains = spark.createDataFrame(
+        [("ex:basedInRegion", "c1", 0, "ex:inNation"),
+         ("ex:basedInRegion", "c1", 1, "ex:inRegion")],
+        "p string, chain_id string, pos int, step string",
+    )
+    return owl_chain_entailment(
+        _tpch_triples(spark, sf_dir), chains=chains
+    ).select("subj", "pred", "obj")
+
+
 def _q_turtle_serialize(spark, sf_dir):
     """Sink-side Turtle serialization: the quartet corpus rendered to
     prefix-compacted, subject-grouped Turtle blocks by the pure-Column
@@ -2724,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_inference": _q_owl_inference,
         "owl_sameas_canonicalize": _q_owl_sameas,
         "owl_ifp_sameas": _q_owl_ifp_sameas,
+        "owl_chain_entailment": _q_owl_chain_entailment,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
@@ -4118,6 +4136,18 @@ def oracle_sql() -> dict[str, str]:
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
+        ),
+        # owl_chain_entailment oracle: the chain expanded as explicit
+        # 2-hop joins, customers and suppliers separately
+        "owl_chain_entailment": (
+            "SELECT 'urn:cust:' || c_custkey AS subj, "
+            "'ex:basedInRegion' AS pred, "
+            "'urn:region:' || n_regionkey AS obj "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION "
+            "SELECT 'urn:supp:' || s_suppkey, 'ex:basedInRegion', "
+            "'urn:region:' || n_regionkey "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
         ),
         # shacl_validation oracle: the violation set enumerated per shape
         # from the base tables (conforming shapes contribute nothing)

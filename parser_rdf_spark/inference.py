@@ -306,6 +306,99 @@ def owl_property_entailment(
     return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
 
 
+OWL_PROP_CHAIN = "http://www.w3.org/2002/07/owl#propertyChainAxiom"
+
+
+def owl_chain_entailment(
+    triples: DataFrame,
+    chains: DataFrame | None = None,
+) -> DataFrame:
+    """owl:propertyChainAxiom consequences (OWL 2 RL prp-spo2):
+
+      p owl:propertyChainAxiom (p1 p2 … pn),
+      x0 p1 x1, x1 p2 x2, …, x(n-1) pn xn  ⇒  x0 p xn
+
+    (e.g. hasParent∘hasParent ⇒ hasGrandparent). Returns inferred-only
+    (subj, pred, obj) rows, asserted triples subtracted.
+
+    ``chains`` may be passed directly as (p, chain_id, pos, step) —
+    pos 0-based along the chain; otherwise the axioms are read from
+    ``triples`` itself: the rdf:list spines behind owl:propertyChainAxiom
+    objects are resolved doc-locally by :func:`extract.resolve_rdf_lists`
+    (requires the full triples schema), and chain identity is
+    (doc_url, list head) so the same property may carry several chains.
+
+    Scale shape: chain axioms are ontology-sized — the step table
+    broadcasts. The instance scan is joined once per chain POSITION
+    (chains are short; the loop bound is the longest declared chain, a
+    scalar aggregate, not data volume), each step an equi-join on the
+    running frontier — no closure loop, no lineage growth."""
+    obj = F.col("obj") if "obj" in triples.columns else F.col("obj_value")
+    inst = triples.select("subj", "pred", obj.alias("obj")).distinct()
+
+    if chains is None:
+        from .extract import resolve_rdf_lists
+
+        heads = (
+            triples.filter(
+                (F.col("pred") == OWL_PROP_CHAIN) & (F.col("obj_kind") == "bnode")
+            )
+            .select("doc_url", F.col("subj").alias("p"),
+                    F.col("obj_value").alias("head"))
+            .distinct()
+        )
+        resolved = resolve_rdf_lists(
+            triples, heads.select("doc_url", "head").distinct()
+        )
+        chains = resolved.join(heads, ["doc_url", "head"]).select(
+            "p",
+            F.concat_ws("#", "doc_url", "head").alias("chain_id"),
+            "pos",
+            F.col("member").alias("step"),
+        )
+
+    lens = chains.groupBy("p", "chain_id").agg(
+        (F.max("pos") + 1).alias("chain_len")
+    )
+    steps = chains.join(lens, ["p", "chain_id"])
+    max_len = lens.agg(F.max("chain_len")).first()[0]
+    if not max_len:
+        return inst.limit(0)
+
+    s0 = steps.filter(F.col("pos") == 0).select("p", "chain_id", "chain_len", "step")
+    cur = (
+        inst.join(F.broadcast(s0), inst.pred == s0.step)
+        .select("p", "chain_id", "chain_len",
+                F.col("subj").alias("start"), F.col("obj").alias("frontier"))
+    )
+    inferred = None
+    for i in range(1, int(max_len) + 1):
+        done = cur.filter(F.col("chain_len") == i).select(
+            F.col("start").alias("subj"), F.col("p").alias("pred"),
+            F.col("frontier").alias("obj"),
+        )
+        inferred = done if inferred is None else inferred.unionByName(done)
+        if i == max_len:
+            break
+        si = steps.filter(F.col("pos") == i).select(
+            "p", "chain_id", F.col("step").alias("_step")
+        )
+        cur = (
+            cur.filter(F.col("chain_len") > i)
+            .join(F.broadcast(si), ["p", "chain_id"])
+            .join(
+                inst.select(F.col("subj").alias("frontier"),
+                            F.col("pred").alias("_pred"),
+                            F.col("obj").alias("_next")),
+                ["frontier"],
+            )
+            .filter(F.col("_pred") == F.col("_step"))
+            .select("p", "chain_id", "chain_len", "start",
+                    F.col("_next").alias("frontier"))
+        )
+    return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+
 OWL_FUNCTIONAL = "http://www.w3.org/2002/07/owl#FunctionalProperty"
 OWL_INV_FUNCTIONAL = "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
 

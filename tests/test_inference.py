@@ -251,3 +251,55 @@ def test_owl_ifp_feeds_canonicalization(spark):
     got = sorted((r.subj, r.pred, r.obj) for r in canon.collect())
     # b collapses into a: b's edges now assert from a
     assert ("a", "likes", "c") in got and ("a", "mbox", "m1") in got
+
+
+def test_owl_property_chain_direct(spark):
+    from parser_rdf_spark.inference import owl_chain_entailment
+
+    chains = spark.createDataFrame(
+        [("grand", "c1", 0, "parent"), ("grand", "c1", 1, "parent"),
+         ("uncle", "c2", 0, "parent"), ("uncle", "c2", 1, "brother")],
+        "p string, chain_id string, pos int, step string",
+    )
+    t = spark.createDataFrame([
+        ("a", "parent", "b"), ("b", "parent", "c"), ("c", "parent", "d"),
+        ("b", "brother", "e"),
+        ("x", "grand", "pre"),  # asserted: stays out of the inferred set
+    ], SCHEMA)
+    out = rows(owl_chain_entailment(t, chains=chains))
+    assert out == sorted([
+        ("a", "grand", "c"), ("b", "grand", "d"),
+        ("a", "uncle", "e"),
+    ])
+
+
+def test_owl_property_chain_from_turtle_list(spark):
+    """Chain axioms read from the KG itself: the rdf:list spine parsed
+    out of a Turtle document and resolved doc-locally."""
+    from parser_rdf_spark.inference import owl_chain_entailment
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    from conftest import pages_df
+
+    doc = """\
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://e/> .
+ex:hasGrandparent owl:propertyChainAxiom ( ex:hasParent ex:hasParent ) .
+ex:a ex:hasParent ex:b .
+ex:b ex:hasParent ex:c .
+ex:b ex:hasParent ex:d .
+"""
+    t = triples_of(parse_pages(pages_df(spark, {"https://d/chain": doc}), fmt="turtle"))
+    out = sorted((r.subj, r.pred, r.obj) for r in owl_chain_entailment(t).collect())
+    assert out == [
+        ("http://e/a", "http://e/hasGrandparent", "http://e/c"),
+        ("http://e/a", "http://e/hasGrandparent", "http://e/d"),
+    ]
+
+
+def test_owl_property_chain_no_axioms(spark):
+    from parser_rdf_spark.inference import owl_chain_entailment
+
+    chains = spark.createDataFrame([], "p string, chain_id string, pos int, step string")
+    t = spark.createDataFrame([("a", "p", "b")], SCHEMA)
+    assert owl_chain_entailment(t, chains=chains).count() == 0
