@@ -197,6 +197,20 @@ def main() -> None:
 
     queries["shacl_stats"] = _best_of(_q_shacl)
 
+    # q3d: sink-side export — the full parsed corpus rendered to
+    # N-Triples lines AND prefix-compacted Turtle documents (round-3
+    # four-format matrix; both pure-Column, the Turtle path adds the
+    # two-groupBy subject assembly)
+    from parser_rdf_spark.serialize import to_ntriples, to_turtle_docs
+
+    triples_full = triples_of(parsed)
+
+    def _q_serialize():
+        _ = to_ntriples(triples_full).count()
+        _ = to_turtle_docs(triples_full).count()
+
+    queries["serialize_export"] = _best_of(_q_serialize)
+
     parsed.unpersist()
 
     # q4-q6: training-data ops on the sf tables. The sf tables are single
