@@ -1867,6 +1867,30 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_owl_haskey_sameas(spark, sf_dir):
+    """OWL 2 RL prp-key: ex:Customer keyed by (ex:email, ex:inNation).
+    Customers k and k+100 share a synthetic mailbox; only those pairs
+    that ALSO share a nation survive the full-key match. Oracle: the
+    same compound self-join over the base table."""
+    from parser_rdf_spark.inference import owl_haskey_sameas
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    emails = customer.filter(F.col("c_custkey") < 200).select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("ex:email").alias("pred"),
+        F.concat(F.lit("urn:mail:"),
+                 (F.col("c_custkey") % 100).cast("string")).alias("obj"),
+    )
+    keys = spark.createDataFrame(
+        [("ex:Customer", "k1", "ex:email"), ("ex:Customer", "k1", "ex:inNation")],
+        "cls string, key_id string, prop string",
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(emails)
+    return owl_haskey_sameas(kg, keys, vocab={"type": "rdf:type"}).select(
+        "subj", "pred", "obj"
+    )
+
+
 def _q_owl_chain_entailment(spark, sf_dir):
     """OWL 2 RL prp-spo2 property chains: ex:basedInRegion declared as
     the chain (ex:inNation ∘ ex:inRegion) — every customer and supplier
@@ -2742,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_sameas_canonicalize": _q_owl_sameas,
         "owl_ifp_sameas": _q_owl_ifp_sameas,
         "owl_chain_entailment": _q_owl_chain_entailment,
+        "owl_haskey_sameas": _q_owl_haskey_sameas,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
@@ -4136,6 +4161,17 @@ def oracle_sql() -> dict[str, str]:
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
+        ),
+        # owl_haskey_sameas oracle: compound-key self-join — pairs must
+        # share BOTH the synthetic mailbox and the nation
+        "owl_haskey_sameas": (
+            "WITH e AS (SELECT 'urn:cust:' || c_custkey AS x, "
+            "'urn:mail:' || (c_custkey % 100) AS m, "
+            "'urn:nation:' || c_nationkey AS n "
+            "FROM customer WHERE c_custkey < 200) "
+            "SELECT b.x AS subj, "
+            "'http://www.w3.org/2002/07/owl#sameAs' AS pred, a.x AS obj "
+            "FROM e a JOIN e b ON a.m = b.m AND a.n = b.n AND a.x < b.x"
         ),
         # owl_chain_entailment oracle: the chain expanded as explicit
         # 2-hop joins, customers and suppliers separately

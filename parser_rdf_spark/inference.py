@@ -475,6 +475,84 @@ def owl_functional_sameas(
     return ifp_pairs.unionByName(fp_pairs).distinct()
 
 
+def owl_haskey_sameas(
+    triples: DataFrame,
+    keys: DataFrame,
+    vocab: dict[str, str] | None = None,
+    max_subjects_per_value: int = 256,
+) -> DataFrame:
+    """owl:hasKey consequences (OWL 2 RL prp-key): two instances of the
+    keyed class that share a value on EVERY key property are inferred
+    owl:sameAs.
+
+    ``keys`` is (cls, key_id, prop) — one row per key property (a class
+    may carry several keys under distinct key_ids; a single-property key
+    degenerates to class-scoped IFP).
+
+    Scale shape: the key table is ontology-sized (broadcast). Candidate
+    pairs are generated per (key property, shared value) by a self-join
+    INSIDE value groups — the standard ER blocking step — then a pair
+    survives only if it appears under all |key| properties (one
+    count-distinct aggregation). Unlike the IFP star, pairs must be
+    explicit here (stars around different per-property centers would not
+    intersect), so value groups larger than ``max_subjects_per_value``
+    are dropped with the junk-key rationale: a "key" value shared by
+    hundreds of subjects (empty string, 'N/A') identifies nothing and
+    would only quadratically inflate the candidate set. Literal values
+    participate (keys are usually literal-valued); the INFERRED subjects
+    are resources by construction."""
+    v = {**_OWL_VOCAB, **(vocab or {})}
+    obj = F.col("obj") if "obj" in triples.columns else F.col("obj_value")
+    inst = triples.select("subj", "pred", obj.alias("obj")).distinct()
+
+    typed = (
+        inst.filter(F.col("pred") == v["type"])
+        .select(F.col("subj").alias("x"), F.col("obj").alias("cls"))
+        .distinct()
+    )
+    key_sizes = keys.groupBy("cls", "key_id").agg(
+        F.countDistinct("prop").alias("key_size")
+    )
+    kp = keys.join(key_sizes, ["cls", "key_id"])
+
+    vals = (
+        typed.join(F.broadcast(kp), "cls")
+        .join(
+            inst.select(F.col("subj").alias("x"), F.col("pred").alias("prop"),
+                        F.col("obj").alias("val")),
+            ["x", "prop"],
+        )
+        .select("cls", "key_id", "key_size", "prop", "x", "val")
+        .distinct()
+    )
+    wv = Window.partitionBy("cls", "key_id", "prop", "val")
+    blocked = vals.withColumn("_n", F.count(F.lit(1)).over(wv)).filter(
+        F.col("_n") <= max_subjects_per_value
+    ).drop("_n")
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pair_votes = (
+        a.join(b, ["cls", "key_id", "key_size", "prop", "val"])
+        .filter(F.col("a.x") < F.col("b.x"))
+        .select("cls", "key_id", "key_size",
+                F.col("a.x").alias("x1"), F.col("b.x").alias("x2"), "prop")
+        .distinct()
+    )
+    matched = (
+        pair_votes.groupBy("cls", "key_id", "key_size", "x1", "x2")
+        .agg(F.countDistinct("prop").alias("n_props"))
+        .filter(F.col("n_props") == F.col("key_size"))
+    )
+    return (
+        matched.select(
+            F.col("x2").alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.col("x1").alias("obj"),
+        )
+        .distinct()
+    )
+
+
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 

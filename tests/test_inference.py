@@ -303,3 +303,53 @@ def test_owl_property_chain_no_axioms(spark):
     chains = spark.createDataFrame([], "p string, chain_id string, pos int, step string")
     t = spark.createDataFrame([("a", "p", "b")], SCHEMA)
     assert owl_chain_entailment(t, chains=chains).count() == 0
+
+
+def test_owl_haskey_two_prop_key(spark):
+    from parser_rdf_spark.inference import owl_haskey_sameas
+
+    SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+    keys = spark.createDataFrame(
+        [("Person", "k1", "email"), ("Person", "k1", "phone")],
+        "cls string, key_id string, prop string",
+    )
+    t = spark.createDataFrame([
+        ("x", "a", "Person"), ("y", "a", "Person"), ("z", "a", "Person"),
+        ("x", "email", "e1"), ("y", "email", "e1"), ("z", "email", "e1"),
+        ("x", "phone", "p1"), ("y", "phone", "p1"), ("z", "phone", "p9"),
+        # multi-valued: any shared value per property counts
+        ("x", "email", "e-extra"),
+    ], SCHEMA)
+    out = rows(owl_haskey_sameas(t, keys, vocab={"type": "a"}))
+    # x~y match on BOTH props; z shares email only
+    assert out == [("y", SAMEAS, "x")]
+
+
+def test_owl_haskey_junk_value_cap(spark):
+    from parser_rdf_spark.inference import owl_haskey_sameas
+
+    keys = spark.createDataFrame(
+        [("Person", "k1", "email")], "cls string, key_id string, prop string")
+    t = spark.createDataFrame(
+        [(s, "a", "Person") for s in "abcd"]
+        + [(s, "email", "JUNK") for s in "abcd"]
+        + [("p", "a", "Person"), ("q", "a", "Person"),
+           ("p", "email", "real"), ("q", "email", "real")],
+        SCHEMA,
+    )
+    out = rows(owl_haskey_sameas(t, keys, vocab={"type": "a"},
+                                 max_subjects_per_value=2))
+    # the 4-subject JUNK group is dropped; the 2-subject real group pairs
+    assert out == [("q", "http://www.w3.org/2002/07/owl#sameAs", "p")]
+
+
+def test_owl_haskey_requires_class_membership(spark):
+    from parser_rdf_spark.inference import owl_haskey_sameas
+
+    keys = spark.createDataFrame(
+        [("Person", "k1", "email")], "cls string, key_id string, prop string")
+    t = spark.createDataFrame([
+        ("x", "a", "Person"), ("x", "email", "e1"),
+        ("y", "email", "e1"),  # same mailbox but not typed Person
+    ], SCHEMA)
+    assert owl_haskey_sameas(t, keys, vocab={"type": "a"}).count() == 0
