@@ -1867,6 +1867,25 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_kg_neighborhood_jaccard(spark, sf_dir):
+    """Structural ER: Jaccard of undirected neighborhoods over a
+    customer–nation–segment bipartite slice (custkey < 50) — co-neighbor
+    blocked, integer basis-point similarity. Oracle: the same math as
+    explicit SQL joins."""
+    from parser_rdf_spark.graphops import neighborhood_jaccard
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 50
+    )
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    edges = customer.select(
+        cust.alias("src"),
+        F.concat(F.lit("urn:nation:"),
+                 F.col("c_nationkey").cast("string")).alias("dst"),
+    ).unionByName(customer.select(cust.alias("src"), F.col("c_mktsegment").alias("dst")))
+    return neighborhood_jaccard(edges)
+
+
 def _q_owl_haskey_sameas(spark, sf_dir):
     """OWL 2 RL prp-key: ex:Customer keyed by (ex:email, ex:inNation).
     Customers k and k+100 share a synthetic mailbox; only those pairs
@@ -2767,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_ifp_sameas": _q_owl_ifp_sameas,
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
+        "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
@@ -4161,6 +4181,29 @@ def oracle_sql() -> dict[str, str]:
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
+        ),
+        # kg_neighborhood_jaccard oracle: undirected neighbor sets as a
+        # UNION CTE, pair via shared neighbor, integer basis points
+        "kg_neighborhood_jaccard": (
+            "WITH n AS ("
+            "SELECT 'urn:cust:' || c_custkey AS node, "
+            "'urn:nation:' || c_nationkey AS nbr FROM customer WHERE c_custkey < 50 "
+            "UNION SELECT 'urn:cust:' || c_custkey, c_mktsegment "
+            "FROM customer WHERE c_custkey < 50 "
+            "UNION SELECT 'urn:nation:' || c_nationkey, 'urn:cust:' || c_custkey "
+            "FROM customer WHERE c_custkey < 50 "
+            "UNION SELECT c_mktsegment, 'urn:cust:' || c_custkey "
+            "FROM customer WHERE c_custkey < 50), "
+            "deg AS (SELECT node, COUNT(*) AS deg FROM n GROUP BY node), "
+            "pairs AS (SELECT a.node AS node1, b.node AS node2, "
+            "COUNT(*) AS shared FROM n a JOIN n b "
+            "ON a.nbr = b.nbr AND a.node < b.node GROUP BY a.node, b.node) "
+            "SELECT node1, node2, CAST(shared AS BIGINT) AS shared, "
+            "CAST(d1.deg + d2.deg - shared AS BIGINT) AS union_size, "
+            "CAST((10000 * shared) // (d1.deg + d2.deg - shared) AS BIGINT) "
+            "AS jaccard_pct "
+            "FROM pairs JOIN deg d1 ON node1 = d1.node "
+            "JOIN deg d2 ON node2 = d2.node"
         ),
         # owl_haskey_sameas oracle: compound-key self-join — pairs must
         # share BOTH the synthetic mailbox and the nation

@@ -301,3 +301,63 @@ def predicate_statistics(triples: DataFrame) -> DataFrame:
             F.expr("(n_triples * 1000000) div ndv_subj").cast("bigint"),
         )
     )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_fanout: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Structural entity resolution: Jaccard similarity of UNDIRECTED
+    neighborhoods — vertex pairs sharing many neighbors are duplicate /
+    near-duplicate entity candidates (the graph-side complement of the
+    value-based owl:sameAs rules in inference.py).
+
+    Returns (node1, node2, shared, union_size, jaccard_pct) with
+    node1 < node2; ``jaccard_pct`` = ``(10000 * shared) div union_size``
+    (integer basis-point arithmetic — identical across engines, no
+    float-formatting drift).
+
+    Scale shape: candidate pairs are generated by CO-NEIGHBOR blocking
+    (self-join inside each neighbor's adjacency list), never all-pairs.
+    Neighbors with more than ``max_fanout`` adjacent vertices are
+    dropped from the blocking step — a hub (it would contribute
+    O(fanout²) pairs) says little about the similarity of two of its
+    spokes; this is the same junk-block hygiene as the hasKey value cap
+    and the MinHash mega-bucket rule. Degrees still count dropped hubs,
+    so the Jaccard DENOMINATOR is exact; only pairs whose every shared
+    neighbor is a hub are missed (documented recall bound)."""
+    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    nbrs = fwd.unionByName(rev).filter(F.col("node") != F.col("nbr")).distinct()
+
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    fanout = nbrs.groupBy("nbr").agg(F.count(F.lit(1)).alias("_fan"))
+    blocked = nbrs.join(
+        fanout.filter(F.col("_fan") <= max_fanout).select("nbr"), "nbr"
+    )
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    shared = (
+        a.join(b, "nbr")
+        .filter(F.col("a.node") < F.col("b.node"))
+        .groupBy(F.col("a.node").alias("node1"), F.col("b.node").alias("node2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    d1 = deg.select(F.col("node").alias("node1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("node").alias("node2"), F.col("deg").alias("deg2"))
+    return (
+        shared.join(d1, "node1")
+        .join(d2, "node2")
+        .select(
+            "node1", "node2", "shared",
+            (F.col("deg1") + F.col("deg2") - F.col("shared"))
+            .cast("bigint").alias("union_size"),
+            F.expr("(10000 * shared) div (deg1 + deg2 - shared)")
+            .cast("bigint").alias("jaccard_pct"),
+        )
+    )

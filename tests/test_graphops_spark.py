@@ -186,3 +186,39 @@ def test_khop_reachability_early_stop_and_duplicate_seeds(spark):
         for r in graphops.khop_reachability(e, [1, 1], k=5).collect()
     }
     assert got == {1: 0, 2: 1}
+
+
+def test_neighborhood_jaccard_basic(spark):
+    from parser_rdf_spark.graphops import neighborhood_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "n1"), ("a", "n2"), ("a", "n3"),
+         ("b", "n1"), ("b", "n2"),
+         ("c", "n3")],
+        "src string, dst string",
+    )
+    out = {(r.node1, r.node2): (r.shared, r.union_size, r.jaccard_pct)
+           for r in neighborhood_jaccard(edges).collect()}
+    # a: {n1,n2,n3}, b: {n1,n2} -> shared 2, union 3
+    assert out[("a", "b")] == (2, 3, 6666)
+    # a and c share n3: shared 1, union 3 (deg c = 1)
+    assert out[("a", "c")] == (1, 3, 3333)
+    # n1..n3 pair through their shared neighbor a
+    assert ("n1", "n2") in out
+    assert ("b", "c") not in out  # no shared neighbor
+
+
+def test_neighborhood_jaccard_hub_cap(spark):
+    from parser_rdf_spark.graphops import neighborhood_jaccard
+
+    # hub h has 5 spokes; x,y also share a private neighbor p
+    edges = spark.createDataFrame(
+        [(s, "h") for s in "abcxy"] + [("x", "p"), ("y", "p")],
+        "src string, dst string",
+    )
+    out = {(r.node1, r.node2): (r.shared, r.union_size)
+           for r in neighborhood_jaccard(edges, max_fanout=4).collect()}
+    # blocking through the capped hub is dropped, but x,y still pair
+    # via p — and the DENOMINATOR still counts the hub edge (deg 2 each)
+    assert out[("x", "y")] == (1, 3)
+    assert ("a", "b") not in out  # only shared neighbor is the hub
