@@ -1886,6 +1886,70 @@ def _q_kg_neighborhood_jaccard(spark, sf_dir):
     return neighborhood_jaccard(edges)
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """2-core of a customer–nation–segment–region slice: customers
+    below custkey 40 attach to their nation and segment, ALL nations
+    attach to their region — so customer-less nations are pendants whose
+    peeling cascades into the region layer, exercising the iterative
+    fixpoint, not just one degree filter. Oracle: the same peeling
+    unrolled as 12 CTE rounds (strictly more than the actual depth)."""
+    from parser_rdf_spark.graphops import kcore
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 40
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    edges = (
+        customer.select(
+            cust.alias("src"),
+            F.concat(F.lit("urn:nation:"),
+                     F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionByName(customer.select(cust.alias("src"),
+                                     F.col("c_mktsegment").alias("dst")))
+        .unionByName(nation.select(
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string")).alias("dst")))
+    )
+    return kcore(edges, 2)
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
+    base = (
+        "SELECT 'urn:cust:' || c_custkey AS node, "
+        "'urn:nation:' || c_nationkey AS nbr FROM customer WHERE c_custkey < 40 "
+        "UNION SELECT 'urn:nation:' || c_nationkey, 'urn:cust:' || c_custkey "
+        "FROM customer WHERE c_custkey < 40 "
+        "UNION SELECT 'urn:cust:' || c_custkey, c_mktsegment "
+        "FROM customer WHERE c_custkey < 40 "
+        "UNION SELECT c_mktsegment, 'urn:cust:' || c_custkey "
+        "FROM customer WHERE c_custkey < 40 "
+        "UNION SELECT 'urn:nation:' || n_nationkey, 'urn:region:' || n_regionkey "
+        "FROM nation "
+        "UNION SELECT 'urn:region:' || n_regionkey, 'urn:nation:' || n_nationkey "
+        "FROM nation"
+    )
+    ctes = [f"adj0 AS MATERIALIZED ({base})"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM (SELECT node, COUNT(*) AS c "
+            f"FROM adj{p} GROUP BY node) WHERE c >= {k})"
+        )
+        ctes.append(
+            f"adj{i} AS MATERIALIZED (SELECT adj{p}.node, adj{p}.nbr FROM adj{p} "
+            f"JOIN k{i} x ON adj{p}.node = x.node "
+            f"JOIN k{i} y ON adj{p}.nbr = y.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree "
+          f"FROM adj{rounds} GROUP BY node"
+    )
+
+
 def _q_owl_haskey_sameas(spark, sf_dir):
     """OWL 2 RL prp-key: ex:Customer keyed by (ex:email, ex:inNation).
     Customers k and k+100 share a synthetic mailbox; only those pairs
@@ -2787,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
+        "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
         "turtle_serialize": _q_turtle_serialize,
         "nquads_serialize": _q_nquads_serialize,
@@ -4182,6 +4247,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
         ),
+        # kg_kcore oracle: the peeling fixpoint unrolled as 12 CTE rounds
+        "kg_kcore": _kcore_oracle_sql(),
         # kg_neighborhood_jaccard oracle: undirected neighbor sets as a
         # UNION CTE, pair via shared neighbor, integer basis points
         "kg_neighborhood_jaccard": (

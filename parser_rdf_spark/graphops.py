@@ -361,3 +361,49 @@ def neighborhood_jaccard(
             .cast("bigint").alias("jaccard_pct"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """Vertices of the k-core: iteratively peel vertices with undirected
+    degree < k until a fixed point. Returns (node, core_degree) — the
+    vertex's degree WITHIN the final core. The classic web-KG denoiser:
+    spam link farms and boilerplate stubs fall out of low cores while
+    densely attested entities survive.
+
+    Scale shape: each round is one degree aggregation plus two left-semi
+    joins (both endpoints must survive) — vertex-set-bounded like BFS;
+    the number of rounds is the peeling depth, not the vertex count in
+    practice, and every round ends with an eager localCheckpoint so
+    lineage never grows."""
+    und = undirected_simple_edges(edges, src, dst)
+    # symmetric adjacency: one row per (node, nbr) direction
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    n = adj.count()
+    for _ in range(max_iters):
+        keep = (
+            adj.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = nxt.count()
+        adj = nxt
+        if n2 == n:
+            break
+        n = n2
+    return adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

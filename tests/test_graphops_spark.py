@@ -222,3 +222,25 @@ def test_neighborhood_jaccard_hub_cap(spark):
     # via p — and the DENOMINATOR still counts the hub edge (deg 2 each)
     assert out[("x", "y")] == (1, 3)
     assert ("a", "b") not in out  # only shared neighbor is the hub
+
+
+def test_kcore_peels_tail_chain(spark):
+    from parser_rdf_spark.graphops import kcore
+
+    # triangle a-b-c plus a pendant chain c-d-e: the 2-core is the
+    # triangle only — d survives round 1 (degree 2) but falls in round 2
+    # after e is peeled, pinning the ITERATIVE part
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = sorted((r.node, r.core_degree) for r in kcore(edges, 2).collect())
+    assert out == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    from parser_rdf_spark.graphops import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
+    assert kcore(edges, 3).count() == 0
