@@ -1867,6 +1867,38 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_sparql_graph_mgmt(spark, sf_dir):
+    """SPARQL 1.1 Update graph management over a quads relation:
+    customers bucketed into three named graphs plus nations in the
+    default graph, then MOVE / ADD / COPY / DROP chained — the oracle
+    enumerates the surviving partitions as disjoint UNIONs."""
+    from parser_rdf_spark.sparql import sparql_update_graphs
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 300
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    quads = customer.select(
+        F.concat(F.lit("urn:g:"),
+                 (F.col("c_custkey") % 3).cast("string")).alias("graph"),
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("ex:seg").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    ).unionByName(nation.select(
+        F.lit("_:default").alias("graph"),
+        F.concat(F.lit("urn:nation:"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("ex:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ))
+    return sparql_update_graphs(quads, """
+        MOVE <urn:g:1> TO <urn:g:2> ;
+        ADD DEFAULT TO <urn:g:0> ;
+        COPY DEFAULT TO <urn:g:1> ;
+        DROP DEFAULT
+    """)
+
+
 def _q_kg_neighborhood_jaccard(spark, sf_dir):
     """Structural ER: Jaccard of undirected neighborhoods over a
     customer–nation–segment bipartite slice (custkey < 50) — co-neighbor
@@ -2850,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_ifp_sameas": _q_owl_ifp_sameas,
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
+        "sparql_graph_mgmt": _q_sparql_graph_mgmt,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4246,6 +4279,20 @@ def oracle_sql() -> dict[str, str]:
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
+        ),
+        # sparql_graph_mgmt oracle: the four surviving partitions of the
+        # MOVE/ADD/COPY/DROP chain as disjoint UNION ALL branches
+        "sparql_graph_mgmt": (
+            "WITH c AS (SELECT 'urn:g:' || (c_custkey % 3) AS graph, "
+            "'urn:cust:' || c_custkey AS subj, 'ex:seg' AS pred, "
+            "c_mktsegment AS obj FROM customer WHERE c_custkey < 300), "
+            "n AS (SELECT 'urn:nation:' || n_nationkey AS subj, "
+            "'ex:name' AS pred, n_name AS obj FROM nation) "
+            "SELECT graph, subj, pred, obj FROM c WHERE graph = 'urn:g:0' "
+            "UNION ALL SELECT 'urn:g:2', subj, pred, obj FROM c "
+            "WHERE graph = 'urn:g:1' "
+            "UNION ALL SELECT 'urn:g:0', subj, pred, obj FROM n "
+            "UNION ALL SELECT 'urn:g:1', subj, pred, obj FROM n"
         ),
         # kg_kcore oracle: the peeling fixpoint unrolled as 12 CTE rounds
         "kg_kcore": _kcore_oracle_sql(),

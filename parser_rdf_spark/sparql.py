@@ -1451,3 +1451,104 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
             acc = acc.unionByName(inserted.join(acc, on=on, how="left_anti"))
         del base
     return acc
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update — graph management (quad-level half of the spec)
+# ---------------------------------------------------------------------------
+
+_GM_RE = re.compile(
+    r"(?is)^\s*(?:"
+    r"(?P<verb1>CLEAR|DROP)\s+(?:SILENT\s+)?"
+    r"(?P<tgt1>(?:GRAPH\s*)?<[^<>]*>|DEFAULT|NAMED|ALL)"
+    r"|(?P<verb2>COPY|MOVE|ADD)\s+(?:SILENT\s+)?"
+    r"(?P<src2>(?:GRAPH\s*)?<[^<>]*>|DEFAULT)\s+TO\s+"
+    r"(?P<dst2>(?:GRAPH\s*)?<[^<>]*>|DEFAULT)"
+    r"|(?P<verb3>CREATE)\s+(?:SILENT\s+)?GRAPH\s*<[^<>]*>"
+    r")\s*$"
+)
+
+
+def _gm_split(text: str) -> list[str]:
+    """Split a graph-management request on top-level ';' — IRIREFs may
+    legally contain ';' (query strings), so the scan skips <...> spans."""
+    parts, buf, in_iri = [], [], False
+    for ch in text:
+        if ch == "<":
+            in_iri = True
+        elif ch == ">":
+            in_iri = False
+        if ch == ";" and not in_iri:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _gm_term(tok: str) -> str:
+    t = tok.strip()
+    if t.upper() == "DEFAULT":
+        return "_:default"
+    iri = t[t.index("<") + 1:t.rindex(">")]
+    return iri
+
+
+def sparql_update_graphs(quads: DataFrame, text: str) -> DataFrame:
+    """SPARQL 1.1 Update graph management over a QUADS relation (a
+    ``graph`` column with the engine's '_:default' sentinel for the
+    default graph): ``CLEAR``/``DROP`` (``GRAPH <g>`` | ``DEFAULT`` |
+    ``NAMED`` | ``ALL``), ``COPY``/``MOVE``/``ADD`` (``[GRAPH] <g>`` |
+    ``DEFAULT``) ``TO`` …, and ``CREATE GRAPH`` (a no-op — graphs exist
+    implicitly in a quad store, per the spec's note), ``;``-chained,
+    ``SILENT`` accepted and ignored (no op here can fail). Returns the
+    new quads relation; like :func:`sparql_update` this is a pure
+    function — commit the result through the snapshot/merge layer.
+
+    The relation keeps ALL its columns: management ops only filter rows
+    or rewrite the ``graph`` column (ADD dedupes against the target
+    graph on the quad key). CLEAR and DROP coincide because an empty
+    graph and an absent graph are indistinguishable in a quads relation.
+
+    Scale shape: CLEAR/DROP are partition-prunable filters; COPY/MOVE
+    are a filter + a column rewrite; ADD's dedup is one left-anti join
+    keyed on the target graph's quads — all output-sized, no Python."""
+    if "graph" not in quads.columns:
+        raise SparqlError("sparql_update_graphs needs a quads relation "
+                          "(a 'graph' column)")
+    acc = quads
+    on = ["graph", "subj", "pred", "obj"] if "obj" in quads.columns \
+        else ["graph", "subj", "pred", "obj_value"]
+    for stmt in _gm_split(text):
+        m = _GM_RE.match(stmt)
+        if not m:
+            raise SparqlError(f"unsupported graph-management form: {stmt!r}")
+        if m.group("verb3"):  # CREATE — implicit graphs: nothing to do
+            continue
+        if m.group("verb1"):
+            tgt = m.group("tgt1")
+            up = tgt.upper()
+            if up == "ALL":
+                acc = acc.limit(0)
+            elif up == "DEFAULT":
+                acc = acc.filter(F.col("graph") != "_:default")
+            elif up == "NAMED":
+                acc = acc.filter(F.col("graph") == "_:default")
+            else:
+                acc = acc.filter(F.col("graph") != _gm_term(tgt))
+            continue
+        verb = m.group("verb2").upper()
+        src_g, dst_g = _gm_term(m.group("src2")), _gm_term(m.group("dst2"))
+        if src_g == dst_g:
+            continue  # per spec: COPY/MOVE/ADD g TO g is a no-op
+        src_rows = acc.filter(F.col("graph") == src_g).withColumn(
+            "graph", F.lit(dst_g))
+        if verb in ("COPY", "MOVE"):
+            acc = acc.filter(F.col("graph") != dst_g)
+            if verb == "MOVE":
+                acc = acc.filter(F.col("graph") != src_g)
+            acc = acc.unionByName(src_rows)
+        else:  # ADD: union without dropping, dedup on the quad key
+            acc = acc.unionByName(src_rows.join(acc, on=on, how="left_anti"))
+    return acc
