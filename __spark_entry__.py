@@ -1867,6 +1867,72 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_kg_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk preprocessing) over a
+    customer→nation→region DAG with a segment side-branch: 2 walks of
+    length 3 from every non-sink vertex, every step chosen by the
+    engine-portable md5 hash — the oracle replays the identical walk
+    arithmetic unrolled in SQL."""
+    from parser_rdf_spark.graphops import random_walks
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 100
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    edges = (
+        customer.select(cust.alias("src"),
+                        F.concat(F.lit("urn:nation:"),
+                                 F.col("c_nationkey").cast("string")).alias("dst"))
+        .unionByName(customer.select(cust.alias("src"),
+                                     F.col("c_mktsegment").alias("dst")))
+        .unionByName(nation.select(
+            F.concat(F.lit("urn:nation:"),
+                     F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("urn:region:"),
+                     F.col("n_regionkey").cast("string")).alias("dst")))
+    )
+    return random_walks(edges, walk_length=3, num_walks=2)
+
+
+def _walks_oracle_sql(walk_length: int = 3, num_walks: int = 2) -> str:
+    md5i = ("(('0x' || substr(md5({x}), 1, 8))::UBIGINT)")
+    base = (
+        "SELECT DISTINCT 'urn:cust:' || c_custkey AS node, "
+        "'urn:nation:' || c_nationkey AS nbr FROM customer WHERE c_custkey < 100 "
+        "UNION SELECT DISTINCT 'urn:cust:' || c_custkey, c_mktsegment "
+        "FROM customer WHERE c_custkey < 100 "
+        "UNION SELECT DISTINCT 'urn:nation:' || n_nationkey, "
+        "'urn:region:' || n_regionkey FROM nation"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({base})",
+        "adj AS MATERIALIZED (SELECT node, list(nbr ORDER BY nbr) AS nbrs "
+        "FROM (SELECT node, nbr, row_number() OVER "
+        "(PARTITION BY node ORDER BY md5(nbr)) AS rk FROM e) "
+        "WHERE rk <= 10000 GROUP BY node)",
+        "w0 AS MATERIALIZED (SELECT node || '#' || w AS walk_id, node AS start, "
+        "node AS cur, [node] AS path FROM adj, "
+        f"(SELECT unnest(range({num_walks})) AS w))",
+    ]
+    for i in range(1, walk_length + 1):
+        h = md5i.format(x=f"w{i-1}.walk_id || ':{i}:' || w{i-1}.cur")
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT w{i-1}.walk_id, w{i-1}.start, "
+            f"CASE WHEN adj.nbrs IS NULL THEN w{i-1}.cur "
+            f"ELSE adj.nbrs[CAST(({h} % len(adj.nbrs)) + 1 AS INT)] END AS cur, "
+            f"CASE WHEN adj.nbrs IS NULL THEN w{i-1}.path "
+            f"ELSE list_append(w{i-1}.path, "
+            f"adj.nbrs[CAST(({h} % len(adj.nbrs)) + 1 AS INT)]) END AS path "
+            f"FROM w{i-1} LEFT JOIN adj ON w{i-1}.cur = adj.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT walk_id, start, array_to_string(path, '->') AS walk, "
+          f"CAST(len(path) - 1 AS BIGINT) AS n_steps FROM w{walk_length}"
+    )
+
+
 def _q_sparql_graph_mgmt(spark, sf_dir):
     """SPARQL 1.1 Update graph management over a quads relation:
     customers bucketed into three named graphs plus nations in the
@@ -2883,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4294,6 +4361,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'urn:g:0', subj, pred, obj FROM n "
             "UNION ALL SELECT 'urn:g:1', subj, pred, obj FROM n"
         ),
+        # kg_random_walks oracle: the identical md5-seeded walk
+        # arithmetic unrolled step by step
+        "kg_random_walks": _walks_oracle_sql(),
         # kg_kcore oracle: the peeling fixpoint unrolled as 12 CTE rounds
         "kg_kcore": _kcore_oracle_sql(),
         # kg_neighborhood_jaccard oracle: undirected neighbor sets as a

@@ -407,3 +407,79 @@ def kcore(
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    num_walks: int = 1,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic hash-seeded random walks — the DeepWalk/node2vec
+    corpus-generation step. One walk row per (start vertex × walk_no):
+    (walk_id, start, walk, n_steps) with ``walk`` the '->'-joined node
+    sequence. Walks follow edge DIRECTION (pass a symmetrized edge set
+    for undirected semantics) and stop early at sinks.
+
+    Determinism instead of RNG: step i of walk w moves to
+    ``nbrs[md5int(w ':' i ':' cur) % |nbrs|]`` where md5int is the
+    engine-portable ``conv(substring(md5(x),1,8),16,10)`` — identical
+    results on any partitioning, any retry, and in the DuckDB oracle
+    (``('0x'||substr(md5(x),1,8))::UBIGINT``). Neighbor lists are sorted
+    and hubs are capped at ``max_degree`` by md5 rank (a deterministic
+    uniform sample — an uncapped 10^6-degree hub would make one
+    adjacency row carry megabytes).
+
+    Scale shape: one window + one collect_list for the adjacency, then
+    ``walk_length`` equi-joins of the walker frontier (|V|·num_walks
+    rows) against the adjacency relation, localCheckpoint per step so
+    the loop's lineage stays flat."""
+    from pyspark.sql import Window
+
+    nbrs = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).distinct()
+    rk = Window.partitionBy("node").orderBy(F.md5("nbr"))
+    adj = (
+        nbrs.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= max_degree)
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+    )
+
+    starts = adj.select(F.col("node").alias("start"))
+    walks = None
+    for w in range(num_walks):
+        part = starts.select(
+            F.concat(F.col("start"), F.lit(f"#{w}")).alias("walk_id"), "start"
+        )
+        walks = part if walks is None else walks.unionByName(part)
+    frontier = walks.select(
+        "walk_id", "start",
+        F.col("start").alias("cur"),
+        F.array(F.col("start")).alias("path"),
+    ).localCheckpoint(eager=True)
+
+    for i in range(1, walk_length + 1):
+        j = frontier.join(adj, frontier.cur == adj.node, "left")
+        nxt = F.when(
+            F.col("nbrs").isNotNull(),
+            F.element_at(
+                F.col("nbrs"),
+                (F.expr(
+                    f"cast(conv(substring(md5(concat(walk_id, ':', '{i}', ':', cur)),1,8),16,10) as bigint)"
+                ) % F.size("nbrs") + 1).cast("int"),
+            ),
+        )
+        frontier = j.select(
+            "walk_id", "start",
+            F.coalesce(nxt, F.col("cur")).alias("cur"),
+            F.when(nxt.isNotNull(), F.concat(F.col("path"), F.array(nxt)))
+             .otherwise(F.col("path")).alias("path"),
+        ).localCheckpoint(eager=True)
+
+    return frontier.select(
+        "walk_id", "start",
+        F.array_join("path", "->").alias("walk"),
+        (F.size("path") - 1).cast("bigint").alias("n_steps"),
+    )

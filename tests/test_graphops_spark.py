@@ -244,3 +244,39 @@ def test_kcore_empty_when_k_exceeds_density(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
     assert kcore(edges, 3).count() == 0
+
+
+def test_random_walks_deterministic_and_sink_bounded(spark):
+    from parser_rdf_spark.graphops import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    out1 = {r.walk_id: (r.walk, r.n_steps)
+            for r in random_walks(edges, 5, num_walks=2).collect()}
+    out2 = {r.walk_id: (r.walk, r.n_steps)
+            for r in random_walks(edges, 5, num_walks=2).collect()}
+    assert out1 == out2  # bit-identical across runs
+    # every walk from a ends at the sink d in exactly 2 steps
+    for w in range(2):
+        walk, n = out1[f"a#{w}"]
+        assert n == 2 and walk.startswith("a->") and walk.endswith("->d")
+    # walks from b/c are the single forced hop
+    assert out1["b#0"] == ("b->d", 1)
+    # different walk_no can take different branches (hash-dependent) but
+    # each is a valid path
+    assert out1["a#0"][0].split("->")[1] in ("b", "c")
+
+
+def test_random_walks_max_degree_cap(spark):
+    from parser_rdf_spark.graphops import random_walks
+
+    edges = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(10)], "src string, dst string")
+    out = random_walks(edges, 1, max_degree=3).collect()
+    nxts = {r.walk.split("->")[1] for r in out if r.start == "h"}
+    # the capped adjacency keeps exactly 3 md5-ranked spokes
+    allowed = {r.walk.split("->")[1] for r in random_walks(edges, 1, max_degree=3)
+               .filter("start = 'h'").collect()}
+    assert nxts <= allowed and len(allowed) <= 3
