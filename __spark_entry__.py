@@ -1867,6 +1867,76 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+def _q_kg_void_description(spark, sf_dir):
+    """VoID dataset descriptor of the TPC-H micro-KG: dataset-level
+    counts plus property/class partitions, emitted AS RDF rows. Oracle:
+    the same statistics computed by plain SQL aggregates over the
+    triple-ized base tables."""
+    from parser_rdf_spark.graphops import void_description
+
+    v = void_description(
+        _tpch_triples(spark, sf_dir), "https://ds.example.org/kg",
+        type_iri="rdf:type",
+    )
+    return v.select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+_VOID_ORACLE_SQL = (
+    "WITH t(subj, pred, obj) AS ("
+    "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:inNation', 'urn:nation:' || c_nationkey FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:mktsegment', c_mktsegment FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'ex:highBalance', 'true' FROM customer WHERE c_acctbal > 9000 "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:Supplier' FROM supplier "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'ex:inNation', 'urn:nation:' || s_nationkey FROM supplier "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type', 'ex:Nation' FROM nation "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:name', n_name FROM nation "
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:inRegion', 'urn:region:' || n_regionkey FROM nation "
+    "UNION ALL SELECT 'urn:region:' || r_regionkey, 'ex:name', r_name FROM region), "
+    "agg AS (SELECT COUNT(*) AS n, COUNT(DISTINCT pred) AS np, "
+    "COUNT(DISTINCT subj) AS ns, COUNT(DISTINCT obj) AS no, "
+    "COUNT(DISTINCT CASE WHEN pred = 'rdf:type' THEN subj END) AS ne, "
+    "COUNT(DISTINCT CASE WHEN pred = 'rdf:type' THEN obj END) AS nc FROM t) "
+    "SELECT 'https://ds.example.org/kg' AS subj, "
+    "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, "
+    "'iri' AS obj_kind, 'http://rdfs.org/ns/void#Dataset' AS obj_value, "
+    "'' AS obj_datatype "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#triples', "
+    "'literal', CAST(n AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#properties', "
+    "'literal', CAST(np AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#distinctSubjects', "
+    "'literal', CAST(ns AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#distinctObjects', "
+    "'literal', CAST(no AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#entities', "
+    "'literal', CAST(ne AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#classes', "
+    "'literal', CAST(nc AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM agg "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#propertyPartition', "
+    "'iri', 'https://ds.example.org/kg/prop/' || md5(pred), '' FROM (SELECT DISTINCT pred FROM t) "
+    "UNION ALL SELECT 'https://ds.example.org/kg/prop/' || md5(pred), "
+    "'http://rdfs.org/ns/void#property', 'iri', pred, '' FROM (SELECT DISTINCT pred FROM t) "
+    "UNION ALL SELECT 'https://ds.example.org/kg/prop/' || md5(pred), "
+    "'http://rdfs.org/ns/void#triples', 'literal', CAST(COUNT(*) AS VARCHAR), "
+    "'http://www.w3.org/2001/XMLSchema#integer' FROM t GROUP BY pred "
+    "UNION ALL SELECT 'https://ds.example.org/kg', 'http://rdfs.org/ns/void#classPartition', "
+    "'iri', 'https://ds.example.org/kg/class/' || md5(obj), '' "
+    "FROM (SELECT DISTINCT obj FROM t WHERE pred = 'rdf:type') "
+    "UNION ALL SELECT 'https://ds.example.org/kg/class/' || md5(obj), "
+    "'http://rdfs.org/ns/void#class', 'iri', obj, '' "
+    "FROM (SELECT DISTINCT obj FROM t WHERE pred = 'rdf:type') "
+    "UNION ALL SELECT 'https://ds.example.org/kg/class/' || md5(obj), "
+    "'http://rdfs.org/ns/void#entities', 'literal', "
+    "CAST(COUNT(DISTINCT subj) AS VARCHAR), "
+    "'http://www.w3.org/2001/XMLSchema#integer' "
+    "FROM t WHERE pred = 'rdf:type' GROUP BY obj"
+)
+
+
 def _q_kg_random_walks(spark, sf_dir):
     """Deterministic random-walk corpus (DeepWalk preprocessing) over a
     customer→nation→region DAG with a segment side-branch: 2 walks of
@@ -2950,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_haskey_sameas": _q_owl_haskey_sameas,
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_void_description": _q_kg_void_description,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4364,6 +4435,9 @@ def oracle_sql() -> dict[str, str]:
         # kg_random_walks oracle: the identical md5-seeded walk
         # arithmetic unrolled step by step
         "kg_random_walks": _walks_oracle_sql(),
+        # kg_void_description oracle: the same dataset statistics and
+        # partitions computed by plain SQL aggregates
+        "kg_void_description": _VOID_ORACLE_SQL,
         # kg_kcore oracle: the peeling fixpoint unrolled as 12 CTE rounds
         "kg_kcore": _kcore_oracle_sql(),
         # kg_neighborhood_jaccard oracle: undirected neighbor sets as a

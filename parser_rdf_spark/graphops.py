@@ -17,7 +17,7 @@ scalar (vertex count) to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -483,3 +483,95 @@ def random_walks(
         F.array_join("path", "->").alias("walk"),
         (F.size("path") - 1).cast("bigint").alias("n_steps"),
     )
+
+
+VOID_NS = "http://rdfs.org/ns/void#"
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def void_description(triples: DataFrame, dataset_iri: str,
+                     type_iri: str = RDF_TYPE_IRI) -> DataFrame:
+    """VoID dataset description — the KG described AS RDF (the W3C
+    vocabulary downstream catalogs consume): dataset-level void:triples /
+    void:properties / void:classes / void:distinctSubjects /
+    void:distinctObjects / void:entities (distinct typed subjects), one
+    void:propertyPartition per predicate (void:property + void:triples)
+    and one void:classPartition per class (void:class + void:entities).
+    ``type_iri`` overrides the rdf:type predicate for KGs using a
+    shorthand vocabulary.
+    Returns full-schema triples rows (doc_url = the dataset IRI) ready
+    for any of the serializers, so `to_turtle_docs(void_description(t,
+    d))` is a publishable dataset descriptor.
+
+    Partition node IRIs are ``<dataset>/prop/<md5(pred)>`` and
+    ``<dataset>/class/<md5(cls)>`` — deterministic, collision-free, and
+    independent of row order. Scale shape: one groupBy(pred), one
+    filtered groupBy(class), and one global aggregate — the same
+    shuffles as predicate_statistics."""
+    def row(subj, pred, kind, value, dt=None):
+        return F.struct(
+            F.lit(dataset_iri).alias("doc_url"),
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj") if isinstance(subj, Column) else F.lit(subj).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            value.alias("obj_value") if isinstance(value, Column) else F.lit(value).alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(dt).cast("string").alias("obj_datatype"),
+            F.lit(0).cast("int").alias("line_no"),
+        )
+
+    def cnt(col):
+        return col.cast("string")
+
+    ds = dataset_iri
+    if "obj_value" not in triples.columns:
+        # bare (subj, pred, obj) relations are accepted like inference.py
+        triples = triples.withColumn("obj_value", F.col("obj"))
+    totals = triples.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("pred").alias("np"),
+        F.countDistinct("subj").alias("ns"),
+        F.countDistinct("obj_value").alias("no"),
+        F.countDistinct(
+            F.when(F.col("pred") == type_iri, F.col("subj"))
+        ).alias("ne"),
+        F.countDistinct(
+            F.when(F.col("pred") == type_iri, F.col("obj_value"))
+        ).alias("nc"),
+    ).select(
+        F.explode(F.array(
+            row(ds, RDF_TYPE_IRI, "iri", VOID_NS + "Dataset"),
+            row(ds, VOID_NS + "triples", "literal", cnt(F.col("n")), XSD_INTEGER),
+            row(ds, VOID_NS + "properties", "literal", cnt(F.col("np")), XSD_INTEGER),
+            row(ds, VOID_NS + "distinctSubjects", "literal", cnt(F.col("ns")), XSD_INTEGER),
+            row(ds, VOID_NS + "distinctObjects", "literal", cnt(F.col("no")), XSD_INTEGER),
+            row(ds, VOID_NS + "entities", "literal", cnt(F.col("ne")), XSD_INTEGER),
+            row(ds, VOID_NS + "classes", "literal", cnt(F.col("nc")), XSD_INTEGER),
+        )).alias("t")
+    ).select("t.*")
+
+    pp_node = F.concat(F.lit(ds + "/prop/"), F.md5("pred"))
+    props = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).select(
+        F.explode(F.array(
+            row(F.lit(ds), VOID_NS + "propertyPartition", "iri", pp_node),
+            row(pp_node, VOID_NS + "property", "iri", F.col("pred")),
+            row(pp_node, VOID_NS + "triples", "literal", cnt(F.col("n")), XSD_INTEGER),
+        )).alias("t")
+    ).select("t.*")
+
+    cp_node = F.concat(F.lit(ds + "/class/"), F.md5("obj_value"))
+    classes = (
+        triples.filter(F.col("pred") == type_iri)
+        .groupBy("obj_value")
+        .agg(F.countDistinct("subj").alias("n"))
+        .select(
+            F.explode(F.array(
+                row(F.lit(ds), VOID_NS + "classPartition", "iri", cp_node),
+                row(cp_node, VOID_NS + "class", "iri", F.col("obj_value")),
+                row(cp_node, VOID_NS + "entities", "literal", cnt(F.col("n")), XSD_INTEGER),
+            )).alias("t")
+        ).select("t.*")
+    )
+    return totals.unionByName(props).unionByName(classes)

@@ -280,3 +280,35 @@ def test_random_walks_max_degree_cap(spark):
     allowed = {r.walk.split("->")[1] for r in random_walks(edges, 1, max_degree=3)
                .filter("start = 'h'").collect()}
     assert nxts <= allowed and len(allowed) <= 3
+
+
+def test_void_description_counts_and_serializes(spark):
+    from parser_rdf_spark.graphops import void_description
+    from parser_rdf_spark.schemas import TRIPLES
+    from parser_rdf_spark.serialize import to_turtle_docs
+    from parser_rdf_spark.turtle import parse_document as turtle_parse
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("https://d/1", None, "a", RT, "iri", "C1", None, None, 1),
+        ("https://d/1", None, "b", RT, "iri", "C1", None, None, 2),
+        ("https://d/1", None, "c", RT, "iri", "C2", None, None, 3),
+        ("https://d/1", None, "a", "p", "literal", "x", None, None, 4),
+        ("https://d/1", None, "b", "p", "literal", "x", None, None, 5),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    v = void_description(t, "https://ds.example.org/kg")
+    got = {(r.subj, r.pred): r.obj_value for r in v.collect()
+           if r.subj == "https://ds.example.org/kg"}
+    V = "http://rdfs.org/ns/void#"
+    assert got[("https://ds.example.org/kg", V + "triples")] == "5"
+    assert got[("https://ds.example.org/kg", V + "properties")] == "2"
+    assert got[("https://ds.example.org/kg", V + "classes")] == "2"
+    assert got[("https://ds.example.org/kg", V + "entities")] == "3"
+    # class partition for C1 counts 2 entities
+    part = {(r.pred, r.obj_value) for r in v.collect()}
+    assert (V + "entities", "2") in part
+    # the description itself serializes to valid Turtle
+    [doc] = [r.turtle for r in to_turtle_docs(v).collect()]
+    triples, _ = turtle_parse(doc)
+    assert len(triples) == v.count()
