@@ -1867,6 +1867,41 @@ def _q_owl_ifp_sameas(spark, sf_dir):
     )
 
 
+_ONTOLOGY_V1 = """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://example.org/> .
+ex:C1 a rdfs:Class ; rdfs:label "One"@en .
+ex:C2 a rdfs:Class ; rdfs:label "Two"@en .
+ex:C4 a rdfs:Class ; rdfs:label "Four"@en ; rdfs:subClassOf ex:C1 .
+"""
+
+_ONTOLOGY_V2 = """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://example.org/> .
+ex:C1 a rdfs:Class ; rdfs:label "One renamed"@en .
+ex:C3 a rdfs:Class ; rdfs:label "Three"@en ; rdfs:subClassOf ex:C1 .
+ex:C4 a rdfs:Class ; rdfs:label "Four"@en ; rdfs:subClassOf ex:C2 .
+"""
+
+
+def _q_ontology_diff(spark, sf_dir):
+    """Schema-evolution report between two ontology snapshots: classes
+    added / removed / label-changed / reparented, via ONE full-outer
+    join over the extraction tables. Oracle: the hand-derived golden
+    diff of the two fixtures."""
+    from parser_rdf_spark.incremental import table_diff
+
+    def classes(doc):
+        pages = _fixture_pages(spark, {"https://fixtures.example.org/ont/v": doc})
+        return extract_classes(triples_of(parse_pages(pages, fmt="turtle")))
+
+    out = table_diff(classes(_ONTOLOGY_V1), classes(_ONTOLOGY_V2), ["uri"],
+                     compare_cols=["label", "parent_classes"])
+    return out.select(
+        "status", "uri", F.array_join("changed_cols", ",").alias("changed")
+    )
+
+
 def _q_kg_void_description(spark, sf_dir):
     """VoID dataset descriptor of the TPC-H micro-KG: dataset-level
     counts plus property/class partitions, emitted AS RDF rows. Oracle:
@@ -3021,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
         "kg_random_walks": _q_kg_random_walks,
         "kg_void_description": _q_kg_void_description,
+        "ontology_diff": _q_ontology_diff,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4438,6 +4474,16 @@ def oracle_sql() -> dict[str, str]:
         # kg_void_description oracle: the same dataset statistics and
         # partitions computed by plain SQL aggregates
         "kg_void_description": _VOID_ORACLE_SQL,
+        # ontology_diff oracle: the golden diff of the two fixture
+        # snapshots (C1 renamed, C2 dropped, C3 added, C4 reparented)
+        "ontology_diff": (
+            "SELECT * FROM (VALUES "
+            "('changed', 'http://example.org/C1', 'label'), "
+            "('removed', 'http://example.org/C2', ''), "
+            "('added', 'http://example.org/C3', ''), "
+            "('changed', 'http://example.org/C4', 'parent_classes')"
+            ") AS t(status, uri, changed)"
+        ),
         # kg_kcore oracle: the peeling fixpoint unrolled as 12 CTE rounds
         "kg_kcore": _kcore_oracle_sql(),
         # kg_neighborhood_jaccard oracle: undirected neighbor sets as a

@@ -141,3 +141,55 @@ def incremental_connected_components(
         carried.unionByName(fresh)
         .withColumn("component_id", F.xxhash64("component"))
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Schema-evolution diff between two versions of an extraction table
+    (classes, properties, shapes — any keyed relation): one row per
+    added / removed / changed key with the list of columns that changed.
+    Unchanged rows are omitted. The ontology analogue of a crawl delta:
+    run it between snapshot commits to publish "what changed in the
+    schema this merge".
+
+    Scale shape: ONE full-outer join on the key (null-safe column
+    comparison via <=>; array/map/struct columns compare structurally in
+    Spark) — no window, no Python. ``changed_cols`` is sorted so the
+    output is deterministic."""
+    compare = compare_cols or [
+        c for c in new.columns if c not in key_cols and c in old.columns
+    ]
+    o = old.select(*key_cols, *compare).alias("o")
+    n = new.select(*key_cols, *compare).alias("n")
+    cond = None
+    for kc in key_cols:
+        c = F.col(f"o.{kc}").eqNullSafe(F.col(f"n.{kc}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+
+    o_present = F.col(f"o.{key_cols[0]}").isNotNull()
+    n_present = F.col(f"n.{key_cols[0]}").isNotNull()
+    changed = F.array_sort(F.filter(
+        F.array(*[
+            F.when(~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c))
+            for c in sorted(compare)
+        ]),
+        lambda x: x.isNotNull(),
+    ))
+    status = (
+        F.when(~o_present, F.lit("added"))
+        .when(~n_present, F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+    )
+    out = j.select(
+        status.alias("status"),
+        *[F.coalesce(F.col(f"n.{kc}"), F.col(f"o.{kc}")).alias(kc)
+          for kc in key_cols],
+        F.when(o_present & n_present, changed)
+         .otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+    )
+    return out.filter(F.col("status").isNotNull())

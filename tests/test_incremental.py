@@ -103,3 +103,35 @@ def test_merge_stats_counters(spark):
     row = merge_stats(old, delta).collect()[0]
     assert (row.docs_updated, row.docs_added, row.triples_removed,
             row.triples_added, row.triples_carried) == (1, 1, 2, 2, 1)
+
+
+def test_table_diff_ontology_evolution(spark):
+    from parser_rdf_spark.incremental import table_diff
+
+    old = spark.createDataFrame([
+        ("C1", "One", ["P"]), ("C2", "Two", []), ("C4", "Four", None),
+    ], "uri string, label string, parents array<string>")
+    new = spark.createDataFrame([
+        ("C1", "One renamed", ["P"]),      # label changed
+        ("C3", "Three", ["C1"]),           # added
+        ("C4", "Four", None),              # unchanged (null-safe) -> omitted
+    ], "uri string, label string, parents array<string>")
+    out = sorted((r.status, r.uri, list(r.changed_cols))
+                 for r in table_diff(old, new, ["uri"]).collect())
+    assert out == [
+        ("added", "C3", []),
+        ("changed", "C1", ["label"]),
+        ("removed", "C2", []),
+    ]
+
+
+def test_table_diff_multi_change_and_compare_subset(spark):
+    from parser_rdf_spark.incremental import table_diff
+
+    old = spark.createDataFrame([("u", "a", 1)], "k string, x string, y int")
+    new = spark.createDataFrame([("u", "b", 2)], "k string, x string, y int")
+    [r] = table_diff(old, new, ["k"]).collect()
+    assert (r.status, list(r.changed_cols)) == ("changed", ["x", "y"])
+    # compare restricted to x only
+    [r2] = table_diff(old, new, ["k"], compare_cols=["x"]).collect()
+    assert list(r2.changed_cols) == ["x"]
