@@ -751,6 +751,25 @@ def parse_sparql(text: str) -> dict:
         _parse_modifiers(p, spec, allow=())
         return spec
     if p._eat_kw("construct"):
+        if p._at_kw("where"):
+            # CONSTRUCT WHERE { … } shorthand: the pattern is its own
+            # template (spec §10.2.2 — plain triple patterns only)
+            spec = _parse_where(p)
+            for t in spec["patterns"]:
+                if not isinstance(t[1], str) or t[1][:1] in ("^", "!") \
+                        or t[1][-1:] in ("+", "*", "?"):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE takes plain triple patterns only")
+            if any(spec.get(k) for k in ("optional", "filters", "union",
+                                         "values", "bind", "not_exists",
+                                         "minus", "subselects", "exists",
+                                         "graph_vars")):
+                raise SparqlError(
+                    "CONSTRUCT WHERE takes plain triple patterns only")
+            spec["form"] = "construct"
+            spec["template"] = list(spec["patterns"])
+            _parse_modifiers(p, spec, allow=())
+            return spec
         p._expect("{")
         template: list = []
         while not p._eat("}"):

@@ -726,3 +726,21 @@ def test_graph_mgmt_noop_and_errors(spark, quads):
     # IRI containing ';' splits correctly
     out = sparql_update_graphs(quads, "COPY <urn:g:1> TO <urn:x;y> ; DROP <urn:g:2>")
     assert out.filter("graph = 'urn:x;y'").count() == 3
+
+
+def test_construct_where_shorthand(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT WHERE { ?s knows ?o }
+    """)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "knows", "b"), ("a", "knows", "c"), ("b", "knows", "c")]
+
+
+def test_construct_where_rejects_non_plain_patterns(kg):
+    import pytest as _pytest
+    with _pytest.raises(SparqlError, match="plain triple patterns"):
+        sparql_query(kg, "CONSTRUCT WHERE { ?s knows+ ?o }")
+    with _pytest.raises(SparqlError, match="plain triple patterns"):
+        sparql_query(kg, """
+            CONSTRUCT WHERE { ?s knows ?o FILTER(?o != "c") }
+        """)
