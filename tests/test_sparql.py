@@ -659,7 +659,7 @@ def test_group_concat_bad_separator(kg):
 # ---------------------------------------------------------------------------
 
 @pytest.fixture()
-def quads(spark):
+def gm_quads(spark):
     return spark.createDataFrame([
         ("_:default", "s0", "p", "o0"),
         ("urn:g:1", "s1", "p", "o1"),
@@ -673,58 +673,58 @@ def _g(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_graph_mgmt_clear_and_drop(spark, quads):
+def test_graph_mgmt_clear_and_drop(spark, gm_quads):
     from parser_rdf_spark.sparql import sparql_update_graphs
 
-    out = sparql_update_graphs(quads, "CLEAR GRAPH <urn:g:1>")
+    out = sparql_update_graphs(gm_quads, "CLEAR GRAPH <urn:g:1>")
     assert _g(out) == [("_:default", "s0", "p", "o0"),
                        ("urn:g:2", "s2", "p", "o2")]
-    assert sparql_update_graphs(quads, "DROP SILENT ALL").count() == 0
-    assert _g(sparql_update_graphs(quads, "CLEAR DEFAULT")) == _g(
-        quads.filter("graph <> '_:default'"))
-    assert _g(sparql_update_graphs(quads, "DROP NAMED")) == [
+    assert sparql_update_graphs(gm_quads, "DROP SILENT ALL").count() == 0
+    assert _g(sparql_update_graphs(gm_quads, "CLEAR DEFAULT")) == _g(
+        gm_quads.filter("graph <> '_:default'"))
+    assert _g(sparql_update_graphs(gm_quads, "DROP NAMED")) == [
         ("_:default", "s0", "p", "o0")]
 
 
-def test_graph_mgmt_copy_move_add(spark, quads):
+def test_graph_mgmt_copy_move_add(spark, gm_quads):
     from parser_rdf_spark.sparql import sparql_update_graphs
 
     # COPY overwrites the target
-    out = sparql_update_graphs(quads, "COPY <urn:g:1> TO <urn:g:2>")
+    out = sparql_update_graphs(gm_quads, "COPY <urn:g:1> TO <urn:g:2>")
     assert _g(out.filter("graph = 'urn:g:2'")) == [
         ("urn:g:2", "s1", "p", "o1"), ("urn:g:2", "s1b", "p", "o1b"),
         ("urn:g:2", "s2", "p", "o2")]
     assert out.filter("graph = 'urn:g:1'").count() == 3  # source kept
 
     # MOVE drops the source
-    out = sparql_update_graphs(quads, "MOVE GRAPH <urn:g:1> TO GRAPH <urn:g:2>")
+    out = sparql_update_graphs(gm_quads, "MOVE GRAPH <urn:g:1> TO GRAPH <urn:g:2>")
     assert out.filter("graph = 'urn:g:1'").count() == 0
     assert out.filter("graph = 'urn:g:2'").count() == 3
 
     # ADD merges with dedup on the quad key
-    out = sparql_update_graphs(quads, "ADD <urn:g:1> TO <urn:g:2>")
+    out = sparql_update_graphs(gm_quads, "ADD <urn:g:1> TO <urn:g:2>")
     assert _g(out.filter("graph = 'urn:g:2'")) == [
         ("urn:g:2", "s1", "p", "o1"), ("urn:g:2", "s1b", "p", "o1b"),
         ("urn:g:2", "s2", "p", "o2")]
 
     # DEFAULT as a COPY source; chained ops apply in order
     out = sparql_update_graphs(
-        quads, "COPY DEFAULT TO <urn:g:9> ; DROP DEFAULT")
+        gm_quads, "COPY DEFAULT TO <urn:g:9> ; DROP DEFAULT")
     assert _g(out.filter("graph = 'urn:g:9'")) == [("urn:g:9", "s0", "p", "o0")]
     assert out.filter("graph = '_:default'").count() == 0
 
 
-def test_graph_mgmt_noop_and_errors(spark, quads):
+def test_graph_mgmt_noop_and_errors(spark, gm_quads):
     from parser_rdf_spark.sparql import sparql_update_graphs
 
-    assert _g(sparql_update_graphs(quads, "CREATE GRAPH <urn:new>")) == _g(quads)
-    assert _g(sparql_update_graphs(quads, "ADD <urn:g:1> TO <urn:g:1>")) == _g(quads)
+    assert _g(sparql_update_graphs(gm_quads, "CREATE GRAPH <urn:new>")) == _g(gm_quads)
+    assert _g(sparql_update_graphs(gm_quads, "ADD <urn:g:1> TO <urn:g:1>")) == _g(gm_quads)
     with pytest.raises(SparqlError, match="graph-management"):
-        sparql_update_graphs(quads, "LOAD <http://x> INTO GRAPH <urn:g:1>")
+        sparql_update_graphs(gm_quads, "LOAD <http://x> INTO GRAPH <urn:g:1>")
     with pytest.raises(SparqlError, match="quads relation"):
-        sparql_update_graphs(quads.drop("graph"), "CLEAR ALL")
+        sparql_update_graphs(gm_quads.drop("graph"), "CLEAR ALL")
     # IRI containing ';' splits correctly
-    out = sparql_update_graphs(quads, "COPY <urn:g:1> TO <urn:x;y> ; DROP <urn:g:2>")
+    out = sparql_update_graphs(gm_quads, "COPY <urn:g:1> TO <urn:x;y> ; DROP <urn:g:2>")
     assert out.filter("graph = 'urn:x;y'").count() == 3
 
 
