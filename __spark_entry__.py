@@ -1884,6 +1884,35 @@ ex:C4 a rdfs:Class ; rdfs:label "Four"@en ; rdfs:subClassOf ex:C2 .
 """
 
 
+def _q_normalize_literals(spark, sf_dir):
+    """Literal canonicalization over synthesized messy integer/boolean
+    lexical forms ('+0' || k, ' k ', 'TRUE'/'0'): the oracle applies the
+    same TRY_CAST arithmetic in SQL."""
+    from parser_rdf_spark.linking import normalize_literals
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 120
+    )
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    k = F.col("c_custkey")
+    messy = customer.select(
+        F.lit("https://d/1").alias("doc_url"),
+        F.lit(None).cast("string").alias("graph"),
+        F.concat(F.lit("urn:cust:"), k.cast("string")).alias("subj"),
+        F.lit("ex:val").alias("pred"),
+        F.lit("literal").alias("obj_kind"),
+        F.when(k % 4 == 0, F.concat(F.lit("+0"), k.cast("string")))
+         .when(k % 4 == 1, F.concat(F.lit(" "), k.cast("string"), F.lit(" ")))
+         .when(k % 4 == 2, F.lit("TRUE"))
+         .otherwise(F.lit("not-a-number")).alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.when(k % 4 == 2, F.lit(xsd + "boolean"))
+         .otherwise(F.lit(xsd + "integer")).alias("obj_datatype"),
+        k.cast("int").alias("line_no"),
+    )
+    return normalize_literals(messy).select("subj", "obj_value", "obj_datatype")
+
+
 def _q_ontology_diff(spark, sf_dir):
     """Schema-evolution report between two ontology snapshots: classes
     added / removed / label-changed / reparented, via ONE full-outer
@@ -3057,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _q_kg_random_walks,
         "kg_void_description": _q_kg_void_description,
         "ontology_diff": _q_ontology_diff,
+        "normalize_literals": _q_normalize_literals,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4474,6 +4504,19 @@ def oracle_sql() -> dict[str, str]:
         # kg_void_description oracle: the same dataset statistics and
         # partitions computed by plain SQL aggregates
         "kg_void_description": _VOID_ORACLE_SQL,
+        # normalize_literals oracle: identical TRY_CAST canonicalization
+        "normalize_literals": (
+            "SELECT 'urn:cust:' || c_custkey AS subj, "
+            "CASE "
+            "WHEN c_custkey % 4 = 0 THEN CAST(TRY_CAST(trim('+0' || c_custkey) AS BIGINT) AS VARCHAR) "
+            "WHEN c_custkey % 4 = 1 THEN CAST(TRY_CAST(trim(' ' || c_custkey || ' ') AS BIGINT) AS VARCHAR) "
+            "WHEN c_custkey % 4 = 2 THEN 'true' "
+            "ELSE 'not-a-number' END AS obj_value, "
+            "CASE WHEN c_custkey % 4 = 2 "
+            "THEN 'http://www.w3.org/2001/XMLSchema#boolean' "
+            "ELSE 'http://www.w3.org/2001/XMLSchema#integer' END AS obj_datatype "
+            "FROM customer WHERE c_custkey < 120"
+        ),
         # ontology_diff oracle: the golden diff of the two fixture
         # snapshots (C1 renamed, C2 dropped, C3 added, C4 reparented)
         "ontology_diff": (

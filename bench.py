@@ -265,6 +265,18 @@ def main() -> None:
 
     queries["graph_analytics"] = _best_of(_q_graph)
 
+    # q7b: graph-ML preprocessing over the same edge relation (round-3
+    # ops): 2-core peeling, co-neighbor-blocked Jaccard candidates,
+    # hash-seeded random walks
+    def _q_graph_ml():
+        _ = graphops.kcore(g, 2).count()
+        _ = graphops.neighborhood_jaccard(g, min_shared=2).count()
+        _ = graphops.random_walks(g.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst")), walk_length=4).count()
+
+    queries["graph_ml"] = _best_of(_q_graph_ml)
+
     # q8: sessionization (native SESSION window agg) + per-doc TF-IDF
     # top terms
     from parser_rdf_spark.relops import sessionize

@@ -372,3 +372,46 @@ def connected_components(
             break
 
     return labels.withColumn("component_id", F.xxhash64("component"))
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_XSD_INT_TYPES = tuple(
+    _XSD + t for t in (
+        "integer", "long", "int", "short", "byte", "nonNegativeInteger",
+        "nonPositiveInteger", "negativeInteger", "positiveInteger",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+)
+
+
+def normalize_literals(triples: DataFrame) -> DataFrame:
+    """Canonicalize literal lexical forms — the value-level counterpart
+    of IRI canonicalization: web data asserts the same fact as
+    ``"+01"^^xsd:integer`` on one page and ``"1"^^xsd:integer`` on
+    another, and the lexical mismatch silently defeats exact dedup,
+    sameAs grouping, and groupBy keys downstream.
+
+    Canonicalized: integer-family datatypes (via try_cast — the W3C
+    canonical form, no leading '+'/zeros/whitespace) and xsd:boolean
+    ('TRUE'/' 1 ' → 'true'). Unparseable lexical forms, other datatypes
+    (decimal/double/dateTime have engine-specific formatting; left for a
+    typed layer), language-tagged strings, and non-literal rows pass
+    through byte-identical. Pure Column expressions — one projection,
+    no shuffle, whole-stage codegen."""
+    if "obj_value" not in triples.columns:
+        raise ValueError("normalize_literals expects the full triples schema")
+    is_lit = F.col("obj_kind") == "literal"
+    dt = F.col("obj_datatype")
+
+    int_canon = F.expr("cast(try_cast(trim(obj_value) as bigint) as string)")
+    bool_norm = F.lower(F.trim(F.col("obj_value")))
+    bool_canon = (
+        F.when(bool_norm.isin("true", "1"), F.lit("true"))
+        .when(bool_norm.isin("false", "0"), F.lit("false"))
+    )
+    normalized = (
+        F.when(is_lit & dt.isin(*_XSD_INT_TYPES), F.coalesce(int_canon, F.col("obj_value")))
+        .when(is_lit & (dt == _XSD + "boolean"), F.coalesce(bool_canon, F.col("obj_value")))
+        .otherwise(F.col("obj_value"))
+    )
+    return triples.withColumn("obj_value", normalized)

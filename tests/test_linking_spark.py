@@ -229,3 +229,24 @@ def test_end_to_end_linking_from_parsed_pages(spark, entities):
     out = canonicalize_triples(triples, entities)
     canon_subjects = {r.subj_canonical for r in out.collect()}
     assert canon_subjects == {"http://canon.org/Alice"}
+
+
+def test_normalize_literals(spark):
+    from parser_rdf_spark.linking import normalize_literals
+    from parser_rdf_spark.schemas import TRIPLES
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("https://d/1", None, "s", "p", "literal", "+01", None, XSD + "integer", 1),
+        ("https://d/1", None, "s", "p", "literal", " 42 ", None, XSD + "long", 2),
+        ("https://d/1", None, "s", "p", "literal", "junk", None, XSD + "integer", 3),
+        ("https://d/1", None, "s", "p", "literal", "TRUE", None, XSD + "boolean", 4),
+        ("https://d/1", None, "s", "p", "literal", "0", None, XSD + "boolean", 5),
+        ("https://d/1", None, "s", "p", "literal", "+01", None, None, 6),  # plain: untouched
+        ("https://d/1", None, "s", "p", "iri", "+01", None, None, 7),      # iri: untouched
+        ("https://d/1", None, "s", "p", "literal", "-0", None, XSD + "integer", 8),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    got = {r.line_no: r.obj_value for r in normalize_literals(t).collect()}
+    assert got == {1: "1", 2: "42", 3: "junk", 4: "true", 5: "false",
+                   6: "+01", 7: "+01", 8: "0"}
