@@ -548,6 +548,18 @@ def bgp_construct(
     is a narrow select + union — all the cost is in the match."""
     sols = bgp_query(triples, patterns, optional=optional, filters=filters,
                      dedup=dedup)
+    return construct_from_solutions(sols, template, distinct=distinct)
+
+
+def construct_from_solutions(
+    sols: DataFrame,
+    template: list[tuple[str, str, str]],
+    distinct: bool = True,
+) -> DataFrame:
+    """Instantiate CONSTRUCT ``template`` triples from an already-built
+    solution relation — the tail of :func:`bgp_construct`, exposed so a
+    front-end can apply solution modifiers (ORDER BY + LIMIT) to the
+    match before templating."""
 
     def term_col(term: str) -> F.Column:
         return F.col(_var_name(term)) if _is_var(term) else F.lit(term)

@@ -13,9 +13,11 @@ Supported subset (everything the underlying compiler can plan):
 
 * prologue: ``PREFIX pfx: <iri>`` (``BASE`` is not supported, mirroring
   the reference's no-``@base`` scope, docs/spec-completeness.md:147);
-* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``,
-  ``DESCRIBE`` (description = all triples whose subject is in the
-  resource set — one semi-join);
+* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``
+  (with ORDER BY/LIMIT applied to the solution sequence before
+  templating) and the ``CONSTRUCT WHERE {…}`` shorthand (plain triple
+  patterns doubling as the template), ``DESCRIBE`` (description = all
+  triples whose subject is in the resource set — one semi-join);
 * group graph pattern: triple blocks with ``;`` / ``,`` continuations,
   ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
   ``FILTER(expr)``, ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS
@@ -768,7 +770,7 @@ def parse_sparql(text: str) -> dict:
                     "CONSTRUCT WHERE takes plain triple patterns only")
             spec["form"] = "construct"
             spec["template"] = list(spec["patterns"])
-            _parse_modifiers(p, spec, allow=())
+            _parse_modifiers(p, spec, allow=("order", "limit"))
             return spec
         p._expect("{")
         template: list = []
@@ -781,7 +783,7 @@ def parse_sparql(text: str) -> dict:
         spec = _parse_where(p)
         spec["form"] = "construct"
         spec["template"] = template
-        _parse_modifiers(p, spec, allow=())
+        _parse_modifiers(p, spec, allow=("order", "limit"))
         return spec
     if p._eat_kw("describe"):
         targets = []
@@ -1111,6 +1113,21 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     if form == "construct":
         if "union" in spec:
             raise SparqlError("CONSTRUCT over UNION is not supported")
+        order_by, limit = spec.get("order_by"), spec.get("limit")
+        if order_by or limit is not None:
+            # solution modifiers apply to the MATCH, then the template
+            # instantiates the surviving solutions (spec §16.2)
+            from .bgp import construct_from_solutions
+
+            sols = bgp_query(triples, spec["patterns"],
+                             optional=spec.get("optional"),
+                             filters=spec.get("filters"), dedup=dedup)
+            if order_by:
+                sols = sols.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
+                                      for n, d in order_by])
+            if limit is not None:
+                sols = sols.limit(limit)
+            return construct_from_solutions(sols, spec["template"])
         return bgp_construct(
             triples,
             spec["patterns"],

@@ -744,3 +744,12 @@ def test_construct_where_rejects_non_plain_patterns(kg):
         sparql_query(kg, """
             CONSTRUCT WHERE { ?s knows ?o FILTER(?o != "c") }
         """)
+
+
+def test_construct_with_order_limit(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT { ?s likesTop ?o } WHERE { ?s knows ?o }
+        ORDER BY ?s ?o LIMIT 2
+    """)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "likesTop", "b"), ("a", "likesTop", "c")]
