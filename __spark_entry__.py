@@ -1497,6 +1497,30 @@ def _q_ann_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_ann_sq8_recall(spark, sf_dir):
+    """int8 scalar-quantized (ADC) top-1 recall vs brute-force ground
+    truth on the planted-twin corpus. Quantization is deterministic
+    (corpus-wide per-dimension ranges, no RNG), so all three outputs
+    pin exactly."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    brute = textops.ann_bruteforce_topk(corpus, k=1).filter(F.col("query_id") >= 10000)
+    sq = (
+        textops.ann_sq8_topk(corpus, k=1)
+        .filter(F.col("query_id") >= 10000)
+        .select("query_id", "neighbor_id")
+    )
+    hits = brute.join(sq, ["query_id", "neighbor_id"])
+    return (
+        _count1(brute, "n_queries")
+        .crossJoin(_count1(hits, "n_hit_top1"))
+        .select(
+            "n_queries",
+            "n_hit_top1",
+            (F.col("n_hit_top1") * 100 / F.col("n_queries")).cast("bigint").alias("recall_pct"),
+        )
+    )
+
+
 def _q_ann_ivf_recall(spark, sf_dir):
     """IVF-flat top-1 recall vs brute force on the planted-twin corpus.
     KMeans centroids can shift with partitioning, so the pin is a
@@ -3111,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "minhash_lsh_recall": _q_minhash_recall,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_sq8_recall": _q_ann_sq8_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # golden-pinned (blake2b has no DuckDB equivalent; oracles are
@@ -4702,6 +4727,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf_recall": (
             "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok"
+        ),
+        "ann_sq8_recall": (
+            "SELECT CAST(100 AS BIGINT) AS n_queries, "
+            "CAST(100 AS BIGINT) AS n_hit_top1, CAST(100 AS BIGINT) AS recall_pct"
         ),
         "embedding_near_dup_lsh": (
             "SELECT CAST(100 AS BIGINT) AS n_exact, CAST(100 AS BIGINT) AS n_lsh, "

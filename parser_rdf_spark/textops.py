@@ -880,3 +880,67 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-dimension int8 scalar quantization — the ANN memory path: a
+    float32 corpus shrinks 4× (100 TB of embeddings stops fitting long
+    before compute runs out). Returns ``(params, codes)``: ``params`` is
+    ONE row of (mins, scales) double arrays, ``codes`` is (id, codes)
+    with each component mapped to 0..255 by the corpus-wide per-dimension
+    range. Fully deterministic — no sampling, no RNG.
+
+    Scale shape: one posexplode + D-row aggregate for the ranges (D =
+    embedding width), a broadcast of the 1-row params, and a narrow
+    transform for the codes — no shuffle on the corpus itself."""
+    stats = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+    )
+    params = stats.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+               ).alias("mins"),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx, mn))), "
+               "s -> greatest(s.mx - s.mn, cast(1e-12 as double)))").alias("scales"),
+    )
+    codes = embeddings.crossJoin(F.broadcast(params)).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, (x, i) -> "
+            "cast(round((cast(x as double) - mins[i]) / scales[i] * 255.0) as int))"
+        ).alias("codes"),
+    )
+    return params, codes
+
+
+def ann_sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the int8-quantized corpus: the
+    CORPUS is stored as codes and dequantized on the fly; queries stay
+    full-precision (standard ADC — halves the quantization noise in the
+    dot product vs symmetric code-to-code). Same output contract as
+    :func:`ann_bruteforce_topk`; compose with the LSH/IVF blockers to
+    bound the candidate set when N is large."""
+    params, codes = sq8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+    deq = codes.crossJoin(F.broadcast(params)).select(
+        F.col(id_col),
+        F.expr(
+            "transform(codes, (c, i) -> "
+            "cast(mins[i] + (c / 255.0) * scales[i] as float))"
+        ).alias(vec_col),
+    )
+    return ann_bruteforce_topk(
+        deq, queries=queries if queries is not None else embeddings,
+        k=k, id_col=id_col, vec_col=vec_col,
+    )

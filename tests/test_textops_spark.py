@@ -241,3 +241,44 @@ def test_chunk_documents_hand_traced(spark):
     ]
     with _pytest.raises(ValueError):
         textops.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_sq8_quantize_reconstruction_error(spark):
+    from parser_rdf_spark.textops import sq8_quantize
+
+    emb = spark.createDataFrame(
+        [(i, [float(i) / 10.0, -1.0 + i * 0.2, 42.0]) for i in range(11)],
+        "vec_id bigint, embedding array<float>",
+    )
+    params, codes = sq8_quantize(emb)
+    [p] = params.collect()
+    assert p.mins == [0.0, -1.0, 42.0]
+    rows = {r.vec_id: r.codes for r in codes.collect()}
+    assert rows[0] == [0, 0, 0] and rows[10] == [255, 255, 0]
+    # every code reconstructs within half a quantization step
+    for i, cs in rows.items():
+        orig = [i / 10.0, -1.0 + i * 0.2, 42.0]
+        for d in range(3):
+            approx = p.mins[d] + cs[d] / 255.0 * p.scales[d]
+            step = p.scales[d] / 255.0
+            assert abs(approx - orig[d]) <= step / 2 + 1e-9
+
+
+def test_ann_sq8_topk_finds_planted_twin(spark):
+    import math
+
+    from parser_rdf_spark.textops import ann_bruteforce_topk, ann_sq8_topk
+
+    def unit(seed, d=8):
+        vals = [math.sin(seed * 31 + j * 7) for j in range(d)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [float(v / n) for v in vals]
+
+    rows = [(i, unit(i)) for i in range(20)]
+    rows += [(100 + i, [float(v + 0.01) for v in unit(i)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sq = {r.query_id: r.neighbor_id
+          for r in ann_sq8_topk(emb, k=1).filter("query_id >= 100").collect()}
+    bf = {r.query_id: r.neighbor_id
+          for r in ann_bruteforce_topk(emb, k=1).filter("query_id >= 100").collect()}
+    assert sq == bf == {100 + i: i for i in range(5)}
