@@ -294,7 +294,13 @@ class GraphWriter:
             # job, and downstream consumers (ontology extraction, linking)
             # read the written table instead of re-parsing the corpus
             (
-                triples.withColumn("url_bucket", F.lit(b))
+                # sortWithinPartitions (narrow, no shuffle): documents
+                # land contiguous so doc-scoped reads touch few row
+                # groups, and parquet min/max stats on doc_url actually
+                # prune — at 10^12 docs the difference between a pruned
+                # and an unpruned scan is the whole job
+                triples.sortWithinPartitions("doc_url", "line_no")
+                .withColumn("url_bucket", F.lit(b))
                 .write.mode("overwrite")
                 .partitionBy("url_bucket")
                 .option("partitionOverwriteMode", "dynamic")
@@ -329,7 +335,12 @@ class GraphWriter:
 
             edge_path = os.path.join(self.root, "edges")
             (
-                edges.withColumn("url_bucket", F.lit(b))
+                # local (pred, subj) sort inside each bucket file: BGP
+                # plans filter on constant predicates, so row-group
+                # min/max stats prune non-matching groups, and the
+                # low-cardinality pred column RLE/dictionary-compresses
+                edges.sortWithinPartitions("pred", "subj")
+                .withColumn("url_bucket", F.lit(b))
                 .write.mode("overwrite")
                 .partitionBy("url_bucket", "pred_bucket")
                 .option("partitionOverwriteMode", "dynamic")
