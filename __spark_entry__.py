@@ -1908,6 +1908,32 @@ ex:C4 a rdfs:Class ; rdfs:label "Four"@en ; rdfs:subClassOf ex:C2 .
 """
 
 
+def _q_canonicalize_urls(spark, sf_dir):
+    """URL canonicalization over synthesized messy crawl URLs (mixed
+    case, default ports, tracking params, fragments, unsorted query).
+    Oracle: the same normalization rules written independently in
+    DuckDB string/list SQL."""
+    from parser_rdf_spark.webops import canonicalize_urls
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 200
+    )
+    k = F.col("c_custkey")
+    messy = customer.select(
+        F.when(k % 4 == 0,
+               F.concat(F.lit("HTTP://Example.COM:80/p/"), k.cast("string"),
+                        F.lit("?utm_source=x&b="), (k % 3).cast("string"),
+                        F.lit("&a=1#frag")))
+         .when(k % 4 == 1,
+               F.concat(F.lit("https://Host.org:443/q?z="), (k % 5).cast("string")))
+         .when(k % 4 == 2,
+               F.concat(F.lit("http://plain.net/r/"), (k % 7).cast("string")))
+         .otherwise(F.concat(F.lit("http://noslash.net:80"),
+                             F.lit("?gclid="), k.cast("string"))).alias("url"),
+    )
+    return canonicalize_urls(messy).select("url", "canonical_url")
+
+
 def _q_normalize_literals(spark, sf_dir):
     """Literal canonicalization over synthesized messy integer/boolean
     lexical forms ('+0' || k, ' k ', 'TRUE'/'0'): the oracle applies the
@@ -3111,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_description": _q_kg_void_description,
         "ontology_diff": _q_ontology_diff,
         "normalize_literals": _q_normalize_literals,
+        "canonicalize_urls": _q_canonicalize_urls,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4529,6 +4556,36 @@ def oracle_sql() -> dict[str, str]:
         # kg_void_description oracle: the same dataset statistics and
         # partitions computed by plain SQL aggregates
         "kg_void_description": _VOID_ORACLE_SQL,
+        # canonicalize_urls oracle: the same rules in DuckDB string SQL —
+        # lowercase scheme/host, strip default port, drop fragment and
+        # tracking params, sort the query
+        "canonicalize_urls": (
+            "WITH m AS (SELECT CASE "
+            "WHEN c_custkey % 4 = 0 THEN 'HTTP://Example.COM:80/p/' || c_custkey || '?utm_source=x&b=' || (c_custkey % 3) || '&a=1#frag' "
+            "WHEN c_custkey % 4 = 1 THEN 'https://Host.org:443/q?z=' || (c_custkey % 5) "
+            "WHEN c_custkey % 4 = 2 THEN 'http://plain.net/r/' || (c_custkey % 7) "
+            "ELSE 'http://noslash.net:80?gclid=' || c_custkey END AS url "
+            "FROM customer WHERE c_custkey < 200), "
+            "parts AS (SELECT url, "
+            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+            "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport, "
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS rawq FROM m), "
+            "norm AS (SELECT url, scheme, "
+            "CASE WHEN scheme = 'http' AND hostport LIKE '%:80' "
+            "THEN substr(hostport, 1, length(hostport) - 3) "
+            "WHEN scheme = 'https' AND hostport LIKE '%:443' "
+            "THEN substr(hostport, 1, length(hostport) - 4) "
+            "ELSE hostport END AS host, "
+            "CASE WHEN path = '' THEN '/' ELSE path END AS path, "
+            "coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'), "
+            "x -> x <> '' AND NOT regexp_matches(x, "
+            "'^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '') AS q "
+            "FROM parts) "
+            "SELECT url, scheme || '://' || host || path || "
+            "CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url "
+            "FROM norm"
+        ),
         # normalize_literals oracle: identical TRY_CAST canonicalization
         "normalize_literals": (
             "SELECT 'urn:cust:' || c_custkey AS subj, "

@@ -339,3 +339,53 @@ def bigram_lm_quality(
         .otherwise(F.lit(0))
         .alias("avg_logp_micro"),
     )
+
+
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)="
+
+
+def canonicalize_urls(
+    pages: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Crawl-level URL canonicalization — the identity step BEFORE any
+    url-keyed dedup or grouping: the same page arrives as
+    ``HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag`` and
+    ``http://example.com/a?a=1&b=2``, and without normalization every
+    url-keyed operator double-counts it.
+
+    Rules (each a pure Column expression — no UDF, no shuffle):
+    scheme and host lowercased; default ports stripped (:80 http,
+    :443 https); fragment dropped; tracking parameters removed
+    (utm_*, gclid, fbclid, msclkid, ref, ref_src); remaining query
+    parameters SORTED (byte order); empty path normalized to '/'.
+    Non-URL-shaped values pass through unchanged (returned verbatim in
+    ``out_col``), so the column is total."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.expr(f"substring(lower(regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]*)', 1)), 1, length(regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]*)', 1)) - 3)"),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.expr(f"substring(lower(regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]*)', 1)), 1, length(regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]*)', 1)) - 4)"),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q = F.array_join(
+        F.array_sort(F.filter(
+            F.split(rawq, "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+        )),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return pages.withColumn(
+        out_col, F.when(scheme == "", u).otherwise(canon)
+    )

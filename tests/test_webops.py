@@ -232,3 +232,32 @@ def test_attrition_report_monotone_and_labeled(spark):
     toks = [rows[s]["n_tokens"] for s in ("raw", "quality_gate", "exact_dedup", "line_dedup")]
     assert docs == [4, 3, 2, 2]
     assert toks[0] >= toks[1] >= toks[2] >= toks[3]
+
+
+def test_canonicalize_urls(spark):
+    from parser_rdf_spark.webops import canonicalize_urls
+
+    rows = [
+        ("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag",),
+        ("http://example.com/a?a=1&b=2",),
+        ("https://Host.org:443/",),
+        ("https://host.org:8443/keep-port",),
+        ("http://h/",),
+        ("http://h",),                        # empty path -> '/'
+        ("not a url at all",),                # passes through verbatim
+        ("http://h/x?gclid=9&ref=z",),        # all params tracking -> no '?'
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.canonical_url for r in canonicalize_urls(df).collect()]
+    assert got == [
+        "http://example.com/a?a=1&b=2",
+        "http://example.com/a?a=1&b=2",
+        "https://host.org/",
+        "https://host.org:8443/keep-port",
+        "http://h/",
+        "http://h/",
+        "not a url at all",
+        "http://h/x",
+    ]
+    # the first two inputs now collide on the canonical key
+    assert canonicalize_urls(df).select("canonical_url").distinct().count() == 6
