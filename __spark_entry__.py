@@ -1908,6 +1908,30 @@ ex:C4 a rdfs:Class ; rdfs:label "Four"@en ; rdfs:subClassOf ex:C2 .
 """
 
 
+def _q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance ER over synthesized name variants: every customer
+    below 150 gets a base name plus (for k%3==0) a 1-edit alias. The
+    oracle repeats the prefix-block + length-bound + levenshtein
+    verification in SQL (both engines implement standard unit-cost
+    Levenshtein)."""
+    from parser_rdf_spark.linking import fuzzy_name_pairs
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 150
+    )
+    k = F.col("c_custkey")
+    names = customer.select(
+        k.cast("bigint").alias("id"),
+        F.concat(F.lit("Entity Number "), k.cast("string")).alias("name"),
+    ).unionByName(customer.filter(k % 3 == 0).select(
+        (k + 100000).cast("bigint").alias("id"),
+        F.concat(F.lit("entity number "), k.cast("string"), F.lit("!")).alias("name"),
+    ))
+    return fuzzy_name_pairs(names, max_distance=1).select(
+        "id1", "id2", "name1", "name2", "distance"
+    )
+
+
 def _q_canonicalize_urls(spark, sf_dir):
     """URL canonicalization over synthesized messy crawl URLs (mixed
     case, default ports, tracking params, fragments, unsorted query).
@@ -3138,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_diff": _q_ontology_diff,
         "normalize_literals": _q_normalize_literals,
         "canonicalize_urls": _q_canonicalize_urls,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
         "kg_kcore": _q_kg_kcore,
         "ntriples_serialize": _q_ntriples_serialize,
@@ -4556,6 +4581,22 @@ def oracle_sql() -> dict[str, str]:
         # kg_void_description oracle: the same dataset statistics and
         # partitions computed by plain SQL aggregates
         "kg_void_description": _VOID_ORACLE_SQL,
+        # fuzzy_name_pairs oracle: same blocking + levenshtein in SQL
+        "fuzzy_name_pairs": (
+            "WITH n(id, name) AS ("
+            "SELECT CAST(c_custkey AS BIGINT), 'Entity Number ' || c_custkey "
+            "FROM customer WHERE c_custkey < 150 "
+            "UNION ALL SELECT CAST(c_custkey + 100000 AS BIGINT), "
+            "'entity number ' || c_custkey || '!' "
+            "FROM customer WHERE c_custkey < 150 AND c_custkey % 3 = 0), "
+            "b AS (SELECT id, name, lower(substr(name, 1, 2)) AS blk, "
+            "length(name) AS len FROM n) "
+            "SELECT a.id AS id1, c.id AS id2, a.name AS name1, c.name AS name2, "
+            "CAST(levenshtein(lower(a.name), lower(c.name)) AS BIGINT) AS distance "
+            "FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id "
+            "AND abs(a.len - c.len) <= 1 "
+            "WHERE levenshtein(lower(a.name), lower(c.name)) <= 1"
+        ),
         # canonicalize_urls oracle: the same rules in DuckDB string SQL —
         # lowercase scheme/host, strip default port, drop fragment and
         # tracking params, sort the query

@@ -30,7 +30,7 @@ adds. Three components:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Default broadcast ceiling for the salt-exploded dictionary (bytes).
@@ -415,3 +415,55 @@ def normalize_literals(triples: DataFrame) -> DataFrame:
         .otherwise(F.col("obj_value"))
     )
     return triples.withColumn("obj_value", normalized)
+
+
+def fuzzy_name_pairs(
+    names: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 2,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Fuzzy surface-form matching — the edit-distance ER mode between
+    the exact dictionary join (:func:`link_entities`) and document-level
+    MinHash: two mentions within ``max_distance`` case-insensitive edits
+    ("Acme Corp" / "ACME Corp.") are candidate aliases. Returns
+    (id1, id2, name1, name2, distance) with id1 < id2.
+
+    Scale shape: candidates are BLOCKED on the lowercased 2-char prefix
+    (never all-pairs; a self-join inside each prefix block), pre-filtered
+    by length difference ≤ max_distance (a Levenshtein lower bound, so
+    it costs no recall), then verified with the JVM levenshtein. Blocks
+    larger than ``max_block`` are dropped with the usual junk-block
+    rationale. Documented recall bound: a pair whose FIRST TWO
+    characters differ ("Müller"/"Mueller") never meets — standard
+    prefix-blocking tradeoff; add a phonetic or n-gram blocking pass if
+    that matters for the corpus."""
+    base = names.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.lower(F.substring(F.col(name_col), 1, 2)).alias("_blk"),
+        F.length(name_col).alias("_len"),
+    )
+    wb = Window.partitionBy("_blk")
+    blocked = base.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_n") <= max_block
+    ).drop("_n")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= max_distance)
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.lower(F.col("a.name")), F.lower(F.col("b.name"))),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.col("a.name").alias("name1"), F.col("b.name").alias("name2"),
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )

@@ -250,3 +250,27 @@ def test_normalize_literals(spark):
     got = {r.line_no: r.obj_value for r in normalize_literals(t).collect()}
     assert got == {1: "1", 2: "42", 3: "junk", 4: "true", 5: "false",
                    6: "+01", 7: "+01", 8: "0"}
+
+
+def test_fuzzy_name_pairs(spark):
+    from parser_rdf_spark.linking import fuzzy_name_pairs
+
+    df = spark.createDataFrame([
+        (1, "Acme Corp"), (2, "ACME Corp."), (3, "Acme Corporation"),
+        (4, "Zenith Ltd"), (5, "zenith ltd"),
+        (6, "Büro AG"), (7, "Buero AG"),  # first-2 differ: documented miss
+    ], "id bigint, name string")
+    got = sorted((r.id1, r.id2, r.distance)
+                 for r in fuzzy_name_pairs(df, max_distance=2).collect())
+    assert got == [(1, 2, 1), (4, 5, 0)]
+
+
+def test_fuzzy_name_pairs_block_cap(spark):
+    from parser_rdf_spark.linking import fuzzy_name_pairs
+
+    rows = [(i, f"aa{i}") for i in range(10)] + [(100, "zz1"), (101, "zz2")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = sorted((r.id1, r.id2)
+                 for r in fuzzy_name_pairs(df, max_distance=1, max_block=5).collect())
+    # the 10-member 'aa' block is dropped; the small 'zz' block pairs
+    assert got == [(100, 101)]
