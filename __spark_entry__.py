@@ -2005,6 +2005,24 @@ def _q_ontology_diff(spark, sf_dir):
     )
 
 
+def _q_kg_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from seeds
+    {1,2,3} over the events-derived graph — the same IEEE-pinned
+    discipline as kg_pagerank: the oracle unrolls 3 iterations with the
+    teleport vector, ranks compared in rounded micro-units."""
+    from parser_rdf_spark.graphops import personalized_pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return personalized_pagerank(g, [1, 2, 3], n_iter=3).select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.expr("cast(round(rank * 1000000e0) as bigint)").alias("rank_micro"),
+    )
+
+
 def _q_kg_void_description(spark, sf_dir):
     """VoID dataset descriptor of the TPC-H micro-KG: dataset-level
     counts plus property/class partitions, emitted AS RDF rows. Oracle:
@@ -3159,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
         "kg_random_walks": _q_kg_random_walks,
         "kg_void_description": _q_kg_void_description,
+        "kg_personalized_pagerank": _q_kg_personalized_pagerank,
         "ontology_diff": _q_ontology_diff,
         "normalize_literals": _q_normalize_literals,
         "canonicalize_urls": _q_canonicalize_urls,
@@ -4269,6 +4288,37 @@ def oracle_sql() -> dict[str, str]:
             "JOIN od ON od.src = ed.src JOIN r2 ON r2.vertex = ed.src GROUP BY ed.dst), "
             "r3 AS (SELECT v.vertex, (1e0 - 0.85e0) / nn.n + 0.85e0 * COALESCE(s3.s, 0e0) AS r "
             "FROM v CROSS JOIN nn LEFT JOIN s3 ON s3.dv = v.vertex) "
+            "SELECT CAST(vertex AS BIGINT) AS vertex, "
+            "CAST(ROUND(r * 1000000e0) AS BIGINT) AS rank_micro FROM r3"
+        ),
+        "kg_personalized_pagerank": (
+            # 3 unrolled iterations with the teleport vector; identical
+            # IEEE ops to graphops.personalized_pagerank (1e0/3 = the
+            # Python double 1.0/3, 1e0-0.85e0 = 1.0-0.85)
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "ed AS (SELECT DISTINCT src, dst FROM e0), "
+            "v AS (SELECT DISTINCT vertex FROM "
+            "(SELECT src AS vertex FROM ed UNION ALL SELECT dst AS vertex FROM ed)), "
+            "sd AS (SELECT s AS sv, 1e0 / 3 AS t FROM (VALUES (1), (2), (3)) seeds(s)), "
+            "od AS (SELECT src, COUNT(*) AS c FROM ed GROUP BY src), "
+            "r0 AS (SELECT v.vertex, COALESCE(sd.t, 0e0) AS r FROM v "
+            "LEFT JOIN sd ON sd.sv = v.vertex), "
+            "s1 AS (SELECT ed.dst AS dv, SUM(r0.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r0 ON r0.vertex = ed.src GROUP BY ed.dst), "
+            "r1 AS (SELECT v.vertex, (1e0 - 0.85e0) * COALESCE(sd.t, 0e0) "
+            "+ 0.85e0 * COALESCE(s1.s, 0e0) AS r FROM v "
+            "LEFT JOIN sd ON sd.sv = v.vertex LEFT JOIN s1 ON s1.dv = v.vertex), "
+            "s2 AS (SELECT ed.dst AS dv, SUM(r1.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r1 ON r1.vertex = ed.src GROUP BY ed.dst), "
+            "r2 AS (SELECT v.vertex, (1e0 - 0.85e0) * COALESCE(sd.t, 0e0) "
+            "+ 0.85e0 * COALESCE(s2.s, 0e0) AS r FROM v "
+            "LEFT JOIN sd ON sd.sv = v.vertex LEFT JOIN s2 ON s2.dv = v.vertex), "
+            "s3 AS (SELECT ed.dst AS dv, SUM(r2.r / od.c) AS s FROM ed "
+            "JOIN od ON od.src = ed.src JOIN r2 ON r2.vertex = ed.src GROUP BY ed.dst), "
+            "r3 AS (SELECT v.vertex, (1e0 - 0.85e0) * COALESCE(sd.t, 0e0) "
+            "+ 0.85e0 * COALESCE(s3.s, 0e0) AS r FROM v "
+            "LEFT JOIN sd ON sd.sv = v.vertex LEFT JOIN s3 ON s3.dv = v.vertex) "
             "SELECT CAST(vertex AS BIGINT) AS vertex, "
             "CAST(ROUND(r * 1000000e0) AS BIGINT) AS rank_micro FROM r3"
         ),

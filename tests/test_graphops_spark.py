@@ -312,3 +312,34 @@ def test_void_description_counts_and_serializes(spark):
     [doc] = [r.turtle for r in to_turtle_docs(v).collect()]
     triples, _ = turtle_parse(doc)
     assert len(triples) == v.count()
+
+
+def test_personalized_pagerank_restart_mass(spark):
+    from parser_rdf_spark.graphops import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string")
+    got = {r.vertex: r.rank for r in personalized_pagerank(e, ["a"], n_iter=3).collect()}
+    # hand-unrolled 3 iterations (tele(a)=1):
+    assert abs(got["a"] - 0.4570625) < 1e-12
+    assert abs(got["b"] - 0.1275) < 1e-12
+    assert abs(got["c"] - 0.108375) < 1e-12
+    assert abs(got["d"] - 0.30706249999999996) < 1e-12
+    # global pagerank would spread mass everywhere; PPR keeps it local
+    far = spark.createDataFrame([("x", "y")], "src string, dst string")
+    both = e.unionByName(far)
+    got2 = {r.vertex: r.rank for r in personalized_pagerank(both, ["a"], n_iter=3).collect()}
+    assert got2["x"] == 0.0 and got2["y"] == 0.0
+
+
+def test_personalized_pagerank_multi_seed_and_validation(spark):
+    import pytest as _pytest
+
+    from parser_rdf_spark.graphops import personalized_pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.vertex: r.rank for r in personalized_pagerank(e, ["a", "b", "a"], n_iter=0).collect()}
+    assert got == {"a": 0.5, "b": 0.5}  # dup seeds collapse; rank0 = tele
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, [])
