@@ -2315,6 +2315,37 @@ def _q_owl_chain_entailment(spark, sf_dir):
     ).select("subj", "pred", "obj")
 
 
+def _q_resolve_entities(spark, sf_dir):
+    """Stage-3 one-call identity resolution: IFP mailbox collisions
+    (custkey k ~ k+100) inferred, classes closed, every triple rewritten
+    to the class minimum, sameAs consumed. Oracle: SQL rewrite through
+    the group-minimum map."""
+    from parser_rdf_spark.inference import resolve_entities
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 200
+    )
+    k = F.col("c_custkey")
+    cust = F.concat(F.lit("urn:cust:"), k.cast("string"))
+    kg = (
+        customer.select(cust.alias("subj"), F.lit("ex:email").alias("pred"),
+                        F.concat(F.lit("urn:mail:"),
+                                 (k % 100).cast("string")).alias("obj"))
+        .unionByName(customer.select(cust.alias("subj"),
+                                     F.lit("ex:mktsegment").alias("pred"),
+                                     F.col("c_mktsegment").alias("obj")))
+        .unionByName(customer.select(cust.alias("subj"),
+                                     F.lit("ex:inNation").alias("pred"),
+                                     F.concat(F.lit("urn:nation:"),
+                                              F.col("c_nationkey").cast("string")).alias("obj")))
+        .unionByName(spark.createDataFrame(
+            [("ex:email", "rdf:type",
+              "http://www.w3.org/2002/07/owl#InverseFunctionalProperty")],
+            "subj string, pred string, obj string"))
+    )
+    return resolve_entities(kg, vocab={"type": "rdf:type"})
+
+
 def _q_turtle_serialize(spark, sf_dir):
     """Sink-side Turtle serialization: the quartet corpus rendered to
     prefix-compacted, subject-grouped Turtle blocks by the pure-Column
@@ -3172,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_inference": _q_owl_inference,
         "owl_sameas_canonicalize": _q_owl_sameas,
         "owl_ifp_sameas": _q_owl_ifp_sameas,
+        "resolve_entities": _q_resolve_entities,
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
@@ -4735,6 +4767,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.x AS subj, "
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, a.x AS obj "
             "FROM e a JOIN e b ON a.m = b.m AND a.n = b.n AND a.x < b.x"
+        ),
+        # resolve_entities oracle: the group-minimum rewrite in SQL —
+        # every member maps to MIN(iri) over its mailbox group (sameAs
+        # classes here are exactly the shared-mailbox groups), sameAs
+        # and the axiom's own rows pass through the rewrite untouched
+        "resolve_entities": (
+            "WITH e AS (SELECT 'urn:cust:' || c_custkey AS x, "
+            "'urn:mail:' || (c_custkey % 100) AS m, c_mktsegment AS seg, "
+            "'urn:nation:' || c_nationkey AS n "
+            "FROM customer WHERE c_custkey < 200), "
+            "canon AS (SELECT m, MIN(x) AS c FROM e GROUP BY m), "
+            "r AS (SELECT canon.c AS cx, e.* FROM e JOIN canon ON e.m = canon.m) "
+            "SELECT DISTINCT cx AS subj, 'ex:email' AS pred, m AS obj FROM r "
+            "UNION SELECT DISTINCT cx, 'ex:mktsegment', seg FROM r "
+            "UNION SELECT DISTINCT cx, 'ex:inNation', n FROM r "
+            "UNION SELECT 'ex:email', 'rdf:type', "
+            "'http://www.w3.org/2002/07/owl#InverseFunctionalProperty'"
         ),
         # owl_chain_entailment oracle: the chain expanded as explicit
         # 2-hop joins, customers and suppliers separately

@@ -610,3 +610,42 @@ def sameas_canonicalize(
         )
         .distinct()
     )
+
+
+def resolve_entities(
+    triples: DataFrame,
+    keys: DataFrame | None = None,
+    extra_sameas: DataFrame | None = None,
+    vocab: dict[str, str] | None = None,
+    use_functional: bool = True,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Stage-3 identity resolution in ONE call: gather every identity
+    signal — asserted owl:sameAs, (inverse-)functional-property
+    inference (:func:`owl_functional_sameas`), optional compound keys
+    (:func:`owl_haskey_sameas`), and any caller-supplied extra pairs
+    (e.g. :func:`.linking.fuzzy_name_pairs` matches promoted to sameAs)
+    — then close the equivalence classes ONCE with connected components
+    and rewrite every member to its canonical representative
+    (:func:`sameas_canonicalize`).
+
+    Returns the canonicalized (subj, pred, obj) relation; sameAs
+    assertions are consumed by the rewrite. Running the closure once
+    over the union of signals matters: mailbox-pair {a,b} and key-pair
+    {b,c} merge into one class {a,b,c}, which per-signal
+    canonicalization would miss."""
+    obj = F.col("obj") if "obj" in triples.columns else F.col("obj_value")
+    base = triples.select("subj", "pred", obj.alias("obj"))
+    parts = [base]
+    if use_functional:
+        parts.append(owl_functional_sameas(triples, vocab))
+    if keys is not None:
+        parts.append(owl_haskey_sameas(triples, keys, vocab))
+    if extra_sameas is not None:
+        parts.append(
+            extra_sameas.select("subj", F.lit(OWL_SAMEAS).alias("pred"), "obj")
+        )
+    kg = parts[0]
+    for p in parts[1:]:
+        kg = kg.unionByName(p)
+    return sameas_canonicalize(kg, max_iters=max_iters)

@@ -353,3 +353,23 @@ def test_owl_haskey_requires_class_membership(spark):
         ("y", "email", "e1"),  # same mailbox but not typed Person
     ], SCHEMA)
     assert owl_haskey_sameas(t, keys, vocab={"type": "a"}).count() == 0
+
+
+def test_resolve_entities_merges_signals_into_one_class(spark):
+    from parser_rdf_spark.inference import resolve_entities
+
+    keys = spark.createDataFrame(
+        [("Person", "k1", "phone")], "cls string, key_id string, prop string")
+    t = spark.createDataFrame([
+        ("mbox", "a", "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"),
+        ("x", "a", "Person"), ("y", "a", "Person"), ("z", "a", "Person"),
+        # IFP links x~y; hasKey links y~z: ONE class {x,y,z}
+        ("x", "mbox", "m1"), ("y", "mbox", "m1"),
+        ("y", "phone", "p1"), ("z", "phone", "p1"),
+        ("z", "likes", "w"),
+    ], SCHEMA)
+    out = rows(resolve_entities(t, keys=keys, vocab={"type": "a"}))
+    # z's edge now asserts from the class minimum x; no sameAs remains
+    assert ("x", "likes", "w") in out
+    assert not any(p == "http://www.w3.org/2002/07/owl#sameAs" for _, p, _o in out)
+    assert not any(s in ("y", "z") for s, _, _ in out)
