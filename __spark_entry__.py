@@ -2023,6 +2023,23 @@ def _q_kg_personalized_pagerank(spark, sf_dir):
     )
 
 
+def _q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities in the unnormalized integer form (exact
+    path counts, bigint — no floats anywhere), 2 iterations over the
+    events graph. Oracle: the same two join+sum passes per iteration in
+    SQL, integer-exact."""
+    from parser_rdf_spark.graphops import hits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = ev.select(
+        (F.col("user_id") % 997).alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits(g, n_iter=2).select(
+        F.col("vertex").cast("bigint").alias("vertex"), "hub", "auth"
+    )
+
+
 def _q_kg_void_description(spark, sf_dir):
     """VoID dataset descriptor of the TPC-H micro-KG: dataset-level
     counts plus property/class partitions, emitted AS RDF rows. Oracle:
@@ -3210,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _q_kg_random_walks,
         "kg_void_description": _q_kg_void_description,
         "kg_personalized_pagerank": _q_kg_personalized_pagerank,
+        "kg_hits": _q_kg_hits,
         "ontology_diff": _q_ontology_diff,
         "normalize_literals": _q_normalize_literals,
         "canonicalize_urls": _q_canonicalize_urls,
@@ -4322,6 +4340,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM v CROSS JOIN nn LEFT JOIN s3 ON s3.dv = v.vertex) "
             "SELECT CAST(vertex AS BIGINT) AS vertex, "
             "CAST(ROUND(r * 1000000e0) AS BIGINT) AS rank_micro FROM r3"
+        ),
+        "kg_hits": (
+            # 2 unrolled integer iterations — exact, no floats
+            "WITH e0 AS (SELECT user_id % 997 AS src, event_id % 997 AS dst FROM events "
+            "WHERE user_id % 997 <> event_id % 997), "
+            "ed AS (SELECT DISTINCT src, dst FROM e0), "
+            "v AS (SELECT DISTINCT vertex FROM "
+            "(SELECT src AS vertex FROM ed UNION ALL SELECT dst AS vertex FROM ed)), "
+            "h0 AS (SELECT vertex, CAST(1 AS BIGINT) AS hub FROM v), "
+            "a1 AS (SELECT v.vertex, CAST(COALESCE(s.a, 0) AS BIGINT) AS auth FROM v "
+            "LEFT JOIN (SELECT ed.dst AS dv, SUM(h0.hub) AS a FROM ed "
+            "JOIN h0 ON h0.vertex = ed.src GROUP BY ed.dst) s ON s.dv = v.vertex), "
+            "h1 AS (SELECT v.vertex, CAST(COALESCE(s.h, 0) AS BIGINT) AS hub FROM v "
+            "LEFT JOIN (SELECT ed.src AS sv, SUM(a1.auth) AS h FROM ed "
+            "JOIN a1 ON a1.vertex = ed.dst GROUP BY ed.src) s ON s.sv = v.vertex), "
+            "a2 AS (SELECT v.vertex, CAST(COALESCE(s.a, 0) AS BIGINT) AS auth FROM v "
+            "LEFT JOIN (SELECT ed.dst AS dv, SUM(h1.hub) AS a FROM ed "
+            "JOIN h1 ON h1.vertex = ed.src GROUP BY ed.dst) s ON s.dv = v.vertex), "
+            "h2 AS (SELECT v.vertex, CAST(COALESCE(s.h, 0) AS BIGINT) AS hub FROM v "
+            "LEFT JOIN (SELECT ed.src AS sv, SUM(a2.auth) AS h FROM ed "
+            "JOIN a2 ON a2.vertex = ed.dst GROUP BY ed.src) s ON s.sv = v.vertex) "
+            "SELECT CAST(h2.vertex AS BIGINT) AS vertex, h2.hub, a2.auth "
+            "FROM h2 JOIN a2 ON a2.vertex = h2.vertex"
         ),
         "kg_personalized_pagerank": (
             # 3 unrolled iterations with the teleport vector; identical

@@ -650,3 +650,64 @@ def personalized_pagerank(
     e_w.unpersist()
     verts.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities, UNNORMALIZED INTEGER form: h⁰ = 1 for
+    every vertex; aᵏ⁺¹(v) = Σ_{u→v} hᵏ(u); hᵏ⁺¹(u) = Σ_{u→v} aᵏ⁺¹(v).
+    Without the usual L2 normalization the scores are exact path counts
+    (bigints — no floating-point at all), so rankings are identical to
+    normalized HITS at every iteration and the computation is
+    bit-exactly reproducible on any engine; callers normalize for
+    display if they want unit vectors. Good hubs (point at many good
+    authorities) and good authorities (pointed at by many good hubs)
+    emerge in 2-3 iterations on web-shaped graphs.
+
+    Scale shape: per iteration one join+agg for the authority pass and
+    one for the hub pass over the distinct edge relation (persisted,
+    loop-invariant), localCheckpoint per round."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    hubs = verts.withColumn("hub", F.lit(1).cast("bigint")).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(n_iter):
+        a_sum = (
+            e.join(hubs, F.col("src") == F.col("vertex"))
+            .groupBy("dst").agg(F.sum("hub").alias("_a"))
+            .select(F.col("dst").alias("_av"), "_a")
+        )
+        auths = (
+            verts.join(a_sum, F.col("vertex") == F.col("_av"), "left")
+            .select("vertex",
+                    F.coalesce(F.col("_a"), F.lit(0)).cast("bigint").alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_sum = (
+            e.join(auths, F.col("dst") == F.col("vertex"))
+            .groupBy("src").agg(F.sum("auth").alias("_h"))
+            .select(F.col("src").alias("_hv"), "_h")
+        )
+        hubs = (
+            verts.join(h_sum, F.col("vertex") == F.col("_hv"), "left")
+            .select("vertex",
+                    F.coalesce(F.col("_h"), F.lit(0)).cast("bigint").alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return hubs.join(auths, "vertex").select("vertex", "hub", "auth")

@@ -343,3 +343,19 @@ def test_personalized_pagerank_multi_seed_and_validation(spark):
     assert got == {"a": 0.5, "b": 0.5}  # dup seeds collapse; rank0 = tele
     with _pytest.raises(ValueError):
         personalized_pagerank(e, [])
+
+
+def test_hits_integer_path_counts(spark):
+    from parser_rdf_spark.graphops import hits
+
+    # two hubs point at a shared authority; one also at a private one
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h2", "a1"), ("h1", "a2")], "src string, dst string")
+    got = {r.vertex: (r.hub, r.auth) for r in hits(e, n_iter=1).collect()}
+    # a1 gets both unit hubs; h1's hub = a1 + a2 = 2 + 1
+    assert got["a1"] == (0, 2) and got["a2"] == (0, 1)
+    assert got["h1"] == (3, 0) and got["h2"] == (2, 0)
+    got2 = {r.vertex: (r.hub, r.auth) for r in hits(e, n_iter=2).collect()}
+    # iteration 2: a1 = h1+h2 = 5, a2 = h1 = 3; h1 = 5+3 = 8, h2 = 5
+    assert got2["a1"] == (0, 5) and got2["a2"] == (0, 3)
+    assert got2["h1"] == (8, 0) and got2["h2"] == (5, 0)
