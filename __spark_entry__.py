@@ -2176,6 +2176,26 @@ def _walks_oracle_sql(walk_length: int = 3, num_walks: int = 2) -> str:
     )
 
 
+def _q_sparql_describe_cbd(spark, sf_dir):
+    """DESCRIBE as a Concise Bounded Description: blank-node objects are
+    recursively included (a bnode has no dereferenceable identity of its
+    own), IRI objects are not expanded. Driven over an inline bnode-tree
+    KG; oracle = the hand-derived closure."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame([
+        ("urn:thing", "ex:label", "top"),
+        ("urn:thing", "ex:part", "_:p1"),
+        ("_:p1", "ex:name", "inner"),
+        ("_:p1", "ex:sub", "_:p2"),
+        ("_:p2", "ex:name", "deep"),
+        ("urn:thing", "ex:ref", "urn:other"),
+        ("urn:other", "ex:label", "not-expanded"),
+        ("urn:third", "ex:label", "unrelated"),
+    ], "subj string, pred string, obj string")
+    return sparql_query(t, "DESCRIBE <urn:thing>")
+
+
 def _q_sparql_graph_mgmt(spark, sf_dir):
     """SPARQL 1.1 Update graph management over a quads relation:
     customers bucketed into three named graphs plus nations in the
@@ -3224,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_chain_entailment": _q_owl_chain_entailment,
         "owl_haskey_sameas": _q_owl_haskey_sameas,
         "sparql_graph_mgmt": _q_sparql_graph_mgmt,
+        "sparql_describe_cbd": _q_sparql_describe_cbd,
         "kg_random_walks": _q_kg_random_walks,
         "kg_void_description": _q_kg_void_description,
         "kg_personalized_pagerank": _q_kg_personalized_pagerank,
@@ -4683,6 +4704,17 @@ def oracle_sql() -> dict[str, str]:
             "'http://www.w3.org/2002/07/owl#sameAs' AS pred, g.mn AS obj "
             "FROM e a JOIN (SELECT m, MIN(s) AS mn FROM e GROUP BY m) g "
             "ON a.m = g.m WHERE a.s <> g.mn"
+        ),
+        # sparql_describe_cbd oracle: the hand-derived bounded closure
+        "sparql_describe_cbd": (
+            "SELECT * FROM (VALUES "
+            "('urn:thing', 'ex:label', 'top'), "
+            "('urn:thing', 'ex:part', '_:p1'), "
+            "('_:p1', 'ex:name', 'inner'), "
+            "('_:p1', 'ex:sub', '_:p2'), "
+            "('_:p2', 'ex:name', 'deep'), "
+            "('urn:thing', 'ex:ref', 'urn:other')"
+            ") AS t(subj, pred, obj)"
         ),
         # sparql_graph_mgmt oracle: the four surviving partitions of the
         # MOVE/ADD/COPY/DROP chain as disjoint UNION ALL branches

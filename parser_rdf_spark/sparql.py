@@ -1306,10 +1306,41 @@ def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     for q in parts[1:]:
         resources = resources.unionByName(q)
     resources = resources.na.drop().distinct()
-    out = triples.join(resources, on=triples["subj"] == resources["r"],
-                       how="left_semi")
-    return out.select("subj", "pred", "obj").dropDuplicates(
-        ["subj", "pred", "obj"])
+    return describe_cbd(triples, resources, dedup=dedup)
+
+
+def describe_cbd(triples: DataFrame, resources: DataFrame,
+                 dedup: bool = True, max_depth: int = 16) -> DataFrame:
+    """Concise Bounded Description (the spec's recommended DESCRIBE
+    shape): the subject rows of every resource in ``resources`` (column
+    ``r``), recursively extended through BLANK-NODE objects — a bnode
+    carries no dereferenceable identity, so its description is part of
+    its parent's. IRI objects are NOT expanded (that would crawl the
+    whole graph).
+
+    Scale shape: frontier loop like BFS — each round one semi-join to
+    pull the frontier's rows and one anti-join to keep only unseen
+    bnodes, localCheckpoint per round; depth is bounded by the deepest
+    bnode tree (max_depth a safety stop for cyclic bnode structures)."""
+    frontier = resources.select("r").distinct().localCheckpoint(eager=True)
+    seen = frontier
+    out = None
+    for _ in range(max_depth):
+        rows = triples.join(frontier, triples["subj"] == frontier["r"],
+                            "left_semi").select("subj", "pred", "obj")
+        out = rows if out is None else out.unionByName(rows)
+        nxt = (
+            rows.filter(F.col("obj").startswith("_:"))
+            .select(F.col("obj").alias("r"))
+            .distinct()
+            .join(seen, "r", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out.dropDuplicates(["subj", "pred", "obj"])
 
 
 # ---------------------------------------------------------------------------

@@ -753,3 +753,32 @@ def test_construct_with_order_limit(kg):
     """)
     assert sorted(tuple(r) for r in out.collect()) == [
         ("a", "likesTop", "b"), ("a", "likesTop", "c")]
+
+
+def test_describe_cbd_expands_bnode_trees(spark):
+    t = spark.createDataFrame([
+        ("s", "p", "_:b1"),
+        ("_:b1", "q", "_:b2"),
+        ("_:b2", "q2", "leaf"),
+        ("s", "p2", "iri-obj"),
+        ("iri-obj", "x", "not-included"),   # IRI objects are NOT expanded
+        ("other", "y", "z"),
+    ], "subj string, pred string, obj string")
+    out = sparql_query(t, "DESCRIBE <s>")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("_:b1", "q", "_:b2"),
+        ("_:b2", "q2", "leaf"),
+        ("s", "p", "_:b1"),
+        ("s", "p2", "iri-obj"),
+    ]
+
+
+def test_describe_cbd_cyclic_bnodes_terminate(spark):
+    t = spark.createDataFrame([
+        ("s", "p", "_:a"),
+        ("_:a", "q", "_:b"),
+        ("_:b", "q", "_:a"),  # bnode cycle
+    ], "subj string, pred string, obj string")
+    out = sparql_query(t, "DESCRIBE <s>")
+    assert out.count() == 3
