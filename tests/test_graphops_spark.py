@@ -359,3 +359,28 @@ def test_hits_integer_path_counts(spark):
     # iteration 2: a1 = h1+h2 = 5, a2 = h1 = 3; h1 = 5+3 = 8, h2 = 5
     assert got2["a1"] == (0, 5) and got2["a2"] == (0, 3)
     assert got2["h1"] == (8, 0) and got2["h2"] == (5, 0)
+
+
+def test_round3_graph_ops_plan_shapes(spark):
+    """Plan-shape pins for the round-3 graph ops: blocked/frontier joins
+    must compile to hash/sort-merge equi-joins — never a cartesian or
+    broadcast-nested-loop (the shapes that die at web scale)."""
+    from parser_rdf_spark.graphops import (
+        hits, kcore, neighborhood_jaccard, personalized_pagerank, random_walks,
+    )
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    plans = [
+        neighborhood_jaccard(e)._jdf.queryExecution().executedPlan().toString(),
+        random_walks(e, 2)._jdf.queryExecution().executedPlan().toString(),
+        kcore(e, 2)._jdf.queryExecution().executedPlan().toString(),
+        personalized_pagerank(e, ["n1"], n_iter=1)._jdf.queryExecution()
+        .executedPlan().toString(),
+        hits(e, n_iter=1)._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
