@@ -13,7 +13,8 @@ Supported subset (everything the underlying compiler can plan):
 
 * prologue: ``PREFIX pfx: <iri>`` (``BASE`` is not supported, mirroring
   the reference's no-``@base`` scope, docs/spec-completeness.md:147);
-* query forms: ``SELECT [DISTINCT]``, ``ASK``, ``CONSTRUCT {…} WHERE``
+* query forms: ``SELECT [DISTINCT|REDUCED]`` (REDUCED implemented as
+  DISTINCT — spec-conformant and deterministic), ``ASK``, ``CONSTRUCT {…} WHERE``
   (with ORDER BY/LIMIT applied to the solution sequence before
   templating) and the ``CONSTRUCT WHERE {…}`` shorthand (plain triple
   patterns doubling as the template), ``DESCRIBE`` (description = all
@@ -98,7 +99,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "prefix", "base", "select", "distinct", "where", "optional", "filter",
     "union", "values", "bind", "not", "exists", "minus", "group", "by",
-    "having", "order", "asc", "desc", "limit", "offset", "ask",
+    "having", "order", "asc", "desc", "limit", "offset", "ask", "reduced",
     "construct", "describe", "as", "undef", "in", "true", "false",
     "graph", "service",
 }
@@ -807,7 +808,9 @@ def parse_sparql(text: str) -> dict:
 
 
 def _parse_select(p: _Parser, subquery: bool = False) -> dict:
-    distinct = bool(p._eat_kw("distinct"))
+    # REDUCED permits (but does not require) duplicate elimination —
+    # implementing it as DISTINCT is spec-conformant and deterministic
+    distinct = bool(p._eat_kw("distinct")) or bool(p._eat_kw("reduced"))
     select: list[str] | None = []
     aggregates: dict[str, str] = {}
     proj_exprs: dict[str, str] = {}

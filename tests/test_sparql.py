@@ -782,3 +782,8 @@ def test_describe_cbd_cyclic_bnodes_terminate(spark):
     ], "subj string, pred string, obj string")
     out = sparql_query(t, "DESCRIBE <s>")
     assert out.count() == 3
+
+
+def test_select_reduced_eliminates_duplicates(kg):
+    out = sparql_query(kg, "SELECT REDUCED ?t WHERE { ?s type ?t }")
+    assert sorted(tuple(r) for r in out.collect()) == [("Person",), ("Robot",)]
