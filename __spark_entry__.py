@@ -3154,7 +3154,67 @@ _TPCH_DELTA_CTE = (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # KG engine operators (SURVEY.md §2)
+        # --- round-4 driver window: the 56 queries never driver-oracled in
+        # --- r01-r03 (the driver checks list(queries())[:50]); VERDICT r03 task 1.
+        "bgp_star_join": _q_bgp_star_join,
+        "bgp_optional_filter": _q_bgp_optional_filter,
+        "bgp_same_nation_join": _q_bgp_same_nation_join,
+        "bgp_path_query": _q_bgp_path_query,
+        "bgp_construct_rewrite": _q_bgp_construct_rewrite,
+        "bgp_union_query": _q_bgp_union_query,
+        "bgp_not_exists": _q_bgp_not_exists,
+        "bgp_aggregate": _q_bgp_aggregate,
+        "bgp_bind_query": _q_bgp_bind_query,
+        "bgp_kleene_path": _q_bgp_kleene_path,
+        "sparql_select": _q_sparql_select,
+        "sparql_path_agg": _q_sparql_path_agg,
+        "sparql_ask": _q_sparql_ask,
+        "sparql_construct": _q_sparql_construct,
+        "sparql_union": _q_sparql_union,
+        "sparql_negated_minus": _q_sparql_negated_minus,
+        "sparql_update_apply": _q_sparql_update,
+        "sparql_graph_query": _q_sparql_graph,
+        "sparql_describe": _q_sparql_describe,
+        "sparql_exists_filter": _q_sparql_exists_filter,
+        "sparql_agg_union": _q_sparql_agg_union,
+        "sparql_subselect": _q_sparql_subselect,
+        "sparql_proj_expr": _q_sparql_proj_expr,
+        "sparql_group_concat": _q_sparql_group_concat,
+        "sparql_graph_mgmt": _q_sparql_graph_mgmt,
+        "sparql_describe_cbd": _q_sparql_describe_cbd,
+        "rdfs_inference": _q_rdfs_inference,
+        "shacl_validation": _q_shacl_validation,
+        "owl_inference": _q_owl_inference,
+        "owl_sameas_canonicalize": _q_owl_sameas,
+        "owl_ifp_sameas": _q_owl_ifp_sameas,
+        "resolve_entities": _q_resolve_entities,
+        "owl_chain_entailment": _q_owl_chain_entailment,
+        "owl_haskey_sameas": _q_owl_haskey_sameas,
+        "kg_random_walks": _q_kg_random_walks,
+        "kg_void_description": _q_kg_void_description,
+        "kg_personalized_pagerank": _q_kg_personalized_pagerank,
+        "kg_hits": _q_kg_hits,
+        "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
+        "kg_kcore": _q_kg_kcore,
+        "ntriples_serialize": _q_ntriples_serialize,
+        "turtle_serialize": _q_turtle_serialize,
+        "nquads_serialize": _q_nquads_serialize,
+        "jsonld_serialize_roundtrip": _q_jsonld_serialize_roundtrip,
+        "rdfxml_serialize_roundtrip": _q_rdfxml_serialize_roundtrip,
+        "kg_statistics": _q_kg_statistics,
+        "kg_incremental_cc": _q_kg_incremental_cc,
+        "triples_delta_merge": _q_triples_delta_merge,
+        "triples_delta_stats": _q_triples_delta_stats,
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        # --- positions 51-56: remaining never-driver-checked; front of the
+        # --- round-5 window.
+        "normalize_literals": _q_normalize_literals,
+        "canonicalize_urls": _q_canonicalize_urls,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "ontology_diff": _q_ontology_diff,
+        "ann_sq8_recall": _q_ann_sq8_recall,
+        "stream_incremental_cc": _q_stream_incremental_cc,
+        # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
         "parse_cross_format_triples": _q_quartet_triples,
@@ -3172,7 +3232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_dictionary": _q_entity_linking,
         "edges_materialize": _q_edges_from_quartet,
         "pipeline_end_to_end": _q_pipeline_end_to_end,
-        # training-data pipeline operators
         "exact_dedup_groups": _q_exact_dedup,
         "dedup_keep_first": _q_dedup_keep_first,
         "token_stats": _q_token_stats,
@@ -3185,7 +3244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
-        # web-corpus hygiene (webops.py)
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "url_domain_stats": _q_url_domain_stats,
@@ -3203,91 +3261,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _q_events_percentiles,
         "events_daily_rollup": _q_events_daily_rollup,
         "events_user_pivot": _q_events_user_pivot,
-        # graph analytics over the materialized edge relation
         "kg_degrees": _q_kg_degrees,
         "kg_triangle_count": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_label_propagation": _q_kg_label_propagation,
         "kg_khop_reachability": _q_kg_khop,
-        # BGP (SPARQL-style) pattern queries over the triple-ized KG
-        "bgp_star_join": _q_bgp_star_join,
-        "bgp_optional_filter": _q_bgp_optional_filter,
-        "bgp_same_nation_join": _q_bgp_same_nation_join,
-        "bgp_path_query": _q_bgp_path_query,
-        "bgp_construct_rewrite": _q_bgp_construct_rewrite,
-        "bgp_union_query": _q_bgp_union_query,
-        "bgp_not_exists": _q_bgp_not_exists,
-        "bgp_aggregate": _q_bgp_aggregate,
-        "bgp_bind_query": _q_bgp_bind_query,
-        "bgp_kleene_path": _q_bgp_kleene_path,
-        # SPARQL 1.1 text front-end (query strings → the bgp compiler)
-        "sparql_select": _q_sparql_select,
-        "sparql_path_agg": _q_sparql_path_agg,
-        "sparql_ask": _q_sparql_ask,
-        "sparql_construct": _q_sparql_construct,
-        "sparql_union": _q_sparql_union,
-        "sparql_negated_minus": _q_sparql_negated_minus,
-        "sparql_update_apply": _q_sparql_update,
-        "sparql_graph_query": _q_sparql_graph,
-        "sparql_describe": _q_sparql_describe,
-        "sparql_exists_filter": _q_sparql_exists_filter,
-        "sparql_agg_union": _q_sparql_agg_union,
-        "sparql_subselect": _q_sparql_subselect,
-        "sparql_proj_expr": _q_sparql_proj_expr,
-        "sparql_group_concat": _q_sparql_group_concat,
-        "rdfs_inference": _q_rdfs_inference,
-        "shacl_validation": _q_shacl_validation,
-        "owl_inference": _q_owl_inference,
-        "owl_sameas_canonicalize": _q_owl_sameas,
-        "owl_ifp_sameas": _q_owl_ifp_sameas,
-        "resolve_entities": _q_resolve_entities,
-        "owl_chain_entailment": _q_owl_chain_entailment,
-        "owl_haskey_sameas": _q_owl_haskey_sameas,
-        "sparql_graph_mgmt": _q_sparql_graph_mgmt,
-        "sparql_describe_cbd": _q_sparql_describe_cbd,
-        "kg_random_walks": _q_kg_random_walks,
-        "kg_void_description": _q_kg_void_description,
-        "kg_personalized_pagerank": _q_kg_personalized_pagerank,
-        "kg_hits": _q_kg_hits,
-        "ontology_diff": _q_ontology_diff,
-        "normalize_literals": _q_normalize_literals,
-        "canonicalize_urls": _q_canonicalize_urls,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "kg_neighborhood_jaccard": _q_kg_neighborhood_jaccard,
-        "kg_kcore": _q_kg_kcore,
-        "ntriples_serialize": _q_ntriples_serialize,
-        "turtle_serialize": _q_turtle_serialize,
-        "nquads_serialize": _q_nquads_serialize,
-        "jsonld_serialize_roundtrip": _q_jsonld_serialize_roundtrip,
-        "rdfxml_serialize_roundtrip": _q_rdfxml_serialize_roundtrip,
-        "kg_statistics": _q_kg_statistics,
-        # incremental maintenance (delta merge + incremental CC)
-        "kg_incremental_cc": _q_kg_incremental_cc,
-        "stream_incremental_cc": _q_stream_incremental_cc,
-        "triples_delta_merge": _q_triples_delta_merge,
-        "triples_delta_stats": _q_triples_delta_stats,
-        "snapshot_time_travel": _q_snapshot_time_travel,
         "events_user_timeline": _q_events_user_timeline,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        # multimodal binary-column ops
         "media_stats": _q_media_stats,
         "video_frame_sample": _q_video_frames,
         "embedding_near_dup": _q_embedding_near_dup,
-        # approximate-path verification (recall vs exact ground truth)
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "minhash_lsh_recall": _q_minhash_recall,
         "ann_lsh_recall": _q_ann_lsh_recall,
-        "ann_sq8_recall": _q_ann_sq8_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        # golden-pinned (blake2b has no DuckDB equivalent; oracles are
-        # independent pure-Python recomputations emitted as VALUES)
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_near_dup,
         "media_decode_dims": _q_media_decode,
         "image_resize_4x4": _q_image_resize,
         "media_embed_ann": _q_media_embed_ann,
-        # rows-only raw surfaces (verified via their *_recall companions)
         "minhash_lsh_near_dup": _q_minhash_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,

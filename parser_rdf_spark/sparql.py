@@ -71,7 +71,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import bgp_ask, bgp_construct, bgp_query, bgp_union, seq_path
+from .bgp import bgp_ask, bgp_query, bgp_union, seq_path
 
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -110,7 +110,7 @@ _FUNC_MAP = {
     "strlen": "length", "lcase": "lower", "ucase": "upper",
     "substr": "substring", "concat": "concat", "abs": "abs", "ceil": "ceil",
     "floor": "floor", "round": "round", "coalesce": "coalesce", "if": "if",
-    "replace": "regexp_replace", "strbefore": "substring_index",
+    "replace": "regexp_replace",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -430,9 +430,18 @@ class _Parser:
                 if k != "VAR":
                     raise SparqlError("BIND needs `AS ?var`")
                 self._expect(")")
+                if t[1:] in spec.get("bind", {}):
+                    raise SparqlError(
+                        f"duplicate BIND target ?{t[1:]} in one group"
+                    )
                 spec.setdefault("bind", {})[t[1:]] = expr
                 continue
             if self._eat_kw("values"):
+                if "values" in spec:
+                    raise SparqlError(
+                        "multiple VALUES clauses in one group are not "
+                        "supported"
+                    )
                 spec["values"] = self._values_clause()
                 continue
             if self._eat_kw("graph"):
@@ -706,6 +715,25 @@ class _ExprTranslator:
             if len(args) != 1:
                 raise SparqlError("STR takes one argument")
             return f"CAST({args[0]} AS STRING)", "str"
+        if name in ("strbefore", "strafter"):
+            # SPARQL §17.4.3.7-8: '' when the delimiter never occurs;
+            # STRBEFORE(x,'') = '', STRAFTER(x,'') = x (instr(x,'') = 1
+            # in Spark, so both fall out of the found branch)
+            if len(args) != 2:
+                raise SparqlError(f"{name.upper()} takes (string, search)")
+            x, s = args
+            if name == "strbefore":
+                return (
+                    f"(CASE WHEN instr({x}, {s}) > 0 THEN "
+                    f"substring({x}, 1, instr({x}, {s}) - 1) ELSE '' END)",
+                    "str",
+                )
+            return (
+                f"(CASE WHEN instr({x}, {s}) > 0 THEN "
+                f"substring({x}, instr({x}, {s}) + length({s})) "
+                f"ELSE '' END)",
+                "str",
+            )
         if name in _FUNC_MAP:
             return f"{_FUNC_MAP[name]}({', '.join(args)})", "call"
         if name in _AGG_FUNCS:
@@ -779,7 +807,7 @@ def parse_sparql(text: str) -> dict:
             p._triples_block(template)
         for t in template:
             if not isinstance(t[1], str) or t[1][:1] in ("^", "!") \
-                    or t[1][-1:] in ("+", "*"):
+                    or t[1][-1:] in ("+", "*", "?"):
                 raise SparqlError("CONSTRUCT templates take plain terms only")
         spec = _parse_where(p)
         spec["form"] = "construct"
@@ -1116,29 +1144,23 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     if form == "construct":
         if "union" in spec:
             raise SparqlError("CONSTRUCT over UNION is not supported")
-        order_by, limit = spec.get("order_by"), spec.get("limit")
-        if order_by or limit is not None:
-            # solution modifiers apply to the MATCH, then the template
-            # instantiates the surviving solutions (spec §16.2)
-            from .bgp import construct_from_solutions
+        # the WHERE group binds with the FULL kwargs set (values / bind /
+        # exists / not_exists / minus included — a dropped FILTER NOT
+        # EXISTS would silently over-emit triples), then solution
+        # modifiers apply to the MATCH and the template instantiates the
+        # surviving solutions (spec §16.2)
+        from .bgp import construct_from_solutions
 
-            sols = bgp_query(triples, spec["patterns"],
-                             optional=spec.get("optional"),
-                             filters=spec.get("filters"), dedup=dedup)
-            if order_by:
-                sols = sols.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
-                                      for n, d in order_by])
-            if limit is not None:
-                sols = sols.limit(limit)
-            return construct_from_solutions(sols, spec["template"])
-        return bgp_construct(
-            triples,
-            spec["patterns"],
-            spec["template"],
-            optional=spec.get("optional"),
-            filters=spec.get("filters"),
-            dedup=dedup,
-        )
+        kwargs = _exec_kwargs(spec)
+        patterns = kwargs.pop("patterns")
+        sols = bgp_query(triples, patterns, dedup=dedup, **kwargs)
+        order_by, limit = spec.get("order_by"), spec.get("limit")
+        if order_by:
+            sols = sols.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
+                                  for n, d in order_by])
+        if limit is not None:
+            sols = sols.limit(limit)
+        return construct_from_solutions(sols, spec["template"])
     if form == "describe":
         return _run_describe(triples, spec, dedup)
     return _run_select(triples, spec, dedup)
@@ -1358,7 +1380,7 @@ def _plain_template(template: list, what: str):
             if term.startswith("?__"):
                 # a sequence path desugars through fresh ?__ variables
                 raise SparqlError(f"property paths are not allowed in {what} templates")
-        if t[1][:1] in ("^", "!") or t[1][-1:] in ("+", "*"):
+        if t[1][:1] in ("^", "!") or t[1][-1:] in ("+", "*", "?"):
             raise SparqlError(f"{what} templates take plain predicates only")
     return template
 
@@ -1506,10 +1528,18 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
                 acc = acc.unionByName(fresh)
             continue
         where = dict(op["where"])
-        sols = bgp_query(acc, where.pop("patterns"), dedup=dedup,
-                         **{k: v for k, v in where.items()
-                            if k in ("optional", "filters", "values", "bind",
-                                     "not_exists", "minus")})
+        patterns = where.pop("patterns")
+        supported = {"optional", "filters", "values", "bind", "exists",
+                     "not_exists", "minus"}
+        extra = {k for k in where if k not in supported and where[k]}
+        if extra:
+            # never bind a solution relation that silently drops part of
+            # the WHERE group — the delete/insert sets would be over-broad
+            raise SparqlError(
+                f"update WHERE group elements not supported: {sorted(extra)}"
+            )
+        sols = bgp_query(acc, patterns, dedup=dedup,
+                         **{k: v for k, v in where.items() if k in supported})
         base = acc
         if op["delete"]:
             deleted = _instantiate(sols, op["delete"]).dropDuplicates(on)

@@ -787,3 +787,105 @@ def test_describe_cbd_cyclic_bnodes_terminate(spark):
 def test_select_reduced_eliminates_duplicates(kg):
     out = sparql_query(kg, "SELECT REDUCED ?t WHERE { ?s type ?t }")
     assert sorted(tuple(r) for r in out.collect()) == [("Person",), ("Robot",)]
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE pins: CONSTRUCT honors the full WHERE group, update WHERE
+# never silently drops elements, STRBEFORE/STRAFTER, dup VALUES/BIND, '?'
+# path suffix in templates
+# ---------------------------------------------------------------------------
+
+def test_construct_honors_not_exists(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT { ?p a Loner }
+        WHERE { ?p type Person . FILTER NOT EXISTS { ?p knows ?o } }
+    """)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert rows(out) == [("c", rdf_type, "Loner")]
+
+
+def test_construct_honors_values_and_bind(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT { ?p hasTag ?tag }
+        WHERE {
+          ?p type Person .
+          BIND(UCASE(?p) AS ?tag)
+          VALUES ?p { a b }
+        }
+    """)
+    assert rows(out) == [("a", "hasTag", "A"), ("b", "hasTag", "B")]
+
+
+def test_construct_honors_minus_and_exists(kg):
+    out = sparql_query(kg, """
+        CONSTRUCT { ?p a Sociable }
+        WHERE { ?p type Person . FILTER EXISTS { ?p knows ?o }
+                MINUS { ?p name "Alice" } }
+    """)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert rows(out) == [("b", rdf_type, "Sociable")]
+
+
+def test_update_where_honors_exists(spark):
+    store = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    out = sparql_update(store, """
+        DELETE { ?p type Person }
+        WHERE { ?p type Person . FILTER EXISTS { ?p knows ?o } }
+    """)
+    # a and b know someone → deleted; c knows nobody → kept
+    kept = rows(out.filter("pred = 'type' and obj = 'Person'"))
+    assert kept == [("c", "type", "Person")]
+
+
+def test_strbefore_strafter(kg):
+    out = sparql_query(kg, """
+        SELECT ?b ?f WHERE {
+          a name ?n .
+          BIND(STRBEFORE(?n, "li") AS ?b)
+          BIND(STRAFTER(?n, "li") AS ?f)
+        }
+    """)
+    assert rows(out) == [("A", "ce")]
+    # delimiter absent → '' (NOT the whole string — the substring_index trap)
+    out2 = sparql_query(kg, """
+        SELECT ?b ?f WHERE {
+          a name ?n .
+          BIND(STRBEFORE(?n, "zz") AS ?b)
+          BIND(STRAFTER(?n, "zz") AS ?f)
+        }
+    """)
+    assert rows(out2) == [("", "")]
+    # empty delimiter: STRBEFORE → '', STRAFTER → the whole string
+    out3 = sparql_query(kg, """
+        SELECT ?b ?f WHERE {
+          a name ?n .
+          BIND(STRBEFORE(?n, "") AS ?b)
+          BIND(STRAFTER(?n, "") AS ?f)
+        }
+    """)
+    assert rows(out3) == [("", "Alice")]
+
+
+def test_duplicate_values_clause_rejected():
+    with pytest.raises(SparqlError, match="multiple VALUES"):
+        parse_sparql("""
+            SELECT ?s WHERE {
+              ?s type ?t . VALUES ?s { a } VALUES ?t { Person }
+            }
+        """)
+
+
+def test_duplicate_bind_target_rejected():
+    with pytest.raises(SparqlError, match="duplicate BIND"):
+        parse_sparql("""
+            SELECT ?x WHERE {
+              ?s type ?t . BIND(1 AS ?x) BIND(2 AS ?x)
+            }
+        """)
+
+
+def test_zero_or_one_path_rejected_in_templates(kg):
+    with pytest.raises(SparqlError, match="plain terms"):
+        parse_sparql("CONSTRUCT { ?s knows? ?o } WHERE { ?s type ?o }")
+    with pytest.raises(SparqlError, match="plain predicates"):
+        sparql_update(kg, "INSERT { ?s knows? ?o } WHERE { ?s type ?o }")
