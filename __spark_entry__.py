@@ -1703,6 +1703,31 @@ def _q_bgp_optional_filter(spark, sf_dir):
     )
 
 
+def _q_bgp_stats_ordered(spark, sf_dir):
+    """Cost-based BGP join ordering (round 4): the same chain as
+    bgp_star_join but with an ADVERSARIAL user pattern order (the two
+    mega-patterns first) and `stats=predicate_statistics(triples)` —
+    the greedy smallest-estimate order must still answer identically.
+    Green means the cost-based path changes only the plan, never the
+    relation."""
+    from parser_rdf_spark.bgp import bgp_query
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    triples = _tpch_triples(spark, sf_dir)
+    return bgp_query(
+        triples,
+        patterns=[
+            ("?c", "rdf:type", "ex:Customer"),      # mega: every customer
+            ("?c", "ex:inNation", "?n"),            # mega: every customer
+            ("?n", "ex:inRegion", "?r"),
+            ("?n", "ex:name", "?nname"),
+            ("?r", "ex:name", "EUROPE"),            # most selective, last
+        ],
+        select=["?c", "?nname"],
+        stats=predicate_statistics(triples),
+    )
+
+
 def _q_bgp_same_nation_join(spark, sf_dir):
     """Many-to-many variable join: AUTOMOBILE customers × suppliers
     sharing a nation — two entity classes meeting on variable ?n."""
@@ -3206,8 +3231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_delta_merge": _q_triples_delta_merge,
         "triples_delta_stats": _q_triples_delta_stats,
         "snapshot_time_travel": _q_snapshot_time_travel,
-        # --- positions 51-56: remaining never-driver-checked; front of the
-        # --- round-5 window.
+        # --- positions 51+: remaining never-driver-checked + round-4
+        # --- additions; front of the round-5 window.
+        "bgp_stats_ordered_query": _q_bgp_stats_ordered,
         "normalize_literals": _q_normalize_literals,
         "canonicalize_urls": _q_canonicalize_urls,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -4438,6 +4464,15 @@ def oracle_sql() -> dict[str, str]:
         # question with direct joins over the base tables, so the compiler
         # and the oracle share no formulation to be wrong together in.
         "bgp_star_join": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'"
+        ),
+        # identical relation to bgp_star_join — cost-based ordering must
+        # be answer-invariant
+        "bgp_stats_ordered_query": (
             "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname "
             "FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "

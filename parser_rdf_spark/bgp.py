@@ -320,17 +320,105 @@ def _join_patterns(
     return joined, bound | scan_vars
 
 
+def predicate_stats_map(stats) -> dict[str, tuple[int, int, int]]:
+    """Normalize :func:`.graphops.predicate_statistics` output (or any
+    relation/mapping with pred → n_triples, ndv_subj, ndv_obj) to the
+    dict :func:`bgp_query` consumes. Collecting is bounded driver state:
+    one row per distinct PREDICATE (schema-sized — 10³-10⁵ in real KGs),
+    never per triple."""
+    if isinstance(stats, dict):
+        return {p: (int(v[0]), int(v[1]), int(v[2])) for p, v in stats.items()}
+    return {
+        r["pred"]: (int(r["n_triples"]), int(r["ndv_subj"]), int(r["ndv_obj"]))
+        for r in stats.select("pred", "n_triples", "ndv_subj", "ndv_obj").collect()
+    }
+
+
+def _estimate_pattern(pat, smap: dict, n_total: float) -> float:
+    """Estimated solution cardinality of one triple pattern under
+    per-predicate stats — the standard System-R style independence
+    estimate: count(pred) shrunk by 1/NDV for each constant subject /
+    object. Variable predicates sum the per-predicate estimates (exact
+    decomposition of the scan); closures and unknown shapes fall back to
+    the total (pessimistic → ordered late)."""
+    terms = tuple(pat)
+    if len(terms) == 4:        # GRAPH patterns: graph term adds no stats
+        terms = terms[1:]
+    s_term, p_term, o_term = terms
+
+    def per_pred(n: int, ndv_s: int, ndv_o: int) -> float:
+        est = float(n)
+        if not _is_var(s_term):
+            est /= max(ndv_s, 1)
+        if o_term is not None and not _is_var(o_term):
+            est /= max(ndv_o, 1)
+        return est
+
+    if isinstance(p_term, tuple) and p_term[:1] == ("closure",):
+        return n_total
+    if isinstance(p_term, (list, tuple)):          # alternation
+        preds = list(p_term)
+    elif p_term is None or _is_var(p_term):
+        preds = None                               # ranges over all preds
+    else:
+        base = p_term
+        if base[-1:] in ("+", "*", "?") and len(base) > 1:
+            return n_total                         # kleene: join depth unknown
+        preds = [base]
+    if preds is None:
+        return sum(per_pred(*v) for v in smap.values()) or n_total
+    return sum(per_pred(*smap[p]) for p in preds if p in smap)
+
+
+def _pattern_vars(pat) -> set[str]:
+    out = set()
+    for t in pat:
+        if _is_var(t):
+            out.add(_var_name(t))
+    return out
+
+
+def _order_patterns(patterns: list, stats: dict | None) -> list[tuple[int, tuple]]:
+    """The join-order decision of :func:`_compile_group`, exposed for
+    plan tests: (index, pattern) pairs in execution order."""
+    if stats:
+        n_total = float(sum(v[0] for v in stats.values())) or 1.0
+        remaining = list(enumerate(patterns))
+        est = {i: _estimate_pattern(p, stats, n_total) for i, p in remaining}
+        ordered = []
+        bound_vars: set[str] = set()
+        while remaining:
+            connected = [
+                (i, p) for i, p in remaining
+                if not ordered or (_pattern_vars(p) & bound_vars)
+                or not _pattern_vars(p)
+            ]
+            pool = connected or remaining   # disconnected groups: genuine cross
+            i, pat = min(pool, key=lambda ip: (est[ip[0]], ip[0]))
+            ordered.append((i, pat))
+            bound_vars |= _pattern_vars(pat)
+            remaining = [(j, q) for j, q in remaining if j != i]
+        return ordered
+
+    def n_constants(p) -> int:
+        return sum(0 if _is_var(t) else 1 for t in p)
+
+    return sorted(enumerate(patterns), key=lambda ip: (-n_constants(ip[1]), ip[0]))
+
+
 def _compile_group(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     dedup: bool,
+    stats: dict[str, tuple[int, int, int]] | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    """Inner-join a pattern group most-constant-first (the shared
-    selectivity heuristic of :func:`bgp_query`)."""
-    def n_constants(p: tuple[str, str, str]) -> int:
-        return sum(0 if _is_var(t) else 1 for t in p)
-
-    ordered = sorted(enumerate(patterns), key=lambda ip: (-n_constants(ip[1]), ip[0]))
+    """Inner-join a pattern group most-constant-first (the shared static
+    selectivity heuristic of :func:`bgp_query`), or — when per-predicate
+    ``stats`` are supplied — in greedy smallest-estimated-cardinality
+    order restricted to variable-connected choices (a Selinger-style
+    left-deep greedy that never introduces a cross join the static order
+    would have avoided)."""
+    ordered = _order_patterns(patterns, stats)
     acc: DataFrame | None = None
     bound: set[str] = set()
     for _, pat in ordered:
@@ -358,6 +446,7 @@ def bgp_query(
     group_by: list[str] | None = None,
     aggregates: dict[str, str] | None = None,
     having: list[str] | None = None,
+    stats: dict | DataFrame | None = None,
 ) -> DataFrame:
     """Compile a basic graph pattern to a DataFrame over ``triples``.
 
@@ -378,6 +467,13 @@ def bgp_query(
     cheap selectivity proxy — every constant is a pushed-down equality
     on the scan), with ties kept in user order; AQE re-plans the
     physical side at runtime, so this only needs to be roughly right.
+    Pass ``stats`` (the :func:`.graphops.predicate_statistics` relation,
+    or its :func:`predicate_stats_map` dict) to switch to cost-based
+    ordering: patterns join greedily by smallest estimated cardinality
+    (count(pred) / NDV per constant term), restricted to
+    variable-connected choices — on a skewed predicate this is the
+    difference between a broadcast-probe chain and a billion-row
+    intermediate, which the constant-counting heuristic cannot see.
 
     ``dedup=True`` (default) collapses each pattern scan to distinct
     triples — required for corpus-level relations, which union
@@ -413,7 +509,9 @@ def bgp_query(
     if not patterns:
         raise ValueError("at least one required pattern")
 
-    acc, bound = _compile_group(triples, patterns, dedup)
+    if stats is not None and not isinstance(stats, dict):
+        stats = predicate_stats_map(stats)
+    acc, bound = _compile_group(triples, patterns, dedup, stats=stats)
 
     if values is not None:
         v_names, v_rows = values
@@ -435,7 +533,8 @@ def bgp_query(
         if pat and isinstance(pat[0], (list, tuple)):
             # OPTIONAL group: inner-join the group's patterns first, then
             # left-join the whole group (all-or-nothing binding)
-            scan, scan_vars = _compile_group(triples, list(pat), dedup)
+            scan, scan_vars = _compile_group(triples, list(pat), dedup,
+                                             stats=stats)
         else:
             scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
         new_vars = scan_vars - bound
@@ -459,7 +558,7 @@ def bgp_query(
         acc = acc.filter(F.expr(expr))
 
     for group in exists or []:
-        pos, pos_vars = _compile_group(triples, group, dedup)
+        pos, pos_vars = _compile_group(triples, group, dedup, stats=stats)
         shared = sorted(bound & pos_vars)
         if shared:
             acc = acc.join(pos.select(*shared).distinct(), on=shared,
@@ -471,7 +570,7 @@ def bgp_query(
 
     for kind, groups in (("not_exists", not_exists), ("minus", minus)):
         for group in groups or []:
-            neg, neg_vars = _compile_group(triples, group, dedup)
+            neg, neg_vars = _compile_group(triples, group, dedup, stats=stats)
             shared = sorted(bound & neg_vars)
             if not shared:
                 if kind == "minus":

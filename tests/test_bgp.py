@@ -465,3 +465,81 @@ def test_ask_true_and_false(kg):
     # with filters kwarg passing through
     assert rows(bgp_ask(kg, [("?p", "name", "?n")],
                         filters=["n = 'Zed'"])) == [(False,)]
+
+
+# ---------------------------------------------------------------------------
+# stats-driven join ordering (round-4: predicate_statistics → cost-based
+# pattern order; static most-constant-first stays the no-stats default)
+# ---------------------------------------------------------------------------
+
+def _skewed_kg(spark):
+    # 'common' is a mega-predicate (200 rows, 20 subjects); 'rare' binds 2
+    rows_ = [(f"s{i % 20}", "common", f"o{i}") for i in range(200)]
+    rows_ += [("s1", "rare", "x"), ("s2", "rare", "y")]
+    return spark.createDataFrame(rows_, "subj string, pred string, obj string")
+
+
+def test_order_patterns_static_vs_stats(spark):
+    from parser_rdf_spark.bgp import _order_patterns
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    kg = _skewed_kg(spark)
+    stats = {r["pred"]: (r["n_triples"], r["ndv_subj"], r["ndv_obj"])
+             for r in predicate_statistics(kg).collect()}
+    # adversarial user order: the mega-predicate first; both patterns have
+    # one constant, so the static heuristic keeps user order
+    pats = [("?s", "common", "?o"), ("?s", "rare", "?x")]
+    static = [p for _, p in _order_patterns(pats, None)]
+    assert static[0][1] == "common"
+    ordered = [p for _, p in _order_patterns(pats, stats)]
+    assert ordered[0][1] == "rare"   # 2 rows ≪ 200 rows
+
+
+def test_stats_order_prefers_connected_over_cheapest(spark):
+    from parser_rdf_spark.bgp import _order_patterns
+
+    # cheapest remaining pattern shares no variable with what's bound;
+    # the greedy must pick the connected one to avoid a cross join
+    stats = {"p1": (2, 2, 2), "p2": (100, 10, 10), "p3": (1, 1, 1)}
+    pats = [("?a", "p2", "?b"), ("?a", "p1", "?c"), ("?x", "p3", "?y")]
+    ordered = [p for _, p in _order_patterns(pats, stats)]
+    assert ordered[0][1] == "p3"          # global cheapest starts
+    # after p3 nothing is connected (disconnected groups) → cheapest again
+    assert ordered[1][1] == "p1"
+    # p2 shares ?a with p1 → joined last, connected
+    assert ordered[2][1] == "p2"
+
+
+def test_estimate_pattern_constants_shrink(spark):
+    from parser_rdf_spark.bgp import _estimate_pattern
+
+    smap = {"p": (1000, 100, 10)}
+    assert _estimate_pattern(("?s", "p", "?o"), smap, 1000.0) == 1000
+    assert _estimate_pattern(("S", "p", "?o"), smap, 1000.0) == 10     # /ndv_s
+    assert _estimate_pattern(("?s", "p", "O"), smap, 1000.0) == 100    # /ndv_o
+    assert _estimate_pattern(("S", "p", "O"), smap, 1000.0) == 1       # both
+    # unknown predicate: zero solutions → most selective of all
+    assert _estimate_pattern(("?s", "nope", "?o"), smap, 1000.0) == 0
+    # variable predicate: sums per-pred estimates
+    smap2 = {"p": (1000, 100, 10), "q": (50, 50, 50)}
+    assert _estimate_pattern(("?s", "?p", "?o"), smap2, 1050.0) == 1050
+    # kleene/closure: pessimistic total
+    assert _estimate_pattern(("?s", "p+", "?o"), smap, 1000.0) == 1000.0
+
+
+def test_bgp_query_stats_same_results_and_selective_base(spark):
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    kg = _skewed_kg(spark)
+    pats = [("?s", "common", "?o"), ("?s", "rare", "?x")]
+    plain = bgp_query(kg, pats)
+    stats_df = predicate_statistics(kg)
+    costed = bgp_query(kg, pats, stats=stats_df)
+    assert rows(plain) == rows(costed)
+    # the stats plan's left-deep base is the rare scan: the FIRST scan
+    # filter in the optimized plan string mentions 'rare'
+    plan = costed._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan.find("rare") < plan.find("common")
+    # ... while the adversarial static order keeps the mega-scan as base
+    plan0 = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan0.find("common") < plan0.find("rare")
