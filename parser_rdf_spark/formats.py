@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from . import htmldata, jsonld, nquads, ntriples, rdfxml, turtle
+from . import htmldata, jsonld, nquads, ntriples, rdfxml, trig, turtle
 from .ntriples import Triple
 
 COMMON_PREFIXES: dict[str, str] = {
@@ -65,6 +65,7 @@ _DEFAULT_HANDLERS: list[FormatHandler] = [
     # for detection and reached via explicit fmt= or the parse-stage
     # retry fallback; html never collides with the RDF sniffers
     FormatHandler("n-quads", nquads.can_handle, nquads.parse_document),
+    FormatHandler("trig", trig.can_handle, trig.parse_document),
     FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
 ]
 
@@ -138,8 +139,9 @@ def _extract_prefixes(
     """
     prefixes = dict(declared)
 
-    # layer 2: content regexes (reference :78-173)
-    if fmt == "turtle":
+    # layer 2: content regexes (reference :78-173); TriG shares Turtle's
+    # @prefix/PREFIX directive surface
+    if fmt in ("turtle", "trig"):
         import re
 
         for m in re.finditer(r"@prefix\s+([^:]+):\s*<([^>]+)>", content, re.IGNORECASE):

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from . import formats as _formats
 from . import htmldata as _htmldata
 from . import nquads as _nquads
+from . import trig as _trig
 from .html_text import html_bytes_to_text
 from .schemas import PARSED
 
@@ -100,16 +101,26 @@ def _parse_batch(
             raw = bytes(htmls[i]).decode("utf-8", errors="replace")
             if _htmldata.can_handle(raw):
                 res = _formats.parse_rdf_document(raw, "html", empty_guard=empty_guard)
-        elif (
-            not res.ok
-            and res.format == "n-triples"
-            and fmt is None
-            and isinstance(text, str)
-            and _nquads.can_handle(text)
-        ):
-            # four-term lines satisfy the (reference-pinned) n-triples
-            # sniffer but fail its strict parse — retry as N-Quads
-            res = _formats.parse_rdf_document(text, "n-quads", empty_guard=empty_guard)
+        elif not res.ok and fmt is None and isinstance(text, str):
+            if res.format == "n-triples" and _nquads.can_handle(text):
+                # four-term lines satisfy the (reference-pinned) n-triples
+                # sniffer but fail its strict parse — retry as N-Quads
+                res = _formats.parse_rdf_document(text, "n-quads", empty_guard=empty_guard)
+            if (
+                not res.ok
+                and res.format in ("n-triples", "n-quads", "turtle")
+                and "{" in text
+            ):
+                # '@prefix'-led / pname-labeled TriG sniffs as Turtle
+                # (reference-pinned D6); GRAPH-block docs whose inner
+                # lines are triple-shaped sniff as N-Triples (D5). Either
+                # strict parse fails on the block syntax — retry as TriG.
+                # The '{' gate is deliberately loose (only failed docs
+                # pay the retry), so keep the result ONLY if TriG
+                # actually parses; otherwise the original error stands.
+                retry = _formats.parse_rdf_document(text, "trig", empty_guard=empty_guard)
+                if retry.ok:
+                    res = retry
         triples = res.triples
         if scope and triples:
             triples = _formats.scope_bnodes(triples, doc_hash(urls[i]))

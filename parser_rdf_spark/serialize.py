@@ -254,6 +254,106 @@ def to_turtle_docs(triples: DataFrame, prefixes: dict[str, str] | None = None) -
 
 
 # ---------------------------------------------------------------------------
+# TriG serialization: the Turtle rendering above, wrapped per named
+# graph — the emitting twin of trig.py, restricted to its subset so the
+# round-trip law ``trig_parse(to_trig(t)) == t`` holds (modulo bnode
+# re-scoping, like every other serializer pair). Default-graph triples
+# (NULL or the '_:default' sentinel) render as top-level statements;
+# each named graph becomes one ``GRAPH <g> { … }`` block. Same plan
+# shape as Turtle with ``graph`` added to every grouping key: three
+# partial-aggregating groupBys sharing the (doc_url, graph) key prefix,
+# zero Python per row.
+# ---------------------------------------------------------------------------
+
+
+def _trig_blocks(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+    """(doc_url, g, subj_line, block): Turtle statement blocks keyed by
+    graph term ('' = default graph)."""
+    p = prefixes
+    t = triples.select(
+        "doc_url",
+        F.when(
+            F.col("graph").isNull() | (F.col("graph") == "_:default"), F.lit("")
+        ).otherwise(F.col("graph")).alias("g"),
+        F.coalesce(F.col("line_no"), F.lit(0)).alias("line_no"),
+        _turtle_subject(F.col("subj"), p).alias("s"),
+        _turtle_predicate(F.col("pred"), p).alias("v"),
+        _turtle_object(p).alias("o"),
+    )
+    per_pred = t.groupBy("doc_url", "g", "s", "v").agg(
+        F.min("line_no").alias("pred_line"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(line_no, o))),"
+            " x -> x.o), ', ')"
+        ).alias("objs"),
+    )
+    return per_pred.groupBy("doc_url", "g", "s").agg(
+        F.min("pred_line").alias("subj_line"),
+        F.concat(
+            F.col("s"), F.lit(" "),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(pred_line, v, objs))),"
+                " x -> concat(x.v, ' ', x.objs)), ' ;\n    ')"
+            ),
+            F.lit(" ."),
+        ).alias("block"),
+    ).select("doc_url", "g", "subj_line", "block")
+
+
+def to_trig_docs(triples: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """triples (full schema, ``graph`` column) → (doc_url, trig): one
+    TriG document per source document — @prefix header, default-graph
+    statements first, then one GRAPH block per named graph in first-seen
+    (min line_no) order. Deterministic like every serializer here."""
+    p = prefixes if prefixes is not None else TURTLE_PREFIXES
+    header = turtle_header(p)
+    graphs = (
+        _trig_blocks(triples, p)
+        .groupBy("doc_url", "g")
+        .agg(
+            F.min("subj_line").alias("graph_line"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(subj_line, block))),"
+                " x -> x.block), '\n\n')"
+            ).alias("body"),
+        )
+        .select(
+            "doc_url",
+            # default graph sorts first regardless of line numbers
+            F.when(F.col("g") == "", F.lit(-1)).otherwise(F.col("graph_line")).alias("graph_line"),
+            F.when(F.col("g") == "", F.col("body")).otherwise(
+                F.concat(
+                    F.lit("GRAPH "),
+                    _turtle_subject(F.col("g"), p),
+                    F.lit(" {\n"),
+                    F.col("body"),
+                    F.lit("\n}"),
+                )
+            ).alias("gblock"),
+        )
+    )
+    return graphs.groupBy("doc_url").agg(
+        F.concat(
+            F.lit(header + "\n\n"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(graph_line, gblock))),"
+                " x -> x.gblock), '\n\n')"
+            ),
+        ).alias("trig")
+    )
+
+
+def write_trig(triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+               partitions: int | None = None) -> None:
+    """One ``<doc-hash>.trig`` text per document under ``path`` — same
+    sink discipline as :func:`write_turtle`."""
+    docs = to_trig_docs(triples, prefixes)
+    if partitions:
+        docs = docs.repartition(partitions)
+    docs.select(F.col("trig").alias("value")).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
 # JSON-LD serialization: flattened node objects under @graph.
 #
 # The emitting twin of jsonld.py, restricted to its accepted subset:

@@ -94,10 +94,11 @@ def test_ntriples_sniffer_decisions():
 def test_supported_formats_reference_four_in_priority_order():
     fmts = supported_formats()
     # the reference's 4, in its registration (detection-priority) order
-    # (reference src/RdfParser.php:219-227); our two new-engine handlers
-    # (n-quads, html) append AFTER so reference priorities are unchanged
+    # (reference src/RdfParser.php:219-227); our new-engine handlers
+    # (n-quads, trig, html) append AFTER so reference priorities are
+    # unchanged
     assert fmts[:4] == ["json-ld", "turtle", "n-triples", "rdf/xml"]
-    assert set(fmts[4:]) == {"n-quads", "html"}
+    assert set(fmts[4:]) == {"n-quads", "trig", "html"}
 
 
 def test_turtle_wins_over_ntriples_for_ambiguous_content():
