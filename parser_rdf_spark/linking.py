@@ -48,10 +48,13 @@ def _estimated_bytes(df: DataFrame) -> int:
 
     Uses the same statistic Spark's own broadcast auto-selection reads
     (file sizes / column stats when available), so the gate agrees with
-    what the engine would decide. Falls back to a row-count × 64-byte
-    heuristic if the JVM stat is unavailable (e.g. future API drift) —
-    the fallback costs one count() action on the (small-ish) dictionary,
-    never on the probe side.
+    what the engine would decide. When the JVM stat is unavailable or
+    degenerate (stat-less in-memory relations report defaultSizeInBytes,
+    ~8 EB), falls back to count() × a SAMPLED row width: a flat
+    bytes/row constant under-estimates a dictionary of long IRIs (median
+    KG IRI is 60-120 chars, two per row) and would route a too-big
+    dictionary to the broadcast path — a driver OOM at scale. Both
+    fallback actions run on the (small-ish) dictionary, never the probe.
     """
     try:
         stat = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
@@ -59,10 +62,24 @@ def _estimated_bytes(df: DataFrame) -> int:
         stat = None
     if stat is not None and stat < (1 << 50):
         return stat
-    # Catalyst reports defaultSizeInBytes (~8 EB) for stat-less relations
-    # (in-memory test frames, some views): fall back to one count() on the
-    # dictionary side — never the probe — at ~128 B/row (two IRIs).
-    return df.count() * 128
+    n = df.count()
+    if n == 0:
+        return 0
+    from pyspark.sql.types import StringType
+
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    avg_chars = 0.0
+    if str_cols:
+        width = None
+        for c in str_cols:
+            term = F.coalesce(F.length(F.col(c)), F.lit(0))
+            width = term if width is None else (width + term)
+        row = df.limit(1024).select(F.avg(width).alias("w")).first()
+        avg_chars = float(row.w or 0.0)
+    # UnsafeRow footprint ≈ string bytes (ASCII-dominant IRIs: 1 B/char)
+    # + ~16 B/field offset+null overhead + 16 B row header
+    per_row = int(avg_chars) + 16 * max(len(df.schema.fields), 1) + 16
+    return n * per_row
 
 
 def _salted_dict_join(
