@@ -106,16 +106,24 @@ def main() -> None:
     parsed.count()
 
     # q2: entity extraction (classes + properties) sharing one
-    # resource-aggregate shuffle
+    # resource-aggregate shuffle. One untimed warm-up + best-of like
+    # every other query: the first run is codegen-compile-bound
+    # (11-30 s swing observed across rounds), which is JIT noise, not
+    # operator throughput.
     from parser_rdf_spark.extract import resource_aggregate
 
-    t0 = time.time()
     triples = triples_of(parsed)
-    res = resource_aggregate(triples).persist()
-    n_classes = extract_classes(triples, res=res).count()
-    n_props = extract_properties(triples, res=res).count()
-    res.unpersist()
-    queries["extract_entities"] = round(time.time() - t0, 3)
+    n_classes = n_props = 0
+
+    def _q_extract():
+        nonlocal n_classes, n_props
+        res = resource_aggregate(triples).persist()
+        n_classes = extract_classes(triples, res=res).count()
+        n_props = extract_properties(triples, res=res).count()
+        res.unpersist()
+
+    _q_extract()  # untimed warm-up (codegen compile)
+    queries["extract_entities"] = _best_of(_q_extract)
 
     # q3: linking + edge materialization + connected components on a
     # bounded slice (CC is iterative; bound the vertex set for the bench)
