@@ -1809,6 +1809,62 @@ def _q_triples_delta_stats(spark, sf_dir):
                        key="subj")
 
 
+_ONTO_V1_DOCS = {
+    "https://onto.example.org/keep": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Stable a rdfs:Class ; rdfs:label "Stable"@en .\n'
+    ),
+    "https://onto.example.org/update": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Old a rdfs:Class ; rdfs:label "Old"@en .\n'
+        "ex:AlsoOld a rdfs:Class .\n"
+    ),
+    "https://onto.example.org/drop": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Vanishing a rdfs:Class ; rdfs:label "Vanishing"@en .\n'
+    ),
+}
+
+_ONTO_DELTA_DOCS = {
+    "https://onto.example.org/update": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Old a rdfs:Class ; rdfs:label "Renamed"@en .\n'
+        'ex:Fresh a rdfs:Class ; rdfs:label "Fresh"@en .\n'
+    ),
+    "https://onto.example.org/drop": (
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:x ex:p "no ontology in the re-crawl" .\n'
+    ),
+    "https://onto.example.org/new": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Brand a rdfs:Class ; rdfs:label "Brand"@en .\n'
+    ),
+}
+
+
+def _q_incremental_ontology_merge(spark, sf_dir):
+    """Work-∝-delta ontology-table maintenance (VERDICT r03 task 6):
+    classes extracted from the v1 corpus, then a re-crawl batch merged
+    via incremental.merge_extracted — ONLY the delta documents are
+    re-extracted. Bit-identity with full re-extraction is pinned in
+    pytest (all three extraction tables); the oracle here enumerates the
+    expected post-merge classes (rename applied, dropped class purged —
+    including the document whose re-crawl lost ALL resources — new doc
+    appended, untouched doc carried)."""
+    from parser_rdf_spark.extract import extract_classes
+    from parser_rdf_spark.incremental import merge_extracted
+
+    old_t = triples_of(parse_pages(_fixture_pages(spark, _ONTO_V1_DOCS)))
+    delta_t = triples_of(parse_pages(_fixture_pages(spark, _ONTO_DELTA_DOCS)))
+    merged = merge_extracted(extract_classes(old_t), delta_t, extract_classes)
+    return merged.select("doc_url", "uri", "label")
+
+
 def _q_rdfs_inference(spark, sf_dir):
     """RDFS entailment materialization over the TPC-H KG + a 7-triple
     ontology: subclass-chain typing (rdfs9/11 through the CLOSED chain
@@ -2438,6 +2494,82 @@ def _golden_values_nquads() -> str:
     lines = [ln for ln in _NQUADS_DOC.splitlines() if ln.strip()]
     rows = ", ".join(f"({_sql_quote(ln)})" for ln in lines)
     return f"SELECT * FROM (VALUES {rows}) AS t(line)"
+
+
+_TRIG_DOC = """\
+@prefix ex: <http://e/> .
+ex:s2 ex:p "default graph" .
+GRAPH <http://g/one> {
+  ex:s1 ex:p ex:o1 ;
+        ex:q "libellé"@fr .
+  _:b ex:p 42
+}
+ex:g2 { ex:s3 ex:p "also named" . }
+"""
+
+
+def _q_trig_named_graphs(spark, sf_dir):
+    """TriG parse (new engine surface — the reference scopes quads
+    formats out, docs/spec-completeness.md:131): GRAPH blocks in all
+    three label forms land per-statement named graphs in the triples
+    relation. The '@prefix'-led doc sniffs as Turtle (reference-pinned
+    D6) and reaches trig.py via the parse-stage retry (parse.py). Bnode
+    subjects are descoped (P5 adds the doc hash) for a deterministic
+    oracle."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/trig/doc1": _TRIG_DOC}
+    )
+    t = triples_of(parse_pages(pages))
+    descope = lambda c: F.regexp_replace(c, r"^_:(d[0-9a-f]+-)+", "_:")  # noqa: E731
+    return t.select(
+        F.col("graph"),
+        descope(F.col("subj")).alias("subj"),
+        "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _golden_values_trig() -> str:
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("_:default", "http://e/s2", "http://e/p", "literal", "default graph", "", ""),
+        ("http://g/one", "http://e/s1", "http://e/p", "iri", "http://e/o1", "", ""),
+        ("http://g/one", "http://e/s1", "http://e/q", "literal", "libellé", "fr", ""),
+        ("http://g/one", "_:b", "http://e/p", "literal", "42", "", xsd_int),
+        ("http://e/g2", "http://e/s3", "http://e/p", "literal", "also named", "", ""),
+    ]
+    vals = ", ".join("(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(graph, subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)"
+    )
+
+
+def _q_trig_serialize_roundtrip(spark, sf_dir):
+    """TriG round-circle IN the driver gate: the N-Quads fixture's quads
+    serialized to TriG documents by the pure-Column writer
+    (serialize.py to_trig_docs), fed back through the FULL Spark parse
+    pipeline (fmt=trig), compared as quads — parse∘serialize = id, so
+    the oracle is the same VALUES relation as nquads_named_graphs."""
+    from parser_rdf_spark.serialize import to_trig_docs
+
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/nq/doc1": _NQUADS_DOC}
+    )
+    docs = to_trig_docs(triples_of(parse_pages(pages)))
+    pages2 = docs.select(
+        F.col("doc_url").alias("url"),
+        F.lit("2026-01-01T00:00:00Z").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("trig").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    t2 = triples_of(parse_pages(pages2, fmt="trig"))
+    return t2.select(
+        F.coalesce("graph", F.lit("_:default")).alias("graph"),
+        "subj", "pred", "obj_kind", "obj_value",
+    )
 
 
 def _q_jsonld_serialize_roundtrip(spark, sf_dir):
@@ -3234,6 +3366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: remaining never-driver-checked + round-4
         # --- additions; front of the round-5 window.
         "bgp_stats_ordered_query": _q_bgp_stats_ordered,
+        "trig_named_graphs": _q_trig_named_graphs,
+        "trig_serialize_roundtrip": _q_trig_serialize_roundtrip,
+        "incremental_ontology_merge": _q_incremental_ontology_merge,
         "normalize_literals": _q_normalize_literals,
         "canonicalize_urls": _q_canonicalize_urls,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -4023,6 +4158,23 @@ def oracle_sql() -> dict[str, str]:
         "shacl_shapes_deep": _SHACL_DEEP_SQL,
         "html_structured_data": _golden_values_html(),
         "nquads_named_graphs": (
+            "SELECT * FROM (VALUES "
+            "('http://g/one', 'http://e/s1', 'http://e/p', 'iri', 'http://e/o1'), "
+            "('_:default', 'http://e/s2', 'http://e/p', 'literal', 'default graph'), "
+            "('http://g/two', 'http://e/s3', 'http://e/p', 'literal', 'also named'), "
+            "('http://g/one', 'http://e/s4', 'http://e/p', 'iri', 'http://e/o4')"
+            ") AS t(graph, subj, pred, obj_kind, obj_value)"
+        ),
+        "incremental_ontology_merge": (
+            "SELECT * FROM (VALUES "
+            "('https://onto.example.org/keep', 'http://example.org/Stable', 'Stable'), "
+            "('https://onto.example.org/update', 'http://example.org/Old', 'Renamed'), "
+            "('https://onto.example.org/update', 'http://example.org/Fresh', 'Fresh'), "
+            "('https://onto.example.org/new', 'http://example.org/Brand', 'Brand')"
+            ") AS t(doc_url, uri, label)"
+        ),
+        "trig_named_graphs": _golden_values_trig(),
+        "trig_serialize_roundtrip": (
             "SELECT * FROM (VALUES "
             "('http://g/one', 'http://e/s1', 'http://e/p', 'iri', 'http://e/o1'), "
             "('_:default', 'http://e/s2', 'http://e/p', 'literal', 'default graph'), "

@@ -50,6 +50,34 @@ def merge_triples(
     return old.join(touched, key, "left_anti").unionByName(delta)
 
 
+def merge_extracted(
+    old: DataFrame,
+    delta_triples: DataFrame,
+    extractor,
+    key: str = "doc_url",
+) -> DataFrame:
+    """Work-∝-delta maintenance of an extraction table (classes /
+    properties / shapes): re-extract ONLY the delta documents' triples
+    and replace those documents' rows in the table.
+
+    Every extractor is per-document pure — each output row depends only
+    on its own document's triples (the E19 dedupe key is
+    ``(doc_url, uri)``; reference src/Extractors/*.php each see one
+    payload) — so this is bit-identical to re-extracting the merged
+    corpus, at delta cost instead of corpus cost. Pinned by pytest
+    equality against full re-extraction and by the
+    ``incremental_ontology_merge`` contract query.
+
+    The superseded-key set comes from ``delta_triples`` (the documents
+    re-crawled), NOT from the fresh extraction's rows: a re-crawled
+    document whose new version defines no resources at all must still
+    have its stale table rows purged.
+    """
+    touched = delta_triples.select(key).distinct()
+    fresh = extractor(delta_triples)
+    return old.join(touched, key, "left_anti").unionByName(fresh)
+
+
 def merge_stats(old: DataFrame, delta: DataFrame, key: str = "doc_url") -> DataFrame:
     """Delta-merge observability: one row of counters (docs touched /
     added, triples removed / added / carried) — the per-batch lineage a

@@ -92,6 +92,94 @@ def test_merge_appends_new_docs(spark):
     assert merge_triples(old, delta).count() == 2
 
 
+_ONTO_V1 = {
+    "https://o/keep": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Stable a rdfs:Class ; rdfs:label "Stable"@en .\n'
+        "ex:rel a <http://www.w3.org/1999/02/22-rdf-syntax-ns#Property> ; "
+        "rdfs:domain ex:Stable .\n"
+    ),
+    "https://o/update": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Old a rdfs:Class ; rdfs:label "Old"@en ; rdfs:comment "v1" .\n'
+        'ex:AlsoOld a rdfs:Class .\n'
+    ),
+    "https://o/drop": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Vanishing a rdfs:Class ; rdfs:label "Vanishing"@en .\n'
+    ),
+}
+
+_ONTO_DELTA = {
+    # re-crawl: one class renamed, one gone, one added
+    "https://o/update": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Old a rdfs:Class ; rdfs:label "Renamed"@en ; rdfs:comment "v2" .\n'
+        'ex:Fresh a rdfs:Class ; rdfs:label "Fresh"@en .\n'
+    ),
+    # re-crawl that no longer defines ANY resource: stale rows must purge
+    "https://o/drop": (
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:x ex:p "no ontology here" .\n'
+    ),
+    # brand-new document
+    "https://o/new": (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:Brand a rdfs:Class ; rdfs:label "Brand"@en .\n'
+        "ex:newRel a <http://www.w3.org/1999/02/22-rdf-syntax-ns#Property> ; "
+        "rdfs:range ex:Brand .\n"
+    ),
+}
+
+
+def _onto_triples(spark, docs):
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    from conftest import pages_df
+
+    return triples_of(parse_pages(pages_df(spark, docs)))
+
+
+@pytest.mark.parametrize("which", ["classes", "properties", "shapes"])
+def test_merge_extracted_identity_with_full_reextraction(spark, which):
+    """merge_extracted(old_table, delta_triples) is bit-identical to
+    re-extracting the merged corpus — for every extraction table."""
+    from parser_rdf_spark import extract
+    from parser_rdf_spark.incremental import merge_extracted
+
+    extractor = {
+        "classes": extract.extract_classes,
+        "properties": extract.extract_properties,
+        "shapes": extract.extract_shapes,
+    }[which]
+
+    old_t = _onto_triples(spark, _ONTO_V1)
+    delta_t = _onto_triples(spark, _ONTO_DELTA)
+    merged_table = merge_extracted(extractor(old_t), delta_t, extractor)
+    full_table = extractor(merge_triples(old_t, delta_t))
+
+    k = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+    assert sorted(map(k, merged_table.collect())) == sorted(map(k, full_table.collect()))
+
+
+def test_merge_extracted_purges_docs_that_lost_all_resources(spark):
+    from parser_rdf_spark import extract
+    from parser_rdf_spark.incremental import merge_extracted
+
+    old_t = _onto_triples(spark, _ONTO_V1)
+    delta_t = _onto_triples(spark, {"https://o/drop": _ONTO_DELTA["https://o/drop"]})
+    merged = merge_extracted(extract.extract_classes(old_t), delta_t,
+                             extract.extract_classes)
+    assert merged.filter(F.col("doc_url") == "https://o/drop").count() == 0
+    # untouched docs carried over
+    assert merged.filter(F.col("doc_url") == "https://o/keep").count() == 1
+
+
 def test_merge_stats_counters(spark):
     old = spark.createDataFrame(
         [("d1", "s", "p", "o"), ("d1", "s", "q", "o"), ("d2", "s", "p", "o")],
