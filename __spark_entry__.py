@@ -3290,6 +3290,73 @@ _FULL_EVENT_CC_SQL = (
 # the oracle re-derives both relations in pure SQL and merges them with
 # NOT IN / UNION ALL — a different mechanism than the engine's
 # anti-join, same contract.
+def _q_sparql_base(spark, sf_dir):
+    """SPARQL BASE prologue: every IRIREF in the query below is
+    relative (including dot-segments) and resolves per RFC 3986 §5.2
+    against the declared base (parser_rdf_spark/iri.py) — an engine
+    extension beyond the reference's no-relative-IRI scope
+    (docs/spec-completeness.md:147). The triples carry full http IRIs;
+    resolution happens at parse time, so the executed plan is the same
+    pushed-scan BGP as an absolute-IRI query."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    kg = "http://ex.org/kg/"
+
+    def iri(tail, col):
+        return F.concat(F.lit(kg + tail), F.col(col).cast("string"))
+
+    def spo(df, s, p, o):
+        return df.select(s.alias("subj"), F.lit(kg + p).alias("pred"),
+                         o.alias("obj"))
+
+    triples = spo(nation, iri("nation/", "n_nationkey"), "pred/name",
+                  F.col("n_name")) \
+        .unionByName(spo(nation, iri("nation/", "n_nationkey"),
+                         "pred/inRegion", iri("region/", "n_regionkey"))) \
+        .unionByName(spo(region, iri("region/", "r_regionkey"),
+                         "pred/name", F.col("r_name")))
+    return sparql_query(triples, """
+        BASE <http://ex.org/kg/sub/>
+        SELECT ?n ?nname ?rname WHERE {
+          ?n <../pred/name> ?nname .
+          ?n <./../pred/inRegion> ?r .
+          ?r <../x/../pred/name> ?rname .
+          FILTER (?r = <../region/0>)
+        }
+    """)
+
+
+def _q_sparql_from_dataset(spark, sf_dir):
+    """FROM / FROM NAMED dataset construction (SPARQL §13.2): supplier
+    assertions live in <urn:g:supp>, customer assertions in
+    <urn:g:cust>, nation names in <urn:g:nat>, and a decoy row set in
+    the relation's original default graph. The dataset clauses select
+    nat as the (merged) default graph and supp as the only named graph
+    — customers and the original default rows are provably out of the
+    dataset. Plan shape: two literal `graph IN` filters + union, then
+    the usual BGP joins."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = _tpch_triples(spark, sf_dir)
+    quads = t.select(
+        F.when(F.col("subj").startswith("urn:cust:"), "urn:g:cust")
+        .when(F.col("subj").startswith("urn:supp:"), "urn:g:supp")
+        .when(F.col("subj").startswith("urn:nation:"), "urn:g:nat")
+        .otherwise("_:default").alias("graph"),
+        "subj", "pred", "obj",
+    )
+    return sparql_query(quads, """
+        SELECT ?e ?nname FROM <urn:g:nat> FROM NAMED <urn:g:supp>
+        WHERE {
+          GRAPH ?g { ?e ex:inNation ?n }
+          ?n ex:name ?nname .
+          FILTER (STRSTARTS(?nname, "NATION_1"))
+        }
+    """)
+
+
 _TPCH_DELTA_CTE = (
     "old_t(subj, pred, obj) AS ("
     "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
@@ -3366,6 +3433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 51+: remaining never-driver-checked + round-4
         # --- additions; front of the round-5 window.
         "bgp_stats_ordered_query": _q_bgp_stats_ordered,
+        "sparql_base_resolution": _q_sparql_base,
+        "sparql_from_dataset": _q_sparql_from_dataset,
         "trig_named_graphs": _q_trig_named_graphs,
         "trig_serialize_roundtrip": _q_trig_serialize_roundtrip,
         "incremental_ontology_merge": _q_incremental_ontology_merge,
@@ -4753,6 +4822,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT c, 'ex:migrated', 'true' FROM hb "
             "UNION ALL SELECT 'urn:world:0', 'rdf:type', 'ex:World' "
             "UNION ALL SELECT 'urn:world:0', 'ex:name', 'World'"
+        ),
+        # sparql_base_resolution oracle: the query's relative IRIREFs
+        # resolve to /kg/pred/name, /kg/pred/inRegion, /kg/region/0 —
+        # the oracle states the post-resolution query directly
+        "sparql_base_resolution": (
+            "SELECT 'http://ex.org/kg/nation/' || n_nationkey AS n, "
+            "n_name AS nname, r_name AS rname "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_regionkey = 0"
+        ),
+        # sparql_from_dataset oracle: dataset = {default: g:nat, named:
+        # g:supp} — only supplier inNation rows (named) join nation
+        # names (default); customers / original-default rows are out
+        "sparql_from_dataset": (
+            "SELECT 'urn:supp:' || s_suppkey AS e, n_name AS nname "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_1')"
         ),
         "sparql_graph_query": (
             "SELECT 'urn:g:cust' AS g, 'urn:cust:' || c_custkey AS e, "

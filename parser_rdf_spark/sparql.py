@@ -11,8 +11,14 @@ string costs microseconds regardless of corpus size).
 
 Supported subset (everything the underlying compiler can plan):
 
-* prologue: ``PREFIX pfx: <iri>`` (``BASE`` is not supported, mirroring
-  the reference's no-``@base`` scope, docs/spec-completeness.md:147);
+* prologue: ``PREFIX pfx: <iri>`` and ``BASE <iri>`` — relative IRIREFs
+  anywhere in the query (including subsequent PREFIX declarations)
+  resolve against the base per RFC 3986 §5.2 strict (:mod:`.iri`).
+  This is an engine extension: the reference scopes out relative-IRI
+  resolution entirely (docs/spec-completeness.md:147), but real SPARQL
+  corpora carry ``BASE`` prologues. Without a ``BASE``, a relative
+  IRIREF stays verbatim (the engine's string-typed relation matches
+  lexical forms, so this remains well-defined);
 * query forms: ``SELECT [DISTINCT|REDUCED]`` (REDUCED implemented as
   DISTINCT — spec-conformant and deterministic), ``ASK``, ``CONSTRUCT {…} WHERE``
   (with ORDER BY/LIMIT applied to the solution sequence before
@@ -27,7 +33,10 @@ Supported subset (everything the underlying compiler can plan):
   ``{ … } UNION { … }``, sub-SELECT (``{ SELECT … }`` executed
   recursively and natural-joined with the enclosing group on its
   projected variables; outer FILTERs may reference sub-projected
-  variables), and ``GRAPH g { … }`` over a quads relation
+  variables), ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses over a
+  quads relation (the default graph becomes the set-union of the FROM
+  graphs; the named-graph set becomes exactly the FROM NAMED list),
+  and ``GRAPH g { … }`` over a quads relation
   (:func:`.bgp.quads_spo` — un-GRAPHed patterns then match the default
   graph, a variable graph term ranges over named graphs, per the SPARQL
   dataset model);
@@ -72,6 +81,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bgp import bgp_ask, bgp_query, bgp_union, seq_path
+from .iri import is_absolute_iri, resolve_iri
 
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -101,7 +111,7 @@ _KEYWORDS = {
     "union", "values", "bind", "not", "exists", "minus", "group", "by",
     "having", "order", "asc", "desc", "limit", "offset", "ask", "reduced",
     "construct", "describe", "as", "undef", "in", "true", "false",
-    "graph", "service",
+    "graph", "service", "from", "named",
 }
 
 # SPARQL builtin → Spark SQL function (argument-preserving)
@@ -164,6 +174,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self._fresh = 0
 
     # ----- token helpers -------------------------------------------------
@@ -209,6 +220,16 @@ class _Parser:
         return f"?__{tag}{self._fresh}"
 
     # ----- terms ---------------------------------------------------------
+    def _resolve_iriref(self, text: str) -> str:
+        """Unwrap an IRIREF token; resolve relative references against
+        the prologue ``BASE`` (RFC 3986 §5.2 strict). With no base a
+        relative IRI stays verbatim — the string-typed relation matches
+        lexical forms, so the query is still well-defined."""
+        iri = text[1:-1]
+        if self.base is None or is_absolute_iri(iri):
+            return iri
+        return resolve_iri(self.base, iri)
+
     def _expand_pname(self, text: str) -> str:
         pfx, _, local = text.partition(":")
         if pfx in self.prefixes:
@@ -220,7 +241,7 @@ class _Parser:
         if kind == "VAR":
             return "?" + text[1:]
         if kind == "IRIREF":
-            return text[1:-1]
+            return self._resolve_iriref(text)
         if kind == "PNAME":
             return self._expand_pname(text)
         if kind == "BNODE":
@@ -677,7 +698,8 @@ class _ExprTranslator:
         if kind == "STRING":
             return _sql_quote(_unescape(text[1:-1])), "str"
         if kind in ("IRIREF", "PNAME"):
-            term = text[1:-1] if kind == "IRIREF" else self.p._expand_pname(text)
+            term = self.p._resolve_iriref(text) if kind == "IRIREF" \
+                else self.p._expand_pname(text)
             return _sql_quote(term), "str"
         if kind == "OP" and text == "(":
             sql, k = self._or()
@@ -761,10 +783,20 @@ def _prologue(p: _Parser):
             k2, iri = p._next()
             if k2 != "IRIREF":
                 raise SparqlError("PREFIX needs an <iri>")
-            p.prefixes[pfx] = iri[1:-1]
+            p.prefixes[pfx] = p._resolve_iriref(iri)
             continue
-        if p._at_kw("base"):
-            raise SparqlError("BASE is not supported")
+        if p._eat_kw("base"):
+            k2, iri = p._next()
+            if k2 != "IRIREF":
+                raise SparqlError("BASE needs an <iri>")
+            # later BASE declarations resolve against earlier ones
+            # (RFC 3986 §5.1.1 chaining); the effective base must end
+            # up absolute or relative refs would silently mis-resolve
+            p.base = p._resolve_iriref(iri)
+            if not is_absolute_iri(p.base):
+                raise SparqlError(
+                    f"BASE must resolve to an absolute IRI, got <{p.base}>")
+            continue
         break
 
 
@@ -782,7 +814,7 @@ def parse_sparql(text: str) -> dict:
         _parse_modifiers(p, spec, allow=())
         return spec
     if p._eat_kw("construct"):
-        if p._at_kw("where"):
+        if p._at_kw("where") or p._at_kw("from"):
             # CONSTRUCT WHERE { … } shorthand: the pattern is its own
             # template (spec §10.2.2 — plain triple patterns only)
             spec = _parse_where(p)
@@ -826,7 +858,7 @@ def parse_sparql(text: str) -> dict:
         if not targets:
             raise SparqlError("DESCRIBE needs ≥1 resource or variable")
         spec = {"patterns": []}
-        if p._at_kw("where") or p._at("{"):
+        if p._at_kw("where") or p._at("{") or p._at_kw("from"):
             spec = _parse_where(p)
         spec["form"] = "describe"
         spec["describe"] = targets
@@ -873,6 +905,8 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         if not select:
             raise SparqlError("empty SELECT clause")
     spec = _parse_where(p)
+    if subquery and ("from_graphs" in spec or "from_named" in spec):
+        raise SparqlError("sub-SELECT cannot carry FROM/FROM NAMED")
     spec["form"] = "select"
     spec["distinct"] = distinct
     spec["select"] = select
@@ -955,9 +989,22 @@ def _split_separator(toks: list) -> tuple[list, str | None]:
 
 
 def _parse_where(p: _Parser) -> dict:
+    # DatasetClause* precedes WHERE (spec §13.2): FROM builds the merged
+    # default graph, FROM NAMED enumerates the named graphs; when either
+    # is present the dataset is EXACTLY what the clauses describe
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+    while p._eat_kw("from"):
+        (from_named if p._eat_kw("named") else from_graphs).append(
+            p._iri_only())
     p._eat_kw("where")
     p._expect("{")
-    return p._group()
+    spec = p._group()
+    if from_graphs:
+        spec["from_graphs"] = from_graphs
+    if from_named:
+        spec["from_named"] = from_named
+    return spec
 
 
 def _parse_modifiers(p: _Parser, spec: dict, allow: tuple,
@@ -1123,6 +1170,42 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
     return spec
 
 
+def _apply_dataset_clauses(quads: DataFrame, spec: dict) -> DataFrame:
+    """FROM / FROM NAMED dataset construction (spec §13.2) over a quads
+    relation: the default graph becomes the set-union of the FROM
+    graphs (re-labelled '_:default'), the named-graph set becomes
+    exactly the FROM NAMED graphs; everything else — including the
+    relation's original default graph — is out of the dataset.
+
+    Scale shape: two pushed-down ``graph IN (...)`` literal filters
+    (partition-prunable when the sink is graph-partitioned) + one
+    union; the only dedup is over the merged default slice, and only
+    when >1 source graph can collide. Blank nodes are doc-scoped
+    strings engine-wide (formats.py P5), so set-union — not
+    bnode-renaming RDF merge — is the engine's documented semantics."""
+    from_graphs = spec.pop("from_graphs", None)
+    from_named = spec.pop("from_named", None)
+    if not from_graphs and not from_named:
+        return quads
+    if "graph" not in quads.columns:
+        raise SparqlError(
+            "FROM/FROM NAMED need a quads relation (graph column) — "
+            "adapt with bgp.quads_spo")
+    parts = []
+    if from_graphs:
+        merged = quads.where(F.col("graph").isin(from_graphs)) \
+            .withColumn("graph", F.lit("_:default"))
+        if len(from_graphs) > 1:
+            merged = merged.dropDuplicates(quads.columns)
+        parts.append(merged)
+    if from_named:
+        parts.append(quads.where(F.col("graph").isin(from_named)))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
@@ -1132,6 +1215,7 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
     :mod:`.bgp`'s — the text layer adds zero execution cost."""
     spec = parse_sparql(text)
     form = spec.pop("form")
+    triples = _apply_dataset_clauses(triples, spec)
     spec = _apply_graph_semantics(spec, "graph" in triples.columns)
     if form != "select" and _has_subselect(spec):
         raise SparqlError("sub-SELECT is only supported in SELECT queries")

@@ -249,7 +249,9 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
     ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
     ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
     ('SELECT ?s WHERE { ?s ((knows/knows)+)* ?o }', "nested path closures"),
-    ('BASE <urn:b:> SELECT ?s WHERE { ?s type Person }', "BASE"),
+    # BASE itself is supported (test_iri_base_from.py); a base that
+    # stays relative after chaining is the remaining error path
+    ('BASE <rel/> SELECT ?s WHERE { ?s type Person }', "absolute"),
     ('SELECT ?s WHERE { { ?s type Person } }', "UNION branches"),
 ])
 def test_unsupported_constructs_raise(kg, query, msg):
