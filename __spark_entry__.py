@@ -643,6 +643,20 @@ def _q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = res.unionByName(s)
         rows = res.collect()  # materialize before the tempdir vanishes
         tables["_res"].unpersist()
+        # maintenance boundary (north rule: resumable + storage bounded):
+        # compact every table to one file per partition dir, expire all
+        # but the current snapshot, and pin that row counts are identical
+        # across the boundary — i.e. the vacuum left current reads green
+        for t in GraphWriter.TABLES:
+            writer.compact(spark, t)
+        expired = writer.expire_snapshots(keep_last=1)
+        rows += [
+            ("maintenance_expired_snapshots", len(expired)),
+            ("triples_rows_post_maintenance",
+             writer.table_at(spark, "triples").count()),
+            ("edges_rows_post_maintenance",
+             writer.table_at(spark, "edges").count()),
+        ]
         return spark.createDataFrame(rows, "metric string, value bigint")
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -3609,6 +3623,12 @@ _PIPELINE_E2E_ROWS = [
     ("vertices_with_component", 5),
     ("lineage_edges_accounted", 43),
     ("lineage_runs", 1),
+    # 4 bucket-append commits + 4 per-table compaction commits, expiry
+    # keeps only the last → 7 expired; row counts invariant across the
+    # compact+vacuum boundary
+    ("maintenance_expired_snapshots", 7),
+    ("triples_rows_post_maintenance", 100),
+    ("edges_rows_post_maintenance", 43),
 ]
 
 _PIPELINE_E2E_SQL = (

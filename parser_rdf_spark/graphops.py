@@ -491,7 +491,8 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 
 def void_description(triples: DataFrame, dataset_iri: str,
-                     type_iri: str = RDF_TYPE_IRI) -> DataFrame:
+                     type_iri: str = RDF_TYPE_IRI,
+                     stats: DataFrame | None = None) -> DataFrame:
     """VoID dataset description — the KG described AS RDF (the W3C
     vocabulary downstream catalogs consume): dataset-level void:triples /
     void:properties / void:classes / void:distinctSubjects /
@@ -508,7 +509,15 @@ def void_description(triples: DataFrame, dataset_iri: str,
     ``<dataset>/class/<md5(cls)>`` — deterministic, collision-free, and
     independent of row order. Scale shape: one groupBy(pred), one
     filtered groupBy(class), and one global aggregate — the same
-    shuffles as predicate_statistics."""
+    shuffles as predicate_statistics.
+
+    ``stats``: a :func:`predicate_statistics` output for the SAME
+    relation. When given, the per-predicate groupBy and the
+    void:triples / void:properties totals come from the (tiny) stats
+    table instead of re-scanning triples — the production deployment
+    already schedules a stats pass after each merge, so the descriptor
+    rides it for free (one full scan + one wide shuffle saved). Output
+    is row-identical either way (pinned in pytest)."""
     def row(subj, pred, kind, value, dt=None):
         return F.struct(
             F.lit(dataset_iri).alias("doc_url"),
@@ -529,18 +538,39 @@ def void_description(triples: DataFrame, dataset_iri: str,
     if "obj_value" not in triples.columns:
         # bare (subj, pred, obj) relations are accepted like inference.py
         triples = triples.withColumn("obj_value", F.col("obj"))
-    totals = triples.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("pred").alias("np"),
-        F.countDistinct("subj").alias("ns"),
-        F.countDistinct("obj_value").alias("no"),
-        F.countDistinct(
-            F.when(F.col("pred") == type_iri, F.col("subj"))
-        ).alias("ne"),
-        F.countDistinct(
-            F.when(F.col("pred") == type_iri, F.col("obj_value"))
-        ).alias("nc"),
-    ).select(
+    if stats is None:
+        per_pred = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+        totals_src = triples.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pred").alias("np"),
+            F.countDistinct("subj").alias("ns"),
+            F.countDistinct("obj_value").alias("no"),
+            F.countDistinct(
+                F.when(F.col("pred") == type_iri, F.col("subj"))
+            ).alias("ne"),
+            F.countDistinct(
+                F.when(F.col("pred") == type_iri, F.col("obj_value"))
+            ).alias("nc"),
+        )
+    else:
+        per_pred = stats.select("pred", F.col("n_triples").alias("n"))
+        # n / np fold over the tiny stats table; the distinct counts are
+        # not derivable from per-predicate NDVs and still scan triples —
+        # but only ONCE now (1-row × 1-row cross join stitches them)
+        totals_src = triples.agg(
+            F.countDistinct("subj").alias("ns"),
+            F.countDistinct("obj_value").alias("no"),
+            F.countDistinct(
+                F.when(F.col("pred") == type_iri, F.col("subj"))
+            ).alias("ne"),
+            F.countDistinct(
+                F.when(F.col("pred") == type_iri, F.col("obj_value"))
+            ).alias("nc"),
+        ).crossJoin(per_pred.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+        ))
+    totals = totals_src.select(
         F.explode(F.array(
             row(ds, RDF_TYPE_IRI, "iri", VOID_NS + "Dataset"),
             row(ds, VOID_NS + "triples", "literal", cnt(F.col("n")), XSD_INTEGER),
@@ -553,7 +583,7 @@ def void_description(triples: DataFrame, dataset_iri: str,
     ).select("t.*")
 
     pp_node = F.concat(F.lit(ds + "/prop/"), F.md5("pred"))
-    props = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).select(
+    props = per_pred.select(
         F.explode(F.array(
             row(F.lit(ds), VOID_NS + "propertyPartition", "iri", pp_node),
             row(pp_node, VOID_NS + "property", "iri", F.col("pred")),

@@ -433,3 +433,114 @@ class GraphWriter:
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "metrics"))
+
+    # -- maintenance (scheduled post-run, like Iceberg rewrite_data_files
+    # + expire_snapshots) ---------------------------------------------------
+    def compact(self, spark: SparkSession, table: str) -> int:
+        """Small-file compaction for one table: rewrite the CURRENT
+        snapshot's rows into one file per partition directory and commit
+        the rewrite as a new snapshot (operation='compaction') — contents
+        identical, partition layout identical, history intact, the old
+        small files reclaimed by :meth:`expire_snapshots`.
+
+        The bucket-resume loop writes every table B times (once per
+        url_bucket), and each write emits up-to-shuffle-partitions files
+        per partition dir — at 10^12 docs the accreted small files are
+        what blow up scan task counts and parquet footer IO. This is the
+        maintenance job that bounds them.
+
+        Crash-safe by the same protocol as the bucket writes: compacted
+        files are renamed into the live partition dirs under names no
+        manifest references yet, then ONE commit makes them visible —
+        a crash at any point leaves either the old snapshot fully intact
+        (plus invisible orphans cleaned by the next compact/expire) or
+        the new one fully committed. Runs only after every bucket is
+        checkpointed, so the dynamic-partition-overwrite bucket writes
+        (which would clobber foreign files in a partition dir they
+        rewrite) can never race it."""
+        if table not in self.TABLES:
+            raise ValueError(f"unknown table {table!r}; one of {self.TABLES}")
+        if len(self.processed_buckets()) != self.url_buckets:
+            raise ValueError(
+                "compact() requires a completed run: "
+                f"{len(self.processed_buckets())}/{self.url_buckets} buckets done"
+            )
+        sid = self.snapshots.current_id()
+        if sid is None:
+            raise ValueError(f"no snapshot committed yet at {self.root}")
+        parent_files = self.snapshots.manifest(sid)["files"]
+        prefix = table + os.sep
+        old = [f for f in parent_files if f.startswith(prefix)]
+        if not old:
+            raise ValueError(f"snapshot {sid} lists no files for {table!r}")
+        # partition columns, recovered from the on-disk layout itself
+        part_cols = []
+        for seg in old[0].split(os.sep)[1:-1]:
+            if "=" in seg:
+                part_cols.append(seg.split("=", 1)[0])
+        df = self.table_at(spark, table, sid)
+
+        new_id = self.snapshots.next_id()
+        tmp = os.path.join(self.root, f"_compact_tmp_{table}_{new_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        writer = (
+            # repartition BY the partition columns: rows of one partition
+            # value land in one task, so partitionBy emits exactly one
+            # file per partition dir (the compaction target). At larger-
+            # than-task-size partitions add a salt for >1 file each.
+            df.repartition(*[F.col(c) for c in part_cols]).write
+            if part_cols else df.coalesce(1).write
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.mode("errorifexists").parquet(tmp)
+
+        # rename into the live layout under manifest-invisible names
+        new_files = []
+        for dirpath, _, names in os.walk(tmp):
+            rel_dir = os.path.relpath(dirpath, tmp)
+            for i, n in enumerate(sorted(names)):
+                if not n.endswith(".parquet"):
+                    continue
+                dest_dir = (
+                    os.path.join(self.root, table)
+                    if rel_dir == "." else
+                    os.path.join(self.root, table, rel_dir)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"compact-{new_id}-{n}")
+                os.replace(os.path.join(dirpath, n), dest)
+                new_files.append(os.path.relpath(dest, self.root))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        files = [f for f in parent_files if not f.startswith(prefix)]
+        files += sorted(new_files)
+        assert self.snapshots.next_id() == new_id, "concurrent writer detected"
+        return self.snapshots.commit(
+            sorted(files), "compaction",
+            {"table": table, "files_before": len(old),
+             "files_after": len(new_files)},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Expire all but the last ``keep_last`` snapshots (metadata via
+        :meth:`ManifestLog.expire`) and physically delete every table
+        parquet file no surviving manifest references — the vacuum that
+        reclaims pre-compaction small files and keeps storage bounded.
+        Returns the expired snapshot ids."""
+        expired = self.snapshots.expire(keep_last)
+        surviving = {
+            f
+            for mid in self.snapshots.manifest_ids()
+            for f in self.snapshots.manifest(mid)["files"]
+        }
+        for table in self.TABLES:
+            tdir = os.path.join(self.root, table)
+            for dirpath, dirnames, names in os.walk(tdir, topdown=False):
+                for n in names:
+                    p = os.path.join(dirpath, n)
+                    if n.endswith(".parquet") and os.path.relpath(p, self.root) not in surviving:
+                        os.remove(p)
+                if dirpath != tdir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return expired

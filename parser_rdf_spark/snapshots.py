@@ -99,6 +99,36 @@ class ManifestLog:
         ids = self.manifest_ids()
         return (ids[-1] + 1) if ids else 1
 
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Metadata-only snapshot expiry: drop all but the last
+        ``keep_last`` reachable manifests plus any orphans older than
+        the kept window, and re-root the oldest kept manifest
+        (parent_id → None) so :meth:`history` never walks into a
+        deleted file. Callers that also own data files (GraphWriter
+        compaction, :class:`SnapshotTable`) pair this with their own
+        file reclamation. Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        hist = self.history()
+        keep, drop = hist[-keep_last:], hist[:-keep_last]
+        kept_ids = {m["snapshot_id"] for m in keep}
+        reachable = {m["snapshot_id"] for m in hist}
+        expired = [m["snapshot_id"] for m in drop]
+        expired += [
+            sid for sid in self.manifest_ids()
+            if sid not in reachable and sid < min(kept_ids, default=0)
+        ]
+        for sid in expired:
+            os.remove(os.path.join(self.meta_dir, f"snap-{sid}.json"))
+        if keep and keep[0]["parent_id"] is not None:
+            oldest = dict(keep[0], parent_id=None)
+            self.atomic_json(
+                os.path.join(
+                    self.meta_dir, f"snap-{oldest['snapshot_id']}.json"),
+                oldest,
+            )
+        return sorted(expired)
+
     def commit(self, files: list[str], operation: str, summary: dict | None = None) -> int:
         snap_id = self.next_id()
         self.atomic_json(

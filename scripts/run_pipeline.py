@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--pred-buckets", type=int, default=64)
     ap.add_argument("--fail-after", type=int, default=None,
                     help="test hook: simulate a kill after N buckets")
+    ap.add_argument("--no-maintenance", action="store_true",
+                    help="skip post-run compaction + snapshot expiry")
+    ap.add_argument("--keep-snapshots", type=int, default=2,
+                    help="snapshots kept by post-run expiry (default 2)")
     ap.add_argument("--master", default="submit",
                     help="'submit' (default) inherits spark-submit's --master")
     args = ap.parse_args()
@@ -119,6 +123,27 @@ def main() -> int:
         .parquet(os.path.join(args.out, "metrics"))
     )
 
+    # the corpus-global vertices metrics above were written OUTSIDE the
+    # bucket loop's snapshot protocol — commit them so time travel /
+    # compaction / expiry see the complete table state
+    writer.snapshots.commit(
+        writer._table_files(), "append-global-metrics", {"run_id": args.run_id}
+    )
+
+    # VoID dataset descriptor, riding the predicate-statistics pass the
+    # deployment schedules after each merge (no extra full scan for the
+    # per-predicate partitions)
+    from parser_rdf_spark.graphops import predicate_statistics, void_description
+
+    stats = predicate_statistics(
+        triples.select("subj", "pred", F.col("obj_value").alias("obj"))
+    ).persist()
+    stats.write.mode("overwrite").parquet(os.path.join(args.out, "predicate_stats"))
+    void_description(
+        triples, f"urn:kg:{args.run_id}", stats=stats
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "void"))
+    stats.unpersist()
+
     summary = {
         "run_id": args.run_id,
         "buckets_total": result.buckets_total,
@@ -132,6 +157,24 @@ def main() -> int:
         "properties": tables["properties"].count(),
         "shapes": tables["shapes"].count(),
     }
+
+    # maintenance LAST (every count above has already scanned): compact
+    # the per-bucket small files (one file per partition dir) and vacuum
+    # everything only expired snapshots reference — the scheduled job
+    # that keeps file counts bounded. Any DataFrame resolved against the
+    # pre-compaction listing is stale after this, hence the ordering.
+    compaction = {}
+    if not args.no_maintenance:
+        for table in writer.TABLES:
+            sid = writer.compact(spark, table)
+            s = writer.snapshots.manifest(sid)["summary"]
+            compaction[table] = {
+                "files_before": s["files_before"], "files_after": s["files_after"],
+            }
+        compaction["expired_snapshots"] = len(
+            writer.expire_snapshots(keep_last=args.keep_snapshots)
+        )
+    summary["maintenance"] = compaction
     print("SUMMARY " + json.dumps(summary))
     spark.stop()
     return 0

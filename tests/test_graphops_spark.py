@@ -384,3 +384,30 @@ def test_round3_graph_ops_plan_shapes(spark):
     for p in plans:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
+
+
+def test_void_description_rides_predicate_statistics(spark):
+    """void_description(stats=...) must be row-identical to the
+    scan-everything path — the stats table only replaces WHERE the
+    numbers come from (one full scan + the per-pred shuffle saved)."""
+    from parser_rdf_spark.graphops import predicate_statistics, void_description
+    from parser_rdf_spark.schemas import TRIPLES
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("https://d/1", None, "a", RT, "iri", "C1", None, None, 1),
+        ("https://d/1", None, "b", RT, "iri", "C1", None, None, 2),
+        ("https://d/1", None, "c", RT, "iri", "C2", None, None, 3),
+        ("https://d/1", None, "a", "p", "literal", "x", None, None, 4),
+        ("https://d/1", None, "b", "p", "literal", "x", None, None, 5),
+        ("https://d/2", None, "b", "q", "iri", "c", None, None, 1),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    stats = predicate_statistics(
+        t.select("subj", "pred", t.obj_value.alias("obj"))
+    )
+    plain = void_description(t, "https://ds.example.org/kg")
+    rided = void_description(t, "https://ds.example.org/kg", stats=stats)
+    key = lambda r: (r.subj, r.pred, r.obj_value)
+    assert sorted(map(key, rided.collect())) == sorted(map(key, plain.collect()))
+    assert rided.schema == plain.schema

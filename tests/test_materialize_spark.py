@@ -216,3 +216,85 @@ def test_graphwriter_rejects_config_mismatch_on_resume(spark, tmp_path):
         GraphWriter(root, url_buckets=8)
     # same config reopens fine
     assert GraphWriter(root, url_buckets=4).processed_buckets() == {0, 1, 2, 3}
+
+
+def _all_parquet(root):
+    import glob
+    return sorted(
+        p for p in glob.glob(str(root / "**" / "*.parquet"), recursive=True)
+    )
+
+
+def test_compact_rewrites_identically_and_expire_reclaims(spark, tmp_path):
+    """Post-run compaction: one file per partition dir, contents
+    bit-identical, pre-compaction snapshots time-travelable until
+    expire_snapshots() vacuums their files (pinned file counts)."""
+    import glob
+
+    pages = pages_df(spark, _docs(16))
+    root = tmp_path / "gc"
+    w = GraphWriter(str(root), url_buckets=4)
+    w.run(spark, pages, run_id="r1")
+
+    pre_sid = w.snapshots.current_id()
+    key = lambda r: tuple(str(v) for v in r)
+    before = sorted(map(key, w.table_at(spark, "edges").collect()))
+    files_before = len([f for f in w.snapshots.manifest(pre_sid)["files"]
+                        if f.startswith("edges/")])
+
+    sid = w.compact(spark, "edges")
+    summ = w.snapshots.manifest(sid)["summary"]
+    n_part_dirs = len(glob.glob(str(root / "edges" / "url_bucket=*" / "pred_bucket=*")))
+    assert summ["files_before"] == files_before
+    assert summ["files_after"] == n_part_dirs  # exactly one file per partition dir
+    assert summ["files_after"] < files_before
+
+    # contents identical, partition columns intact
+    after = sorted(map(key, w.table_at(spark, "edges").collect()))
+    assert after == before
+    # time travel to the pre-compaction snapshot still works pre-expiry
+    assert sorted(map(key, w.table_at(spark, "edges", pre_sid).collect())) == before
+
+    for table in ("triples", "docmeta", "metrics"):
+        w.compact(spark, table)
+
+    n_files_pre_expire = len(_all_parquet(root))
+    expired = w.expire_snapshots(keep_last=1)
+    assert pre_sid in expired
+    # vacuum physically removed the small files no manifest references
+    n_files = len(_all_parquet(root))
+    assert n_files < n_files_pre_expire
+    cur = w.snapshots.current_id()
+    assert n_files == len(w.snapshots.manifest(cur)["files"])
+    # current reads still green after the vacuum
+    assert sorted(map(key, w.table_at(spark, "edges").collect())) == before
+    assert w.table_at(spark, "triples").count() == 32
+    # history never walks into an expired manifest
+    assert [m["snapshot_id"] for m in w.snapshots.history()] == [cur]
+
+
+def test_kill_resume_across_compaction_boundary(spark, tmp_path):
+    """Kill mid-run → resume → compact → expire → idempotent re-run:
+    the maintenance step composes with bucket-level resume (the
+    north-rule's 'resumes from snapshot checkpoints')."""
+    pages = pages_df(spark, _docs(16))
+    root = tmp_path / "gk"
+    w = GraphWriter(str(root), url_buckets=4)
+
+    # compaction refuses a half-done table (dynamic partition overwrite
+    # on resume would clobber compacted files in a rewritten partition)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        w.run(spark, pages, run_id="r1", fail_after_buckets=2)
+    with pytest.raises(ValueError, match="completed run"):
+        w.compact(spark, "edges")
+
+    res = w.run(spark, pages, run_id="r2")
+    assert res.buckets_processed == 2 and res.buckets_skipped == 2
+    w.compact(spark, "edges")
+    w.expire_snapshots(keep_last=1)
+
+    # a post-maintenance re-run is a no-op and reads stay correct
+    res3 = w.run(spark, pages, run_id="r3")
+    assert res3.buckets_processed == 0 and res3.buckets_skipped == 4
+    assert w.edges(spark).count() == 16
+    assert w.table_at(spark, "edges").count() == 16
