@@ -2152,6 +2152,162 @@ def _q_kg_void_description(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# graph canonicalization (canonical.py): WL color refinement, one shared
+# fixture drives BOTH the Spark query and a full re-implementation of the
+# refinement in DuckDB SQL (not golden values — the oracle independently
+# recomputes every color, hash, and label).
+# ---------------------------------------------------------------------------
+# (doc, graph, subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_CANON_FIXTURE = [
+    # d1 / d2: the same graph under different serializer-minted bnode
+    # labels — text dedup misses them, canonical hashing must not
+    ("c:d1", None, "http://e/x", "http://e/knows", "bnode", "_:a", None, None),
+    ("c:d1", None, "_:a", "http://e/name", "literal", "Ann", None, None),
+    ("c:d1", None, "_:a", "http://e/friend", "bnode", "_:b", None, None),
+    ("c:d1", None, "_:b", "http://e/name", "literal", "Bob", None, None),
+    ("c:d1", None, "_:b", "http://e/age", "literal", "42", None, _XSD_INT),
+    ("c:d2", None, "http://e/x", "http://e/knows", "bnode", "_:genid7", None, None),
+    ("c:d2", None, "_:genid7", "http://e/name", "literal", "Ann", None, None),
+    ("c:d2", None, "_:genid7", "http://e/friend", "bnode", "_:genid3", None, None),
+    ("c:d2", None, "_:genid3", "http://e/name", "literal", "Bob", None, None),
+    ("c:d2", None, "_:genid3", "http://e/age", "literal", "42", None, _XSD_INT),
+    # d3: same shape as d1, one ground literal differs — distinct hash
+    ("c:d3", None, "http://e/x", "http://e/knows", "bnode", "_:a", None, None),
+    ("c:d3", None, "_:a", "http://e/name", "literal", "Ann", None, None),
+    ("c:d3", None, "_:a", "http://e/friend", "bnode", "_:b", None, None),
+    ("c:d3", None, "_:b", "http://e/name", "literal", "Carol", None, None),
+    ("c:d3", None, "_:b", "http://e/age", "literal", "42", None, _XSD_INT),
+    # d4 / d5: automorphic bnode pair (WL ties, labels tie-broken),
+    # isomorphic to each other
+    ("c:d4", None, "http://e/x", "http://e/p", "bnode", "_:m", None, None),
+    ("c:d4", None, "http://e/x", "http://e/p", "bnode", "_:n", None, None),
+    ("c:d4", None, "_:m", "http://e/v", "literal", "1", None, None),
+    ("c:d4", None, "_:n", "http://e/v", "literal", "1", None, None),
+    ("c:d5", None, "http://e/x", "http://e/p", "bnode", "_:q1", None, None),
+    ("c:d5", None, "http://e/x", "http://e/p", "bnode", "_:q2", None, None),
+    ("c:d5", None, "_:q1", "http://e/v", "literal", "1", None, None),
+    ("c:d5", None, "_:q2", "http://e/v", "literal", "1", None, None),
+    # d6: d1's triples inside a named graph — graph term is part of the
+    # encoding, so the hash differs from d1
+    ("c:d6", "http://g/one", "http://e/x", "http://e/knows", "bnode", "_:a", None, None),
+    ("c:d6", "http://g/one", "_:a", "http://e/name", "literal", "Ann", None, None),
+    ("c:d6", "http://g/one", "_:a", "http://e/friend", "bnode", "_:b", None, None),
+    ("c:d6", "http://g/one", "_:b", "http://e/name", "literal", "Bob", None, None),
+    ("c:d6", "http://g/one", "_:b", "http://e/age", "literal", "42", None, _XSD_INT),
+    # d7: a French-tagged literal and an all-ground triple (no bnodes at
+    # all in the second one — canonical hash must still cover it)
+    ("c:d7", None, "http://e/x", "http://e/label", "literal", "libellé", "fr", None),
+    ("c:d7", None, "http://e/x", "http://e/see", "iri", "http://e/y", None, None),
+]
+
+
+def _canon_triples(spark: SparkSession) -> DataFrame:
+    from parser_rdf_spark.schemas import TRIPLES
+
+    rows = [r + (i,) for i, r in enumerate(_CANON_FIXTURE)]
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def _canon_wl_ctes() -> str:
+    """The WL refinement (canonical.py bnode_colors, rounds=2) as DuckDB
+    CTEs over the same fixture — independent recomputation of every
+    color (md5 over the '#'-joined sorted item list, items
+    ``o|pred|g|<neighbor>`` / ``i|pred|g|<neighbor>``)."""
+    vals = ", ".join(
+        "(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in _CANON_FIXTURE
+    )
+    ground_obj = (
+        "CASE WHEN tt.okind = 'iri' THEN 'I:' || tt.o "
+        "ELSE 'L:' || tt.o || '|' || tt.olang || '|' || tt.odt END"
+    )
+    item_round = (
+        "SELECT tt.doc, tt.s AS b, 'o|' || tt.p || '|' || tt.g || '|' || "
+        "CASE WHEN tt.o_bn THEN nb.c ELSE " + ground_obj + " END AS item "
+        "FROM tt LEFT JOIN {prev} nb ON nb.doc = tt.doc AND nb.b = tt.o AND tt.o_bn "
+        "WHERE tt.s_bn "
+        "UNION ALL "
+        "SELECT tt.doc, tt.o AS b, 'i|' || tt.p || '|' || tt.g || '|' || "
+        "CASE WHEN tt.s_bn THEN sb.c ELSE 'I:' || tt.s END "
+        "FROM tt LEFT JOIN {prev} sb ON sb.doc = tt.doc AND sb.b = tt.s AND tt.s_bn "
+        "WHERE tt.o_bn"
+    )
+    color_agg = (
+        "SELECT doc, b, md5(array_to_string(list_sort(list(item)), '#')) AS c "
+        "FROM items{n} GROUP BY doc, b"
+    )
+    return (
+        f"WITH raw(doc, g, s, p, okind, o, olang, odt) AS (VALUES {vals}), "
+        "tt AS MATERIALIZED (SELECT doc, "
+        "COALESCE(CASE WHEN g = '_:default' THEN NULL ELSE g END, '') AS g, "
+        "s, p, okind, o, COALESCE(olang, '') AS olang, COALESCE(odt, '') AS odt, "
+        "starts_with(s, '_:') AS s_bn, (okind = 'bnode') AS o_bn FROM raw), "
+        "b0 AS MATERIALIZED (SELECT DISTINCT doc, b, 'x' AS c FROM ("
+        "SELECT doc, s AS b FROM tt WHERE s_bn "
+        "UNION SELECT doc, o FROM tt WHERE o_bn)), "
+        "items1 AS (" + item_round.format(prev="b0") + "), "
+        "b1 AS MATERIALIZED (" + color_agg.format(n=1) + "), "
+        "items2 AS (" + item_round.format(prev="b1") + "), "
+        "b2 AS MATERIALIZED (" + color_agg.format(n=2) + "), "
+        "colored AS (SELECT tt.doc, "
+        "CASE WHEN tt.s_bn THEN 'B:' || sc.c ELSE 'I:' || tt.s END AS subj_c, "
+        "tt.p, "
+        "CASE WHEN tt.o_bn THEN 'B:' || oc.c "
+        "WHEN tt.okind = 'iri' THEN 'I:' || tt.o "
+        "ELSE 'L:' || tt.o || '|' || tt.olang || '|' || tt.odt END AS obj_c, "
+        "tt.g, tt.s, tt.o, tt.okind, tt.s_bn, tt.o_bn "
+        "FROM tt "
+        "LEFT JOIN b2 sc ON sc.doc = tt.doc AND sc.b = tt.s AND tt.s_bn "
+        "LEFT JOIN b2 oc ON oc.doc = tt.doc AND oc.b = tt.o AND tt.o_bn) "
+    )
+
+
+def _canon_hash_oracle() -> str:
+    return _canon_wl_ctes() + (
+        "SELECT doc AS doc_url, "
+        "md5(array_to_string(list_sort(list(subj_c || ' ' || p || ' ' || obj_c || ' ' || g)), chr(10))) AS graph_hash, "
+        "COUNT(*) AS n_triples FROM colored GROUP BY doc"
+    )
+
+
+def _canon_labels_oracle() -> str:
+    return _canon_wl_ctes() + (
+        ", rel AS (SELECT doc, b, "
+        "'_:c' || CAST(ROW_NUMBER() OVER (PARTITION BY doc ORDER BY c, b) - 1 AS VARCHAR) AS canon "
+        "FROM b2) "
+        "SELECT colored.doc AS doc_url, "
+        "COALESCE(sm.canon, colored.s) AS subj, colored.p AS pred, "
+        "colored.okind AS obj_kind, "
+        "CASE WHEN colored.o_bn THEN om.canon ELSE colored.o END AS obj_value "
+        "FROM colored "
+        "LEFT JOIN rel sm ON sm.doc = colored.doc AND sm.b = colored.s AND colored.s_bn "
+        "LEFT JOIN rel om ON om.doc = colored.doc AND om.b = colored.o AND colored.o_bn"
+    )
+
+
+def _q_graph_canonical_dedup(spark, sf_dir):
+    """Isomorphism-invariant canonical hash per document graph
+    (canonical.py, WL color refinement, rounds=2): d1=d2 and d4=d5 hash
+    identically under renamed bnodes; ground/named-graph differences
+    (d3, d6) split. The oracle re-runs the full refinement in DuckDB —
+    every color and hash independently recomputed, not pinned."""
+    from parser_rdf_spark.canonical import canonical_graph_hash
+
+    return canonical_graph_hash(_canon_triples(spark), rounds=2)
+
+
+def _q_graph_canonical_labels(spark, sf_dir):
+    """Canonical blank-node relabeling (_:c0, _:c1, ... by final WL
+    color): the canonical serialization input. d1 and d2 emit identical
+    triple sets after relabeling; the automorphic d4 pair gets distinct
+    labels via the documented original-label tie-break."""
+    from parser_rdf_spark.canonical import canonicalize_bnodes
+
+    c = canonicalize_bnodes(_canon_triples(spark), rounds=2)
+    return c.select("doc_url", "subj", "pred", "obj_kind", "obj_value")
+
+
 _VOID_ORACLE_SQL = (
     "WITH t(subj, pred, obj) AS ("
     "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
@@ -3458,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_diff": _q_ontology_diff,
         "ann_sq8_recall": _q_ann_sq8_recall,
         "stream_incremental_cc": _q_stream_incremental_cc,
+        "graph_canonical_dedup": _q_graph_canonical_dedup,
+        "graph_canonical_labels": _q_graph_canonical_labels,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5179,6 +5337,8 @@ def oracle_sql() -> dict[str, str]:
         # == full rebuild
         "kg_incremental_cc": _FULL_EVENT_CC_SQL,
         "stream_incremental_cc": _FULL_EVENT_CC_SQL,
+        "graph_canonical_dedup": _canon_hash_oracle(),
+        "graph_canonical_labels": _canon_labels_oracle(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

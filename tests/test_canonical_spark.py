@@ -1,0 +1,140 @@
+"""Graph canonicalization laws (canonical.py): isomorphism invariance,
+ground sensitivity, idempotence, and the parser round-trip the module
+exists for — the SAME Turtle graph serialized with different bnode
+labels must dedup at the graph level."""
+
+import pytest
+
+from parser_rdf_spark.canonical import (
+    bnode_colors,
+    canonical_graph_hash,
+    canonicalize_bnodes,
+    isomorphic_duplicates,
+)
+from parser_rdf_spark.schemas import TRIPLES
+
+from conftest import pages_df
+
+
+def _chain(doc, a, b, bob="Bob"):
+    # <x> knows _:a ; _:a name "Ann" ; _:a friend _:b ; _:b name <bob>
+    return [
+        (doc, None, "http://e/x", "http://e/knows", "bnode", a, None, None, 1),
+        (doc, None, a, "http://e/name", "literal", "Ann", None, None, 2),
+        (doc, None, a, "http://e/friend", "bnode", b, None, None, 3),
+        (doc, None, b, "http://e/name", "literal", bob, None, None, 4),
+    ]
+
+
+@pytest.fixture(scope="module")
+def fixture_triples(spark):
+    rows = _chain("d1", "_:a", "_:b") + _chain("d2", "_:genid9", "_:b0")
+    rows += _chain("d3", "_:a", "_:b", bob="Carol")
+    # automorphic pair
+    for doc, x, y in (("d4", "_:m", "_:n"), ("d5", "_:q2", "_:q1")):
+        rows += [
+            (doc, None, "http://e/x", "http://e/p", "bnode", x, None, None, 1),
+            (doc, None, "http://e/x", "http://e/p", "bnode", y, None, None, 2),
+            (doc, None, x, "http://e/v", "literal", "1", None, None, 3),
+            (doc, None, y, "http://e/v", "literal", "1", None, None, 4),
+        ]
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+def test_isomorphic_graphs_hash_identically(fixture_triples):
+    h = {r.doc_url: r.graph_hash
+         for r in canonical_graph_hash(fixture_triples, rounds=2).collect()}
+    assert h["d1"] == h["d2"]
+    assert h["d4"] == h["d5"]
+    assert h["d1"] != h["d3"]  # ground literal differs
+    assert h["d1"] != h["d4"]
+
+
+def test_isomorphic_duplicates_groups(fixture_triples):
+    groups = {tuple(r.doc_urls)
+              for r in isomorphic_duplicates(fixture_triples, rounds=2).collect()}
+    assert groups == {("d1", "d2"), ("d4", "d5")}
+
+
+def test_canonical_labels_make_isomorphic_graphs_equal(fixture_triples):
+    c = canonicalize_bnodes(fixture_triples, rounds=2)
+    key = lambda r: (r.subj, r.pred, r.obj_kind, r.obj_value)  # noqa: E731
+    by_doc = {
+        d: sorted(map(key, c.where(c.doc_url == d).collect()))
+        for d in ("d1", "d2", "d4", "d5")
+    }
+    assert by_doc["d1"] == by_doc["d2"]
+    assert by_doc["d4"] == by_doc["d5"]
+    # distinct labels even for the automorphic (color-tied) d4 pair
+    labels = {r.subj for r in c.where("doc_url = 'd4'").collect()}
+    assert {"_:c0", "_:c1"} <= labels
+
+
+def test_canonicalize_is_idempotent_and_schema_stable(fixture_triples):
+    once = canonicalize_bnodes(fixture_triples, rounds=2)
+    twice = canonicalize_bnodes(once, rounds=2)
+    assert once.schema == fixture_triples.schema
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, twice.collect())) == sorted(map(key, once.collect()))
+
+
+def test_ground_only_graph_hashes_without_bnodes(spark):
+    rows = [("g1", None, "http://e/x", "http://e/p", "iri",
+             "http://e/y", None, None, 1)]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = canonical_graph_hash(t, rounds=2).collect()
+    assert len(out) == 1 and out[0].n_triples == 1
+
+
+def test_named_graph_changes_hash(spark):
+    base = [("gd", None, "http://e/x", "http://e/p", "bnode", "_:a", None, None, 1),
+            ("gd", None, "_:a", "http://e/q", "literal", "v", None, None, 2)]
+    named = [(d, "http://g/one", s, p, k, v, lg, dt, n)
+             for (d, _, s, p, k, v, lg, dt, n) in base]
+    named = [("gn",) + r[1:] for r in named]
+    t = spark.createDataFrame(base + named, TRIPLES)
+    h = {r.doc_url: r.graph_hash for r in canonical_graph_hash(t, 2).collect()}
+    assert h["gd"] != h["gn"]
+
+
+def test_colors_are_label_independent(fixture_triples):
+    c = bnode_colors(fixture_triples, rounds=2)
+    d1 = sorted(r.color for r in c.where("doc_url = 'd1'").collect())
+    d2 = sorted(r.color for r in c.where("doc_url = 'd2'").collect())
+    assert d1 == d2 and len(d1) == 2 and d1[0] != d1[1]
+
+
+def test_parse_roundtrip_dedup_across_bnode_renames(spark):
+    """The production scenario: two crawls of the same page whose
+    serializer minted different _:genid labels. Full pipeline — parse
+    both Turtle docs (P5 doc-scopes the labels differently), then
+    canonical dedup finds them; a third, ground-different doc stays
+    out."""
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    ttl = """@prefix ex: <http://e/> .
+ex:x ex:knows _:{a} .
+_:{a} ex:name "Ann" ; ex:friend _:{b} .
+_:{b} ex:name "{bob}" ."""
+    pages = pages_df(spark, {
+        "https://crawl.example.org/p1": ttl.format(a="a", b="b", bob="Bob"),
+        "https://crawl.example.org/p2": ttl.format(a="genid1", b="genid2", bob="Bob"),
+        "https://crawl.example.org/p3": ttl.format(a="a", b="b", bob="Carol"),
+    })
+    t = triples_of(parse_pages(pages))
+    dups = isomorphic_duplicates(t, rounds=2).collect()
+    assert len(dups) == 1
+    assert dups[0].doc_urls == [
+        "https://crawl.example.org/p1", "https://crawl.example.org/p2"]
+
+
+def test_canonical_plan_has_no_cartesian(fixture_triples):
+    plans = [
+        canonical_graph_hash(fixture_triples, 2)._jdf.queryExecution()
+        .executedPlan().toString(),
+        canonicalize_bnodes(fixture_triples, 2)._jdf.queryExecution()
+        .executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p
