@@ -219,6 +219,17 @@ def main() -> None:
 
     queries["serialize_export"] = _best_of(_q_serialize)
 
+    # q3e: graph-level canonical dedup over the full parsed corpus —
+    # 2-round WL color refinement (4 key-partitioned joins + 2 groupBys
+    # over the bnode-incident subset) plus the per-doc canonical-hash
+    # aggregate over every triple, then the duplicate-group reduction.
+    from parser_rdf_spark.canonical import isomorphic_duplicates
+
+    def _q_canonical():
+        _ = isomorphic_duplicates(triples_full, rounds=2).count()
+
+    queries["graph_canonicalize"] = _best_of(_q_canonical)
+
     parsed.unpersist()
 
     # q4-q6: training-data ops on the sf tables. The sf tables are single

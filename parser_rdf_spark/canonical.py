@@ -104,6 +104,12 @@ def bnode_colors(triples: DataFrame, rounds: int = 2) -> DataFrame:
         F.col("subj").startswith("_:").alias("s_bn"),
         (F.col("obj_kind") == "bnode").alias("o_bn"),
     ).where(F.col("s_bn") | F.col("o_bn"))
+    # the bnode-incident subset is scanned twice per round — pin it, and
+    # truncate each round's lineage below: round k's colors feed BOTH of
+    # round k+1's joins, so an unmaterialized plan recomputes upstream
+    # 2^rounds times (the connected-components localCheckpoint
+    # discipline, linking.py)
+    t = t.persist()
 
     colors = (
         t.where("s_bn").select("doc_url", F.col("subj").alias("b"))
@@ -191,7 +197,9 @@ def bnode_colors(triples: DataFrame, rounds: int = 2) -> DataFrame:
                     F.concat_ws("#", F.sort_array(F.collect_list("item")))
                 ).alias("color")
             )
+            .localCheckpoint()
         )
+    t.unpersist()
     return colors.select("doc_url", F.col("b").alias("bnode"), "color")
 
 

@@ -1,0 +1,189 @@
+"""W3C SPARQL 1.1 query-result serialization as pure Column dataflow.
+
+The reference parser has no query engine, so result-format output is
+north-star surface beyond it: a SPARQL endpoint built on this engine
+needs its SELECT solutions rendered in the W3C interchange formats —
+CSV/TSV (https://www.w3.org/TR/sparql11-results-csv-tsv/) and the JSON
+results format (https://www.w3.org/TR/sparql11-results-json/).
+
+Binding representation: :func:`sparql.sparql_query` SELECT results bind
+LEXICAL forms (one string column per variable — IRIs, ``_:`` labels and
+literal lexical forms, datatypes/langs intentionally erased at
+:func:`bgp.triples_spo`). That maps exactly onto the CSV format, which
+is lossy BY SPEC (§3: "strings without datatype or language"). TSV and
+JSON need full term syntax back, so they take a per-column ``kinds``
+map (``'iri' | 'literal' | 'auto'``); ``'auto'`` recovers the term
+class structurally — ``_:`` prefix → blank node, absolute-IRI shape →
+IRI, else plain literal — which is exact for any vocabulary whose plain
+literals are not themselves absolute IRIs (documented, caller-overridable).
+
+Scale shape: every serializer is a map-only projection (no shuffle, no
+Python). The NDJSON surface (:func:`to_sparql_json_bindings`) is the
+production path — one JSON text per solution row, written by any line
+sink; :func:`sparql_json_document` assembles the single-document SRJ
+form and is therefore driver-bounded BY DESIGN (a whole-result JSON
+document is one string — use it for bounded result sets only, e.g.
+LIMIT'd endpoint responses)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "to_sparql_csv",
+    "to_sparql_tsv",
+    "to_sparql_json_bindings",
+    "sparql_json_document",
+]
+
+# absolute-IRI shape (RFC 3986 scheme + no characters an IRI cannot
+# carry) — the structural term-class recovery for kinds='auto'
+_IRI_RX = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s<>\"{}|\\^`]*$"
+
+
+def _csv_field(c: Column) -> Column:
+    """RFC 4180 field: quote only when the value contains a comma,
+    quote, CR or LF; double embedded quotes. NULL (unbound) → empty."""
+    quoted = F.concat(
+        F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"')
+    )
+    needs = c.rlike('[",\r\n]')
+    return F.coalesce(F.when(needs, quoted).otherwise(c), F.lit(""))
+
+
+def to_sparql_csv(solutions: DataFrame) -> DataFrame:
+    """SELECT solutions → W3C SPARQL 1.1 CSV result lines: one ``line``
+    column, header row first (``pos`` column orders: header at 0).
+    Values are the lexical forms — exactly the spec's (lossy) CSV
+    mapping. Map-only; write with any text sink."""
+    cols = solutions.columns
+    header = ",".join(cols)
+    body = solutions.select(
+        F.concat_ws(",", *[_csv_field(F.col(c)) for c in cols]).alias("line"),
+        F.lit(1).alias("pos"),
+    )
+    head = body.sparkSession.createDataFrame(
+        [(header, 0)], "line string, pos int"
+    )
+    return head.unionByName(body)
+
+
+def _term_kind(c: Column, kind: str) -> Column:
+    if kind == "iri":
+        return F.lit("iri")
+    if kind == "literal":
+        return F.lit("literal")
+    if kind != "auto":
+        raise ValueError(f"kind must be 'iri'|'literal'|'auto', got {kind!r}")
+    return (
+        F.when(c.startswith("_:"), F.lit("bnode"))
+        .when(c.rlike(_IRI_RX), F.lit("iri"))
+        .otherwise(F.lit("literal"))
+    )
+
+
+def _tsv_term(c: Column, kind: str) -> Column:
+    """SPARQL 1.1 TSV term syntax: ``<iri>``, ``_:label``, ``"literal"``
+    with string escapes; unbound → empty field."""
+    k = _term_kind(c, kind)
+    lit = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, r"\\", r"\\\\"),
+                    '"', '\\\\"'),
+                "\n", r"\\n"),
+            "\t", r"\\t"),
+        F.lit('"'),
+    )
+    term = (
+        F.when(k == "bnode", c)
+        .when(k == "iri", F.concat(F.lit("<"), c, F.lit(">")))
+        .otherwise(lit)
+    )
+    return F.coalesce(term, F.lit(""))
+
+
+def _kinds_for(cols: list[str], kinds: dict[str, str] | None) -> dict[str, str]:
+    kinds = dict(kinds or {})
+    unknown = set(kinds) - set(cols)
+    if unknown:
+        raise ValueError(f"kinds for unknown columns: {sorted(unknown)}")
+    return {c: kinds.get(c, "auto") for c in cols}
+
+
+def to_sparql_tsv(solutions: DataFrame,
+                  kinds: dict[str, str] | None = None) -> DataFrame:
+    """SELECT solutions → W3C SPARQL 1.1 TSV result lines (``line`` +
+    ``pos`` columns, header ``?var<TAB>?var`` at pos 0). Terms carry
+    full syntax — see module docstring for the ``kinds`` contract."""
+    cols = solutions.columns
+    km = _kinds_for(cols, kinds)
+    header = "\t".join("?" + c for c in cols)
+    body = solutions.select(
+        F.concat_ws(
+            "\t", *[_tsv_term(F.col(c), km[c]) for c in cols]
+        ).alias("line"),
+        F.lit(1).alias("pos"),
+    )
+    head = body.sparkSession.createDataFrame(
+        [(header, 0)], "line string, pos int"
+    )
+    return head.unionByName(body)
+
+
+def _binding_struct(c: Column, kind: str) -> Column:
+    k = _term_kind(c, kind)
+    return F.when(
+        c.isNotNull(),
+        F.struct(
+            F.when(k == "iri", F.lit("uri"))
+            .when(k == "bnode", F.lit("bnode"))
+            .otherwise(F.lit("literal"))
+            .alias("type"),
+            F.when(k == "bnode", F.substring_index(c, "_:", -1))
+            .otherwise(c)
+            .alias("value"),
+        ),
+    )
+
+
+def to_sparql_json_bindings(solutions: DataFrame,
+                            kinds: dict[str, str] | None = None) -> DataFrame:
+    """SELECT solutions → one SRJ binding object per row (``binding``
+    string column): ``{"var": {"type": "uri|literal|bnode", "value":
+    ...}, ...}`` — the scalable NDJSON form (map-only, unbound
+    variables omitted per spec via null-dropping to_json)."""
+    cols = solutions.columns
+    km = _kinds_for(cols, kinds)
+    obj = F.struct(
+        *[_binding_struct(F.col(c), km[c]).alias(c) for c in cols]
+    )
+    return solutions.select(F.to_json(obj).alias("binding"))
+
+
+def sparql_json_document(solutions: DataFrame,
+                         kinds: dict[str, str] | None = None,
+                         max_rows: int = 100_000) -> str:
+    """The single-document W3C SPARQL JSON results form. Collects —
+    bounded by ``max_rows`` (raises beyond it): a whole-result JSON
+    document is inherently one driver-side string, so this surface is
+    for LIMIT'd endpoint responses; stream the NDJSON form otherwise."""
+    cols = solutions.columns
+    rows = to_sparql_json_bindings(solutions, kinds).take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; use "
+            "to_sparql_json_bindings for unbounded results"
+        )
+    return json.dumps(
+        {
+            "head": {"vars": cols},
+            "results": {"bindings": [json.loads(r.binding) for r in rows]},
+        },
+        ensure_ascii=False,
+    )
