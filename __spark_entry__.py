@@ -2286,6 +2286,46 @@ def _canon_labels_oracle() -> str:
     )
 
 
+def _q_sparql_results_formats(spark, sf_dir):
+    """W3C SPARQL 1.1 result serialization (results.py): the
+    sparql_select solutions rendered as CSV (spec-lossy lexical forms)
+    AND TSV (full term syntax — <iri> brackets, quoted literals,
+    unbound OPTIONAL → empty field) result lines. Map-only projections;
+    the oracle rebuilds every line with SQL string concatenation over
+    the same logical query."""
+    from parser_rdf_spark.results import to_sparql_csv, to_sparql_tsv
+    from parser_rdf_spark.sparql import sparql_query
+
+    sols = sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?c ?nname ?hb WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:inNation ?n .
+          ?n ex:name ?nname .
+          OPTIONAL { ?c ex:highBalance ?hb }
+          FILTER (?nname IN ("NATION_2", "NATION_5"))
+        }
+    """)
+    csv = to_sparql_csv(sols).select(F.lit("csv").alias("fmt"), "pos", "line")
+    tsv = to_sparql_tsv(sols).select(F.lit("tsv").alias("fmt"), "pos", "line")
+    return csv.unionByName(tsv)
+
+
+_RESULTS_FORMATS_SQL = (
+    "WITH sols AS ("
+    "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname, "
+    "CASE WHEN c_acctbal > 9000 THEN 'true' END AS hb "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE n_name IN ('NATION_2', 'NATION_5')) "
+    # CSV: lexical forms, no quoting needed (values carry no [\",\r\n])
+    "SELECT 'csv' AS fmt, 0 AS pos, 'c,nname,hb' AS line "
+    "UNION ALL SELECT 'csv', 1, c || ',' || nname || ',' || COALESCE(hb, '') FROM sols "
+    # TSV: term syntax — c is an IRI, nname a literal, hb a literal or empty
+    "UNION ALL SELECT 'tsv', 0, '?c' || chr(9) || '?nname' || chr(9) || '?hb' "
+    "UNION ALL SELECT 'tsv', 1, '<' || c || '>' || chr(9) || '\"' || nname || '\"' "
+    "|| chr(9) || COALESCE('\"' || hb || '\"', '') FROM sols"
+)
+
+
 def _q_graph_canonical_dedup(spark, sf_dir):
     """Isomorphism-invariant canonical hash per document graph
     (canonical.py, WL color refinement, rounds=2): d1=d2 and d4=d5 hash
@@ -3616,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_cc": _q_stream_incremental_cc,
         "graph_canonical_dedup": _q_graph_canonical_dedup,
         "graph_canonical_labels": _q_graph_canonical_labels,
+        "sparql_results_formats": _q_sparql_results_formats,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5339,6 +5380,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_cc": _FULL_EVENT_CC_SQL,
         "graph_canonical_dedup": _canon_hash_oracle(),
         "graph_canonical_labels": _canon_labels_oracle(),
+        "sparql_results_formats": _RESULTS_FORMATS_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "
