@@ -2286,6 +2286,103 @@ def _canon_labels_oracle() -> str:
     )
 
 
+def _q_shacl_deep_constraints(spark, sf_dir):
+    """Extended SHACL-core constraint kinds (shacl.py round-4 surface)
+    over FULL-schema triples (term kinds + datatypes): sh:datatype
+    (plain literal IS xsd:string, so a missing decimal tag violates),
+    sh:minInclusive (negative balances; non-castable lexical forms
+    would too), sh:minLength/maxLength, and sh:nodeKind (literal
+    homepages where an IRI is required). Oracle enumerates each
+    violation set from the base tables."""
+    from parser_rdf_spark.schemas import TRIPLES
+    from parser_rdf_spark.shacl import shacl_validate
+
+    XSD_DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c_iri = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    s_iri = F.concat(F.lit("urn:supp:"), F.col("s_suppkey"))
+    n_iri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+
+    def full(subj, pred, kind, value, dt=None):
+        return F.struct(
+            F.lit("urn:kg").alias("doc_url"),
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            kind.alias("obj_kind") if not isinstance(kind, str)
+            else F.lit(kind).alias("obj_kind"),
+            value.cast("string").alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            (dt if dt is not None else F.lit(None).cast("string")).alias("obj_datatype"),
+            F.lit(1).alias("line_no"),
+        )
+
+    t = (
+        cust.select(F.explode(F.array(
+            full(c_iri, "rdf:type", "iri", F.lit("ex:Customer")),
+            # decimal(12,2) lexical form — engine-portable (a raw double
+            # cast renders '2547.4' in one engine, '2547.40' in another)
+            full(c_iri, "ex:acctbal", "literal",
+                 F.col("c_acctbal").cast("decimal(12,2)"),
+                 F.when(F.col("c_custkey") % 3 != 0, F.lit(XSD_DEC))),
+        )).alias("t"))
+        .unionByName(nation.select(F.explode(F.array(
+            full(n_iri, "rdf:type", "iri", F.lit("ex:Nation")),
+            full(n_iri, "ex:name", "literal", F.col("n_name")),
+        )).alias("t")))
+        .unionByName(supp.select(F.explode(F.array(
+            full(s_iri, "rdf:type", "iri", F.lit("ex:Supplier")),
+            full(s_iri, "ex:homepage",
+                 F.when(F.col("s_suppkey") % 2 == 0, F.lit("iri"))
+                 .otherwise(F.lit("literal")),
+                 F.concat(F.lit("http://supp.example.org/"), F.col("s_suppkey"))),
+        )).alias("t")))
+        .select("t.*")
+    )
+    assert [f.name for f in t.schema.fields] == [f.name for f in TRIPLES.fields]
+    shapes = spark.createDataFrame(
+        [
+            ("s-bal", "ex:Customer", "ex:acctbal", None, None, None, None,
+             None, None, None, 0.0, None, None, None, XSD_DEC, None),
+            ("s-nname", "ex:Nation", "ex:name", None, None, None, None,
+             None, 8, 8, None, None, None, None, None, None),
+            ("s-home", "ex:Supplier", "ex:homepage", None, None, None, None,
+             None, None, None, None, None, None, None, None, "IRI"),
+        ],
+        "shape_id string, target_class string, path string, min_count int, "
+        "max_count int, node_class string, pattern string, "
+        "value_in array<string>, min_length int, max_length int, "
+        "min_inclusive double, max_inclusive double, min_exclusive double, "
+        "max_exclusive double, datatype string, node_kind string",
+    )
+    return shacl_validate(t, shapes, type_pred="rdf:type").select(
+        "shape_id", "focus", "constraint",
+        F.coalesce("value", F.lit("")).alias("value"),
+        F.coalesce("observed", F.lit(-1)).alias("observed"),
+    )
+
+
+_SHACL_DEEP_CONSTRAINTS_SQL = (
+    # sh:datatype — custkey%3==0 rows are plain literals (xsd:string)
+    "SELECT 's-bal' AS shape_id, 'urn:cust:' || c_custkey AS focus, "
+    "'datatype' AS constraint, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value, "
+    "CAST(-1 AS BIGINT) AS observed FROM customer WHERE c_custkey % 3 = 0 "
+    # sh:minInclusive — negative balances (lexical forms all castable)
+    "UNION ALL SELECT 's-bal', 'urn:cust:' || c_custkey, 'minInclusive', "
+    "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), -1 FROM customer WHERE c_acctbal < 0 "
+    # sh:minLength/maxLength on NATION_ names (len 8 ok, 9 violates max)
+    "UNION ALL SELECT 's-nname', 'urn:nation:' || n_nationkey, 'maxLength', "
+    "n_name, CAST(length(n_name) AS BIGINT) FROM nation WHERE length(n_name) > 8 "
+    "UNION ALL SELECT 's-nname', 'urn:nation:' || n_nationkey, 'minLength', "
+    "n_name, CAST(length(n_name) AS BIGINT) FROM nation WHERE length(n_name) < 8 "
+    # sh:nodeKind IRI — odd suppkeys emitted their homepage as a literal
+    "UNION ALL SELECT 's-home', 'urn:supp:' || s_suppkey, 'nodeKind', "
+    "'http://supp.example.org/' || s_suppkey, -1 FROM supplier "
+    "WHERE s_suppkey % 2 = 1"
+)
+
+
 def _q_sparql_results_formats(spark, sf_dir):
     """W3C SPARQL 1.1 result serialization (results.py): the
     sparql_select solutions rendered as CSV (spec-lossy lexical forms)
@@ -3657,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_canonical_dedup": _q_graph_canonical_dedup,
         "graph_canonical_labels": _q_graph_canonical_labels,
         "sparql_results_formats": _q_sparql_results_formats,
+        "shacl_deep_constraints": _q_shacl_deep_constraints,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5381,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_canonical_dedup": _canon_hash_oracle(),
         "graph_canonical_labels": _canon_labels_oracle(),
         "sparql_results_formats": _RESULTS_FORMATS_SQL,
+        "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -12,6 +12,18 @@ kinds over the generic (subj, pred, obj) relation:
   sh:pattern                 — value must match (Java∩RE2 common dialect,
                                same discipline as webops.pii_redact)
   sh:in                      — value must be in an enumerated list
+  sh:minLength / sh:maxLength— lexical-form length bounds
+  sh:minInclusive / sh:maxInclusive / sh:minExclusive / sh:maxExclusive
+                             — numeric range over the lexical form
+                               (non-numeric values violate: SHACL
+                               requires comparable values)
+  sh:datatype / sh:nodeKind  — term-level checks; these need the FULL
+                               triples schema (obj_kind/obj_datatype),
+                               so they activate only when the input
+                               carries those columns and raise when the
+                               shapes demand them over a bare (s,p,o)
+                               relation (never silently skip a
+                               constraint)
 
 Scale shape: shapes are ontology-sized → ONE broadcast join tags focus
 nodes (subjects typed with a shape's targetClass), then one equi-join on
@@ -25,6 +37,11 @@ form the reference's pivoted constraint map denormalizes to):
   shape_id STRING, target_class STRING, path STRING,
   min_count INT?, max_count INT?, node_class STRING?,
   pattern STRING?, value_in ARRAY<STRING>?
+plus OPTIONAL constraint columns (absent column = constraint unused):
+  min_length INT?, max_length INT?, min_inclusive DOUBLE?,
+  max_inclusive DOUBLE?, min_exclusive DOUBLE?, max_exclusive DOUBLE?,
+  datatype STRING?, node_kind STRING? ('IRI'|'Literal'|'BlankNode' or
+  the sh: IRIs)
 """
 
 from __future__ import annotations
@@ -36,6 +53,19 @@ from .inference import RDF_TYPE
 
 _SHAPE_COLS = ("shape_id", "target_class", "path", "min_count", "max_count",
                "node_class", "pattern", "value_in")
+# optional constraint columns with the type a missing one is null-cast to
+_OPT_SHAPE_COLS = {
+    "min_length": "int",
+    "max_length": "int",
+    "min_inclusive": "double",
+    "max_inclusive": "double",
+    "min_exclusive": "double",
+    "max_exclusive": "double",
+    "datatype": "string",
+    "node_kind": "string",
+}
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_SH_NS = "http://www.w3.org/ns/shacl#"
 
 
 def shacl_validate(
@@ -56,6 +86,36 @@ def shacl_validate(
     for c in _SHAPE_COLS:
         if c not in shapes.columns:
             raise ValueError(f"shapes frame missing column {c!r}; needs {_SHAPE_COLS}")
+    for c, typ in _OPT_SHAPE_COLS.items():
+        if c not in shapes.columns:
+            shapes = shapes.withColumn(c, F.lit(None).cast(typ))
+
+    # full-schema input (schemas.TRIPLES) enables the term-level checks;
+    # a bare (subj, pred, obj) relation carries no term kinds, so shapes
+    # that demand sh:datatype / sh:nodeKind over it are an error, never a
+    # silent skip
+    full = "obj_value" in triples.columns
+    if full:
+        triples = triples.select(
+            "subj", "pred",
+            F.col("obj_value").alias("obj"),
+            "obj_kind", "obj_lang", "obj_datatype",
+        )
+    else:
+        if shapes.where(
+            F.col("datatype").isNotNull() | F.col("node_kind").isNotNull()
+        ).take(1):
+            raise ValueError(
+                "sh:datatype / sh:nodeKind need the full triples schema "
+                "(obj_kind / obj_datatype); got a bare (subj, pred, obj) "
+                "relation"
+            )
+        triples = triples.select(
+            "subj", "pred", "obj",
+            F.lit(None).cast("string").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
 
     types = triples.filter(F.col("pred") == type_pred).select(
         F.col("subj").alias("t_subj"), F.col("obj").alias("t_class")
@@ -72,7 +132,8 @@ def shacl_validate(
             F.broadcast(shapes),
             types.t_class == shapes.target_class,
         )
-        .select(F.col("t_subj").alias("focus"), *_SHAPE_COLS)
+        .select(F.col("t_subj").alias("focus"), *_SHAPE_COLS,
+                *_OPT_SHAPE_COLS)
         .distinct()
     )
 
@@ -86,6 +147,9 @@ def shacl_validate(
             F.col("subj").alias("v_subj"),
             F.col("pred").alias("v_pred"),
             F.col("obj").alias("value"),
+            F.col("obj_kind").alias("value_kind"),
+            F.col("obj_lang").alias("value_lang"),
+            F.col("obj_datatype").alias("value_dt"),
         )
         .join(
             F.broadcast(shapes.select(F.col("path").alias("v_pred")).distinct()),
@@ -155,9 +219,87 @@ def shacl_validate(
         "in", F.col("value"), null_n,
     )
 
+    # sh:minLength / sh:maxLength over the lexical form
+    minlen_viol = report(
+        present.filter(
+            F.col("min_length").isNotNull()
+            & (F.length("value") < F.col("min_length"))
+        ),
+        "minLength", F.col("value"), F.length("value"),
+    )
+    maxlen_viol = report(
+        present.filter(
+            F.col("max_length").isNotNull()
+            & (F.length("value") > F.col("max_length"))
+        ),
+        "maxLength", F.col("value"), F.length("value"),
+    )
+
+    # numeric range: non-castable lexical forms VIOLATE (SHACL requires
+    # the value be comparable with the bound — try_cast null means it
+    # is not)
+    num = F.col("value").try_cast("double")
+
+    def range_viol(col: str, name: str, bad) -> DataFrame:
+        return report(
+            present.filter(
+                F.col(col).isNotNull() & (num.isNull() | bad(num, F.col(col)))
+            ),
+            name, F.col("value"), null_n,
+        )
+
+    mininc_viol = range_viol("min_inclusive", "minInclusive", lambda v, b: v < b)
+    maxinc_viol = range_viol("max_inclusive", "maxInclusive", lambda v, b: v > b)
+    minexc_viol = range_viol("min_exclusive", "minExclusive", lambda v, b: v <= b)
+    maxexc_viol = range_viol("max_exclusive", "maxExclusive", lambda v, b: v >= b)
+
+    # sh:datatype — the value must be a literal whose datatype equals the
+    # shape's (RDF 1.1: a plain, non-language literal IS xsd:string)
+    eff_dt = F.when(
+        F.col("value_kind") == "literal",
+        F.coalesce(
+            F.col("value_dt"),
+            F.when(F.col("value_lang").isNull(), F.lit(_XSD_STRING)),
+        ),
+    )
+    dt_viol = report(
+        present.filter(
+            F.col("datatype").isNotNull()
+            & (eff_dt.isNull() | (eff_dt != F.col("datatype")))
+        ),
+        "datatype", F.col("value"), null_n,
+    )
+
+    # sh:nodeKind — accept the bare kind names or the sh: IRIs
+    nk = F.regexp_replace(F.col("node_kind"), "^" + _SH_NS, "")
+    nk_expected = (
+        F.when(nk == "IRI", F.lit("iri"))
+        .when(nk == "Literal", F.lit("literal"))
+        .when(nk == "BlankNode", F.lit("bnode"))
+    )
+    nodekind_viol = report(
+        present.filter(
+            F.col("node_kind").isNotNull()
+            & (
+                nk_expected.isNull()
+                | F.col("value_kind").isNull()
+                | (F.col("value_kind") != nk_expected)
+            )
+        ),
+        "nodeKind", F.col("value"), null_n,
+    )
+
     return (
         min_viol.unionByName(max_viol)
         .unionByName(class_viol)
         .unionByName(pattern_viol)
         .unionByName(in_viol)
+        .unionByName(minlen_viol)
+        .unionByName(maxlen_viol)
+        .unionByName(mininc_viol)
+        .unionByName(maxinc_viol)
+        .unionByName(minexc_viol)
+        .unionByName(maxexc_viol)
+        .unionByName(dt_viol)
+        .unionByName(nodekind_viol)
     )

@@ -93,3 +93,111 @@ def test_missing_shape_column_raises(spark):
     bad = spark.createDataFrame([("s", "P", "q")], "shape_id string, target_class string, path string")
     with pytest.raises(ValueError, match="missing column"):
         shacl_validate(t, bad, type_pred="type")
+
+
+# ---------------------------------------------------------------------------
+# extended constraint kinds (length / range / datatype / nodeKind)
+# ---------------------------------------------------------------------------
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_EXT_SCHEMA = (
+    "shape_id string, target_class string, path string, min_count int, "
+    "max_count int, node_class string, pattern string, "
+    "value_in array<string>, min_length int, max_length int, "
+    "min_inclusive double, max_inclusive double, min_exclusive double, "
+    "max_exclusive double, datatype string, node_kind string"
+)
+
+
+def _ext_shape(shape_id, path, **kw):
+    base = dict(min_count=None, max_count=None, node_class=None,
+                pattern=None, value_in=None, min_length=None,
+                max_length=None, min_inclusive=None, max_inclusive=None,
+                min_exclusive=None, max_exclusive=None, datatype=None,
+                node_kind=None)
+    base.update(kw)
+    return (shape_id, "Person", path, base["min_count"], base["max_count"],
+            base["node_class"], base["pattern"], base["value_in"],
+            base["min_length"], base["max_length"], base["min_inclusive"],
+            base["max_inclusive"], base["min_exclusive"],
+            base["max_exclusive"], base["datatype"], base["node_kind"])
+
+
+@pytest.fixture(scope="module")
+def ext_report(spark):
+    from parser_rdf_spark.schemas import TRIPLES as FULL
+
+    rows = [
+        # (doc_url, graph, subj, pred, obj_kind, obj_value, lang, dt, line)
+        ("d", None, "alice", "type", "iri", "Person", None, None, 1),
+        ("d", None, "bob", "type", "iri", "Person", None, None, 2),
+        ("d", None, "alice", "age", "literal", "30", None, _XSD + "integer", 3),
+        ("d", None, "bob", "age", "literal", "200", None, _XSD + "integer", 4),
+        ("d", None, "alice", "nick", "literal", "al", None, None, 5),
+        ("d", None, "bob", "nick", "literal", "robertissimo", None, None, 6),
+        ("d", None, "alice", "home", "iri", "http://e/h1", None, None, 7),
+        ("d", None, "bob", "home", "literal", "not an iri", None, None, 8),
+        ("d", None, "alice", "label", "literal", "x", "en", None, 9),
+        ("d", None, "bob", "score", "literal", "high", None, None, 10),
+        ("d", None, "alice", "score", "literal", "0.5", None, None, 11),
+    ]
+    t = spark.createDataFrame(rows, FULL)
+    shapes = spark.createDataFrame(
+        [
+            _ext_shape("s-age", "age", min_inclusive=0.0, max_inclusive=150.0,
+                       datatype=_XSD + "integer"),
+            _ext_shape("s-nick", "nick", min_length=3, max_length=8,
+                       datatype=_XSD + "string"),
+            _ext_shape("s-home", "home",
+                       node_kind="http://www.w3.org/ns/shacl#IRI"),
+            _ext_shape("s-label", "label", datatype=_XSD + "string"),
+            _ext_shape("s-score", "score", min_exclusive=0.0,
+                       max_exclusive=1.0),
+        ],
+        _EXT_SCHEMA,
+    )
+    return shacl_validate(t, shapes, type_pred="type").collect()
+
+
+def test_range_constraints(ext_report):
+    assert _v(ext_report, "maxInclusive") == [("s-age", "bob", "200", None)]
+    assert _v(ext_report, "minInclusive") == []
+    # non-numeric value violates the comparable-range requirement
+    assert ("s-score", "bob", "high", None) in _v(ext_report, "minExclusive")
+    assert ("s-score", "bob", "high", None) in _v(ext_report, "maxExclusive")
+    assert ("s-score", "alice", "0.5", None) not in _v(ext_report, "minExclusive")
+
+
+def test_length_constraints(ext_report):
+    assert _v(ext_report, "minLength") == [("s-nick", "alice", "al", 2)]
+    assert _v(ext_report, "maxLength") == [("s-nick", "bob", "robertissimo", 12)]
+
+
+def test_datatype_constraint(ext_report):
+    # plain literal IS xsd:string (RDF 1.1), so alice's nick conforms;
+    # a language-tagged literal is NOT xsd:string
+    dt = _v(ext_report, "datatype")
+    assert ("s-label", "alice", "x", None) in dt
+    assert all(f != "s-nick" or v != "al" for (f, _, v, _) in dt)
+
+
+def test_nodekind_constraint(ext_report):
+    assert _v(ext_report, "nodeKind") == [("s-home", "bob", "not an iri", None)]
+
+
+def test_term_constraints_on_bare_relation_raise(spark):
+    t = spark.createDataFrame([("x", "type", "Person")],
+                              "subj string, pred string, obj string")
+    shapes = spark.createDataFrame(
+        [_ext_shape("s", "p", datatype=_XSD + "integer")], _EXT_SCHEMA)
+    with pytest.raises(ValueError, match="full triples schema"):
+        shacl_validate(t, shapes, type_pred="type")
+
+
+def test_bare_relation_still_works_with_extended_schema_nulls(spark):
+    t = spark.createDataFrame(
+        [("x", "type", "Person"), ("x", "nick", "waytoolongnickname")],
+        "subj string, pred string, obj string")
+    shapes = spark.createDataFrame(
+        [_ext_shape("s-nick", "nick", max_length=8)], _EXT_SCHEMA)
+    rep = shacl_validate(t, shapes, type_pred="type").collect()
+    assert _v(rep, "maxLength") == [("s-nick", "x", "waytoolongnickname", 18)]
