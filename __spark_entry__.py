@@ -1911,6 +1911,56 @@ def _q_rdfs_inference(spark, sf_dir):
     )
 
 
+def _q_sparql_entailed_query(spark, sf_dir):
+    """SPARQL under the RDFS entailment regime (sparql_query_entailed,
+    materialization strategy): the BGP matches rdf:type rows that exist
+    only as consequences — subclass-chain typing (Agent, Entity),
+    domain typing (Resident), and range typing through an INHERITED
+    property (Place via rdfs7+rdfs3). Oracle recomputes each entailed
+    class extension from the base tables."""
+    from parser_rdf_spark.sparql import sparql_query_entailed
+
+    onto = spark.createDataFrame(
+        [
+            ("ex:Customer", "rdfs:subClassOf", "ex:Agent"),
+            ("ex:Supplier", "rdfs:subClassOf", "ex:Agent"),
+            ("ex:Agent", "rdfs:subClassOf", "ex:Entity"),
+            ("ex:inNation", "rdfs:subPropertyOf", "ex:locatedIn"),
+            ("ex:inRegion", "rdfs:subPropertyOf", "ex:locatedIn"),
+            ("ex:locatedIn", "rdfs:range", "ex:Place"),
+            ("ex:inNation", "rdfs:domain", "ex:Resident"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(onto)
+    return sparql_query_entailed(
+        kg, """
+        SELECT ?cls (COUNT(?x) AS ?n) WHERE {
+          ?x rdf:type ?cls .
+          FILTER (?cls IN ("ex:Agent", "ex:Entity", "ex:Resident", "ex:Place"))
+        } GROUP BY ?cls
+        """,
+        entailment="rdfs",
+        vocab={"type": "rdf:type", "subclass": "rdfs:subClassOf",
+               "subprop": "rdfs:subPropertyOf", "domain": "rdfs:domain",
+               "range": "rdfs:range"},
+    )
+
+
+_SPARQL_ENTAILED_SQL = (
+    "WITH agents AS (SELECT COUNT(*) AS c FROM "
+    "(SELECT c_custkey AS k FROM customer UNION ALL SELECT s_suppkey FROM supplier)), "
+    "places AS (SELECT "
+    "(SELECT COUNT(DISTINCT nk) FROM (SELECT c_nationkey AS nk FROM customer "
+    "UNION SELECT s_nationkey FROM supplier)) + "
+    "(SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS c) "
+    "SELECT 'ex:Agent' AS cls, (SELECT c FROM agents) AS n "
+    "UNION ALL SELECT 'ex:Entity', (SELECT c FROM agents) "
+    "UNION ALL SELECT 'ex:Resident', (SELECT c FROM agents) "
+    "UNION ALL SELECT 'ex:Place', (SELECT CAST(c AS BIGINT) FROM places)"
+)
+
+
 def _q_kg_statistics(spark, sf_dir):
     """Stats-collection pass over the TPC-H KG: per-predicate counts,
     subject/object NDVs, and integer-div fanout — the numbers a BGP
@@ -3755,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_canonical_labels": _q_graph_canonical_labels,
         "sparql_results_formats": _q_sparql_results_formats,
         "shacl_deep_constraints": _q_shacl_deep_constraints,
+        "sparql_entailed_query": _q_sparql_entailed_query,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5480,6 +5531,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_canonical_labels": _canon_labels_oracle(),
         "sparql_results_formats": _RESULTS_FORMATS_SQL,
         "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
+        "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

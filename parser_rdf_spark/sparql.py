@@ -1572,6 +1572,53 @@ def _modify(p: _Parser, delete, insert) -> dict:
     return {"op": "modify", "delete": delete, "insert": insert, "where": sub}
 
 
+def sparql_query_entailed(
+    triples: DataFrame,
+    text: str,
+    entailment: str = "rdfs",
+    dedup: bool = True,
+    vocab: dict[str, str] | None = None,
+) -> DataFrame:
+    """SPARQL under an entailment regime (W3C SPARQL 1.1 Entailment
+    Regimes, materialization strategy): the query evaluates over the
+    asserted triples UNION their inferred consequences, so BGP matches
+    see e.g. supertype ``rdf:type`` rows and inherited properties.
+
+    ``entailment``: ``'rdfs'`` (rdfs2/3/7/9/11 + equivalences via
+    :func:`.inference.rdfs_entailment`), ``'owl'`` (inverse/symmetric/
+    transitive property axioms via
+    :func:`.inference.owl_property_entailment`), or ``'rdfs+owl'``.
+    ``vocab`` forwards to the rule engines (compact-vocabulary graphs).
+
+    Scale shape: materialization is the production strategy for
+    repeated querying — the closure is computed once per regime (the
+    rule engines' broadcast-schema plans) and unioned, and every BGP
+    optimization (pushed constant scans, stats-ordered joins) applies
+    unchanged to the extended relation. Pin the returned relation via
+    ``.persist()`` upstream when running many queries."""
+    regimes = set(entailment.split("+")) if entailment else set()
+    unknown = regimes - {"rdfs", "owl"}
+    if unknown or not regimes:
+        raise SparqlError(
+            f"unknown entailment regime {entailment!r}; "
+            "use 'rdfs', 'owl' or 'rdfs+owl'"
+        )
+    from .inference import owl_property_entailment, rdfs_entailment
+
+    extended = triples.select("subj", "pred", "obj")
+    if "rdfs" in regimes:
+        extended = extended.unionByName(rdfs_entailment(triples, vocab=vocab))
+    if "owl" in regimes:
+        owl_vocab = None
+        if vocab:
+            keys = ("type", "inverse", "symmetric", "transitive")
+            owl_vocab = {k: v for k, v in vocab.items() if k in keys} or None
+        extended = extended.unionByName(
+            owl_property_entailment(triples, vocab=owl_vocab)
+        )
+    return sparql_query(extended.distinct(), text, dedup=dedup)
+
+
 def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
     """Apply a SPARQL 1.1 Update request and return the NEW triples
     relation — a pure function over the immutable DataFrame, which is

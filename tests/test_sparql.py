@@ -891,3 +891,57 @@ def test_zero_or_one_path_rejected_in_templates(kg):
         parse_sparql("CONSTRUCT { ?s knows? ?o } WHERE { ?s type ?o }")
     with pytest.raises(SparqlError, match="plain predicates"):
         sparql_update(kg, "INSERT { ?s knows? ?o } WHERE { ?s type ?o }")
+
+
+# ---------------------------------------------------------------------------
+# entailment regimes (sparql_query_entailed)
+# ---------------------------------------------------------------------------
+def test_entailed_rdfs_select(spark):
+    from parser_rdf_spark.sparql import sparql_query_entailed
+
+    t = spark.createDataFrame(
+        [
+            ("x", "rdf:type", "ex:Dog"),
+            ("ex:Dog", "rdfs:subClassOf", "ex:Animal"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    vocab = {"type": "rdf:type", "subclass": "rdfs:subClassOf",
+             "subprop": "rdfs:subPropertyOf", "domain": "rdfs:domain",
+             "range": "rdfs:range"}
+    rows = sparql_query_entailed(
+        t, 'SELECT ?x WHERE { ?x rdf:type "ex:Animal" }',
+        entailment="rdfs", vocab=vocab).collect()
+    assert [r.x for r in rows] == ["x"]
+    # without the regime the match is empty
+    from parser_rdf_spark.sparql import sparql_query
+    assert sparql_query(
+        t, 'SELECT ?x WHERE { ?x rdf:type "ex:Animal" }').count() == 0
+
+
+def test_entailed_owl_transitive(spark):
+    from parser_rdf_spark.sparql import sparql_query_entailed
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    OWL_TRANS = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+    t = spark.createDataFrame(
+        [
+            ("a", "ex:part", "b"),
+            ("b", "ex:part", "c"),
+            ("ex:part", RDF_TYPE, OWL_TRANS),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = sparql_query_entailed(
+        t, 'SELECT ?y WHERE { "a" ex:part ?y }', entailment="owl").collect()
+    assert sorted(r.y for r in rows) == ["b", "c"]
+
+
+def test_entailed_unknown_regime_raises(spark):
+    from parser_rdf_spark.sparql import SparqlError, sparql_query_entailed
+
+    t = spark.createDataFrame([("a", "p", "b")],
+                              "subj string, pred string, obj string")
+    with pytest.raises(SparqlError, match="entailment regime"):
+        sparql_query_entailed(t, "SELECT ?x WHERE { ?x p ?y }",
+                              entailment="full-owl-dl")
