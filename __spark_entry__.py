@@ -2306,7 +2306,7 @@ def _canon_wl_ctes() -> str:
         "CASE WHEN tt.o_bn THEN 'B:' || oc.c "
         "WHEN tt.okind = 'iri' THEN 'I:' || tt.o "
         "ELSE 'L:' || tt.o || '|' || tt.olang || '|' || tt.odt END AS obj_c, "
-        "tt.g, tt.s, tt.o, tt.okind, tt.s_bn, tt.o_bn "
+        "tt.g, tt.s, tt.o, tt.okind, tt.olang, tt.odt, tt.s_bn, tt.o_bn "
         "FROM tt "
         "LEFT JOIN b2 sc ON sc.doc = tt.doc AND sc.b = tt.s AND tt.s_bn "
         "LEFT JOIN b2 oc ON oc.doc = tt.doc AND oc.b = tt.o AND tt.o_bn) "
@@ -2471,6 +2471,40 @@ _RESULTS_FORMATS_SQL = (
     "UNION ALL SELECT 'tsv', 1, '<' || c || '>' || chr(9) || '\"' || nname || '\"' "
     "|| chr(9) || COALESCE('\"' || hb || '\"', '') FROM sols"
 )
+
+
+def _canon_nquads_oracle() -> str:
+    return _canon_wl_ctes() + (
+        ", rel AS (SELECT doc, b, "
+        "'_:c' || CAST(ROW_NUMBER() OVER (PARTITION BY doc ORDER BY c, b) - 1 AS VARCHAR) AS canon "
+        "FROM b2) "
+        "SELECT colored.doc AS doc_url, "
+        "CASE WHEN colored.s_bn THEN sm.canon "
+        "ELSE '<' || colored.s || '>' END "
+        "|| ' <' || colored.p || '> ' || "
+        "CASE WHEN colored.o_bn THEN om.canon "
+        "WHEN colored.okind = 'iri' THEN '<' || colored.o || '>' "
+        "ELSE '\"' || colored.o || '\"' || "
+        "CASE WHEN colored.olang <> '' THEN '@' || colored.olang "
+        "WHEN colored.odt <> '' THEN '^^<' || colored.odt || '>' "
+        "ELSE '' END END "
+        "|| CASE WHEN colored.g <> '' THEN ' <' || colored.g || '>' ELSE '' END "
+        "|| ' .' AS line "
+        "FROM colored "
+        "LEFT JOIN rel sm ON sm.doc = colored.doc AND sm.b = colored.s AND colored.s_bn "
+        "LEFT JOIN rel om ON om.doc = colored.doc AND om.b = colored.o AND colored.o_bn"
+    )
+
+
+def _q_canonical_nquads_export(spark, sf_dir):
+    """Canonical N-Quads (to_canonical_nquads): WL relabel + N-Quads
+    rendering — the RDFC-1.0 deliverable shape; the isomorphic fixture
+    pairs (d1/d2, d4/d5) emit IDENTICAL line sets so a downstream text
+    hash dedups them. Oracle rebuilds every line (labels AND rendering)
+    in SQL."""
+    from parser_rdf_spark.canonical import to_canonical_nquads
+
+    return to_canonical_nquads(_canon_triples(spark), rounds=2)
 
 
 def _q_graph_canonical_dedup(spark, sf_dir):
@@ -3806,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_results_formats": _q_sparql_results_formats,
         "shacl_deep_constraints": _q_shacl_deep_constraints,
         "sparql_entailed_query": _q_sparql_entailed_query,
+        "canonical_nquads_export": _q_canonical_nquads_export,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5532,6 +5567,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_results_formats": _RESULTS_FORMATS_SQL,
         "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
+        "canonical_nquads_export": _canon_nquads_oracle(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

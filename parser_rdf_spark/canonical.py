@@ -341,3 +341,15 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def to_canonical_nquads(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Canonical N-Quads: relabel blank nodes to their canonical
+    ``_:c<rank>`` (:func:`canonicalize_bnodes`) and render N-Quads
+    lines — the W3C RDFC-1.0 deliverable shape: two isomorphic
+    documents serialize to the IDENTICAL line set, so a plain text-hash
+    downstream (or the exact-dedup operator) recognizes them. Returns
+    ``(doc_url, line)``; map-only on top of the relabel joins."""
+    from .serialize import to_nquads
+
+    return to_nquads(canonicalize_bnodes(triples, rounds))

@@ -138,3 +138,22 @@ def test_canonical_plan_has_no_cartesian(fixture_triples):
     for p in plans:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
+
+
+def test_canonical_nquads_identical_for_isomorphic_docs(fixture_triples, spark):
+    from parser_rdf_spark.canonical import to_canonical_nquads
+
+    lines = to_canonical_nquads(fixture_triples, rounds=2)
+    by_doc = {
+        d: sorted(r.line for r in lines.where(lines.doc_url == d).collect())
+        for d in ("d1", "d2", "d3")
+    }
+    assert by_doc["d1"] == by_doc["d2"]
+    assert by_doc["d1"] != by_doc["d3"]
+    # the canonical output reparses to the same triple count (valid N-Quads)
+    from conftest import pages_df
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    doc = "\n".join(by_doc["d1"])
+    t2 = triples_of(parse_pages(pages_df(spark, {"https://canon/d1": doc})))
+    assert t2.count() == 4
