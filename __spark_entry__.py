@@ -1961,6 +1961,78 @@ _SPARQL_ENTAILED_SQL = (
 )
 
 
+def _q_property_graph_export(spark, sf_dir):
+    """RDF → labeled-property-graph projection (graphops.
+    to_property_graph): type assertions become vertex labels,
+    literal-object triples become vertex properties, IRI-object triples
+    become typed edges — the LPG mapping GNN/feature pipelines consume.
+    Output unions the three tables with a part tag; oracle enumerates
+    each from the base tables."""
+    from parser_rdf_spark.graphops import to_property_graph
+    from parser_rdf_spark.schemas import TRIPLES
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c_iri = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    n_iri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+
+    def full(subj, pred, kind, value):
+        return F.struct(
+            F.lit("urn:kg").alias("doc_url"),
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            value.cast("string").alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(1).alias("line_no"),
+        )
+
+    t = (
+        cust.select(F.explode(F.array(
+            full(c_iri, RT, "iri", F.lit("ex:Customer")),
+            full(c_iri, "ex:acctbal", "literal",
+                 F.col("c_acctbal").cast("decimal(12,2)")),
+            full(c_iri, "ex:inNation", "iri",
+                 F.concat(F.lit("urn:nation:"), F.col("c_nationkey"))),
+        )).alias("t"))
+        .unionByName(nation.select(F.explode(F.array(
+            full(n_iri, RT, "iri", F.lit("ex:Nation")),
+            full(n_iri, "ex:name", "literal", F.col("n_name")),
+            full(n_iri, "ex:inRegion", "iri",
+                 F.concat(F.lit("urn:region:"), F.col("n_regionkey"))),
+        )).alias("t")))
+        .select("t.*")
+    )
+    assert [f.name for f in t.schema.fields] == [f.name for f in TRIPLES.fields]
+    v, p, e = to_property_graph(t, type_pred=RT)
+    return (
+        v.select(F.lit("vertex").alias("part"), F.col("id").alias("a"),
+                 F.col("label").alias("b"), F.lit("").alias("c"))
+        .unionByName(p.select(F.lit("prop").alias("part"),
+                              F.col("id").alias("a"), F.col("key").alias("b"),
+                              F.col("value").alias("c")))
+        .unionByName(e.select(F.lit("edge").alias("part"),
+                              F.col("src").alias("a"), F.col("label").alias("b"),
+                              F.col("dst").alias("c")))
+    )
+
+
+_PROPERTY_GRAPH_SQL = (
+    "SELECT 'vertex' AS part, 'urn:cust:' || c_custkey AS a, "
+    "'ex:Customer' AS b, '' AS c FROM customer "
+    "UNION ALL SELECT 'vertex', 'urn:nation:' || n_nationkey, 'ex:Nation', '' FROM nation "
+    "UNION ALL SELECT 'prop', 'urn:cust:' || c_custkey, 'ex:acctbal', "
+    "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) FROM customer "
+    "UNION ALL SELECT 'prop', 'urn:nation:' || n_nationkey, 'ex:name', n_name FROM nation "
+    "UNION ALL SELECT 'edge', 'urn:cust:' || c_custkey, 'ex:inNation', "
+    "'urn:nation:' || c_nationkey FROM customer "
+    "UNION ALL SELECT 'edge', 'urn:nation:' || n_nationkey, 'ex:inRegion', "
+    "'urn:region:' || n_regionkey FROM nation"
+)
+
+
 def _q_kg_statistics(spark, sf_dir):
     """Stats-collection pass over the TPC-H KG: per-predicate counts,
     subject/object NDVs, and integer-div fanout — the numbers a BGP
@@ -3841,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_deep_constraints": _q_shacl_deep_constraints,
         "sparql_entailed_query": _q_sparql_entailed_query,
         "canonical_nquads_export": _q_canonical_nquads_export,
+        "property_graph_export": _q_property_graph_export,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5568,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
+        "property_graph_export": _PROPERTY_GRAPH_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -741,3 +741,57 @@ def hits(
         )
     e.unpersist()
     return hubs.join(auths, "vertex").select("vertex", "hub", "auth")
+
+
+def to_property_graph(
+    triples: DataFrame, type_pred: str = RDF_TYPE_IRI
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """RDF → labeled-property-graph projection (the mapping
+    property-graph engines and GNN feature pipelines consume; the
+    neosemantics-style contract):
+
+    - ``vertices (id, label)`` — one row per distinct type assertion;
+    - ``vertex_props (id, key, value)`` — literal-object triples become
+      vertex properties (lexical form; one row per distinct value);
+    - ``edges (src, label, dst)`` — IRI/bnode-object, non-type triples
+      become typed edges.
+
+    Needs the full triples schema (term kinds decide property vs edge).
+    Scale shape: three filtered map-only projections + per-output
+    distinct — no joins; the distincts collapse cross-document
+    re-assertions (RDF graphs are sets)."""
+    if "obj_kind" not in triples.columns:
+        raise ValueError(
+            "to_property_graph needs the full triples schema (obj_kind)"
+        )
+    vertices = (
+        triples.where(
+            (F.col("pred") == type_pred) & (F.col("obj_kind") == "iri")
+        )
+        .select(F.col("subj").alias("id"), F.col("obj_value").alias("label"))
+        .distinct()
+    )
+    vertex_props = (
+        triples.where(
+            (F.col("obj_kind") == "literal") & (F.col("pred") != type_pred)
+        )
+        .select(
+            F.col("subj").alias("id"),
+            F.col("pred").alias("key"),
+            F.col("obj_value").alias("value"),
+        )
+        .distinct()
+    )
+    edges = (
+        triples.where(
+            F.col("obj_kind").isin("iri", "bnode")
+            & (F.col("pred") != type_pred)
+        )
+        .select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("label"),
+            F.col("obj_value").alias("dst"),
+        )
+        .distinct()
+    )
+    return vertices, vertex_props, edges

@@ -411,3 +411,36 @@ def test_void_description_rides_predicate_statistics(spark):
     key = lambda r: (r.subj, r.pred, r.obj_value)
     assert sorted(map(key, rided.collect())) == sorted(map(key, plain.collect()))
     assert rided.schema == plain.schema
+
+
+def test_to_property_graph_projection(spark):
+    from parser_rdf_spark.graphops import to_property_graph
+    from parser_rdf_spark.schemas import TRIPLES
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("d1", None, "a", RT, "iri", "Person", None, None, 1),
+        ("d2", None, "a", RT, "iri", "Person", None, None, 1),  # re-asserted
+        ("d1", None, "a", "name", "literal", "Ann", None, None, 2),
+        ("d1", None, "a", "knows", "iri", "b", None, None, 3),
+        ("d1", None, "a", "owns", "bnode", "_:x", None, None, 4),
+        ("d1", None, "b", RT, "iri", "Robot", None, None, 5),
+        # a literal type assertion is NOT a vertex label
+        ("d1", None, "b", RT, "literal", "weird", None, None, 6),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    v, p, e = to_property_graph(t, type_pred=RT)
+    assert sorted((r.id, r.label) for r in v.collect()) == [
+        ("a", "Person"), ("b", "Robot")]
+    assert [(r.id, r.key, r.value) for r in p.collect()] == [("a", "name", "Ann")]
+    assert sorted((r.src, r.label, r.dst) for r in e.collect()) == [
+        ("a", "knows", "b"), ("a", "owns", "_:x")]
+
+
+def test_to_property_graph_requires_full_schema(spark):
+    from parser_rdf_spark.graphops import to_property_graph
+
+    bare = spark.createDataFrame([("a", "p", "b")],
+                                 "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="full triples schema"):
+        to_property_graph(bare)
