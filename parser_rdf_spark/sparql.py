@@ -1206,6 +1206,22 @@ def _apply_dataset_clauses(quads: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _union_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
+    """The unioned solution relation of a pure-UNION WHERE group (the
+    parser guarantees no sibling elements) — shared by the ASK and
+    CONSTRUCT forms; SELECT's path adds aggregates/modifiers on top."""
+    branches = []
+    for b in spec["union"]:
+        if "union" in b:
+            raise SparqlError("nested UNION is not supported")
+        if b.get("subselects"):
+            raise SparqlError(
+                "sub-SELECT inside UNION branches is not supported"
+            )
+        branches.append(_exec_kwargs(b))
+    return bgp_union(triples, branches, dedup=dedup)
+
+
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
@@ -1221,23 +1237,30 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame
         raise SparqlError("sub-SELECT is only supported in SELECT queries")
     if form == "ask":
         if "union" in spec:
-            raise SparqlError("ASK over UNION is not supported")
+            # ≥1 solution in ANY branch; limit(1) on the unioned relation
+            # still early-stops each branch scan
+            sols = _union_solutions(triples, spec, dedup).limit(1)
+            return sols.agg((F.count(F.lit(1)) > 0).alias("ask"))
         kwargs = _exec_kwargs(spec)
         patterns = kwargs.pop("patterns")
         return bgp_ask(triples, patterns, dedup=dedup, **kwargs)
     if form == "construct":
-        if "union" in spec:
-            raise SparqlError("CONSTRUCT over UNION is not supported")
         # the WHERE group binds with the FULL kwargs set (values / bind /
         # exists / not_exists / minus included — a dropped FILTER NOT
         # EXISTS would silently over-emit triples), then solution
         # modifiers apply to the MATCH and the template instantiates the
-        # surviving solutions (spec §16.2)
+        # surviving solutions (spec §16.2). A UNION group instantiates
+        # the template per branch solution (NULL for a variable unbound
+        # in some branch drops that template row — construct emits only
+        # fully-ground triples).
         from .bgp import construct_from_solutions
 
-        kwargs = _exec_kwargs(spec)
-        patterns = kwargs.pop("patterns")
-        sols = bgp_query(triples, patterns, dedup=dedup, **kwargs)
+        if "union" in spec:
+            sols = _union_solutions(triples, spec, dedup)
+        else:
+            kwargs = _exec_kwargs(spec)
+            patterns = kwargs.pop("patterns")
+            sols = bgp_query(triples, patterns, dedup=dedup, **kwargs)
         order_by, limit = spec.get("order_by"), spec.get("limit")
         if order_by:
             sols = sols.orderBy(*[F.col(n).desc() if d else F.col(n).asc()

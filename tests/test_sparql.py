@@ -945,3 +945,48 @@ def test_entailed_unknown_regime_raises(spark):
     with pytest.raises(SparqlError, match="entailment regime"):
         sparql_query_entailed(t, "SELECT ?x WHERE { ?x p ?y }",
                               entailment="full-owl-dl")
+
+
+def test_ask_over_union(spark):
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")],
+        "subj string, pred string, obj string",
+    )
+    q = 'ASK WHERE { { ?x p ?y } UNION { ?x missing ?y } }'
+    assert sparql_query(t, q).collect()[0].ask is True
+    q2 = 'ASK WHERE { { ?x nope ?y } UNION { ?x missing ?y } }'
+    assert sparql_query(t, q2).collect()[0].ask is False
+
+
+def test_construct_over_union(spark):
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_query(t, """
+        CONSTRUCT { ?x linked ?y } WHERE {
+          { ?x p ?y } UNION { ?y q ?x }
+        }
+    """).collect()
+    assert sorted((r.subj, r.pred, r.obj) for r in out) == [
+        ("a", "linked", "b"), ("d", "linked", "c")]
+
+
+def test_construct_union_drops_unbound_template_rows(spark):
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d")],
+        "subj string, pred string, obj string",
+    )
+    # ?z is bound only in the second branch -> first branch emits nothing
+    out = sparql_query(t, """
+        CONSTRUCT { ?x has ?z } WHERE {
+          { ?x p ?y } UNION { ?x q ?z }
+        }
+    """).collect()
+    assert [(r.subj, r.pred, r.obj) for r in out] == [("c", "has", "d")]
