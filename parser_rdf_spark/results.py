@@ -3,8 +3,9 @@
 The reference parser has no query engine, so result-format output is
 north-star surface beyond it: a SPARQL endpoint built on this engine
 needs its SELECT solutions rendered in the W3C interchange formats —
-CSV/TSV (https://www.w3.org/TR/sparql11-results-csv-tsv/) and the JSON
-results format (https://www.w3.org/TR/sparql11-results-json/).
+CSV/TSV (https://www.w3.org/TR/sparql11-results-csv-tsv/), the JSON
+results format (https://www.w3.org/TR/sparql11-results-json/), and the
+XML results format (https://www.w3.org/TR/rdf-sparql-XMLres/).
 
 Binding representation: :func:`sparql.sparql_query` SELECT results bind
 LEXICAL forms (one string column per variable — IRIs, ``_:`` labels and
@@ -37,6 +38,8 @@ __all__ = [
     "to_sparql_tsv",
     "to_sparql_json_bindings",
     "sparql_json_document",
+    "to_sparql_xml_results",
+    "sparql_xml_document",
 ]
 
 # absolute-IRI shape (RFC 3986 scheme + no characters an IRI cannot
@@ -186,4 +189,65 @@ def sparql_json_document(solutions: DataFrame,
             "results": {"bindings": [json.loads(r.binding) for r in rows]},
         },
         ensure_ascii=False,
+    )
+
+
+def _xml_escape(c: Column) -> Column:
+    out = F.regexp_replace(c, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def to_sparql_xml_results(solutions: DataFrame,
+                          kinds: dict[str, str] | None = None) -> DataFrame:
+    """SELECT solutions → W3C SPARQL Query Results XML ``<result>``
+    elements, one per row (``result`` string column) — the scalable
+    middle of the document (https://www.w3.org/TR/rdf-sparql-XMLres/).
+    Map-only; assemble the envelope with :func:`sparql_xml_document`
+    or stream the elements between a constant header/footer."""
+    cols = solutions.columns
+    km = _kinds_for(cols, kinds)
+    parts = []
+    for c in cols:
+        col, k = F.col(c), _term_kind(F.col(c), km[c])
+        body = (
+            F.when(k == "iri",
+                   F.concat(F.lit("<uri>"), _xml_escape(col), F.lit("</uri>")))
+            .when(k == "bnode",
+                  F.concat(F.lit("<bnode>"),
+                           _xml_escape(F.substring_index(col, "_:", -1)),
+                           F.lit("</bnode>")))
+            .otherwise(F.concat(F.lit("<literal>"), _xml_escape(col),
+                                F.lit("</literal>")))
+        )
+        parts.append(
+            F.when(
+                col.isNotNull(),
+                F.concat(F.lit(f'<binding name="{c}">'), body,
+                         F.lit("</binding>")),
+            ).otherwise(F.lit(""))
+        )
+    return solutions.select(
+        F.concat(F.lit("<result>"), *parts, F.lit("</result>")).alias("result")
+    )
+
+
+def sparql_xml_document(solutions: DataFrame,
+                        kinds: dict[str, str] | None = None,
+                        max_rows: int = 100_000) -> str:
+    """The single-document W3C XML results form — driver-bounded like
+    :func:`sparql_json_document` (raises beyond ``max_rows``)."""
+    cols = solutions.columns
+    rows = to_sparql_xml_results(solutions, kinds).take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; stream "
+            "to_sparql_xml_results between a constant header/footer"
+        )
+    head = "".join(f'<variable name="{c}"/>' for c in cols)
+    body = "".join(r.result for r in rows)
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head>{head}</head><results>{body}</results></sparql>"
     )

@@ -85,3 +85,31 @@ def test_formats_are_map_only(sols):
                to_sparql_json_bindings(sols)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: pure projection (+union)
+
+
+def test_xml_results_and_document(sols):
+    from parser_rdf_spark.results import (
+        sparql_xml_document, to_sparql_xml_results)
+
+    els = [r.result for r in to_sparql_xml_results(sols).collect()]
+    assert all(e.startswith("<result>") and e.endswith("</result>") for e in els)
+    joined = "".join(els)
+    assert '<binding name="s"><uri>http://e/x</uri></binding>' in joined
+    assert '<bnode>b0</bnode>' in joined
+    # unbound binding omitted entirely
+    assert joined.count('<binding name="node">') == 2
+    doc = sparql_xml_document(sols)
+    assert doc.startswith('<?xml version="1.0"?>')
+    assert '<variable name="label"/>' in doc
+    import re
+    assert len(re.findall("<result>", doc)) == 3
+    with pytest.raises(ValueError, match="max_rows"):
+        sparql_xml_document(sols, max_rows=1)
+
+
+def test_xml_escaping(spark):
+    from parser_rdf_spark.results import to_sparql_xml_results
+
+    df = spark.createDataFrame([("a <&> b",)], "v string")
+    el = to_sparql_xml_results(df).collect()[0].result
+    assert "<literal>a &lt;&amp;&gt; b</literal>" in el
