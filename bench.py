@@ -99,7 +99,12 @@ def main() -> None:
         nonlocal n_triples
         n_triples = triples_of(parse_pages(pages)).count()
 
-    queries["parse_triples"] = _best_of(_q_parse)
+    # best-of-5 for the HEADLINE query specifically: the headline
+    # triples/sec derives from this one wall, and a sustained co-tenant
+    # burst has been observed to cover a whole best-of-3 window (8.5 s
+    # recorded where an isolated re-run reads 2.0 s); two extra repeats
+    # cost seconds and protect the round-over-round comparison
+    queries["parse_triples"] = _best_of(_q_parse, n=max(BEST_OF, 5))
     t_parse = queries["parse_triples"]
     # untimed: stage the parsed table once for q2/q3
     parsed = parse_pages(pages).persist()
