@@ -3346,6 +3346,72 @@ def _q_stream_incremental_cc(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_stream_canonical_dedup(spark, sf_dir):
+    """Streaming graph-level dedup end-to-end: Turtle pages arrive as
+    TWO streamed batches (separate availableNow drains, one
+    checkpoint); batch 2 re-crawls batch 1's graph under fresh _:genid
+    labels. The committed registry maps every doc to its canonical
+    representative (min doc_url per isomorphism class) — the re-crawl
+    must land on the batch-1 doc. Oracle: the expected mapping (the
+    graphs are fixed fixtures; hashes are internal, the MAPPING is the
+    contract)."""
+    import shutil
+    import tempfile
+
+    from parser_rdf_spark.snapshots import SnapshotTable
+    from parser_rdf_spark.streaming import canonical_dedup_maintenance
+
+    ttl = (
+        '@prefix ex: <http://e/> .\n'
+        'ex:x ex:knows _:{a} .\n'
+        '_:{a} ex:name "Ann" ; ex:friend _:{b} .\n'
+        '_:{b} ex:name "{bob}" .'
+    )
+    batches = [
+        {"https://stream.example.org/p1": ttl.format(a="a", b="b", bob="Bob")},
+        {
+            "https://stream.example.org/p2":
+                ttl.format(a="genid1", b="genid2", bob="Bob"),
+            "https://stream.example.org/p3":
+                ttl.format(a="a", b="b", bob="Carol"),
+        },
+    ]
+    base = tempfile.mkdtemp(prefix="stream_canon")
+    try:
+        from parser_rdf_spark.schemas import PAGES
+
+        for docs in batches:
+            _fixture_pages(spark, docs).coalesce(1).write.mode("append") \
+                .parquet(f"{base}/pages")
+            stream = spark.readStream.schema(PAGES).parquet(f"{base}/pages")
+            q = canonical_dedup_maintenance(
+                stream, f"{base}/registry", f"{base}/ckpt")
+            assert q.awaitTermination(240), "availableNow drain did not finish"
+        reg = SnapshotTable(f"{base}/registry").read(spark)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("graph_hash")
+        rows = (
+            reg.withColumn("canonical_doc", F.min("doc_url").over(w))
+            .withColumn("group_size", F.count(F.lit(1)).over(w))
+            .select("doc_url", "canonical_doc", "group_size")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "doc_url string, canonical_doc string, group_size bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_CANON_SQL = (
+    "SELECT * FROM (VALUES "
+    "('https://stream.example.org/p1', 'https://stream.example.org/p1', CAST(2 AS BIGINT)), "
+    "('https://stream.example.org/p2', 'https://stream.example.org/p1', 2), "
+    "('https://stream.example.org/p3', 'https://stream.example.org/p3', 1)"
+    ") AS t(doc_url, canonical_doc, group_size)"
+)
+
+
 def _q_bgp_path_query(spark, sf_dir):
     """Property paths: a 3-hop SEQUENCE path (inNation/inRegion/name)
     desugared to a join chain, anchored by an INVERSE-predicate pattern
@@ -3914,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_entailed_query": _q_sparql_entailed_query,
         "canonical_nquads_export": _q_canonical_nquads_export,
         "property_graph_export": _q_property_graph_export,
+        "stream_canonical_dedup": _q_stream_canonical_dedup,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5642,6 +5709,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
+        "stream_canonical_dedup": _STREAM_CANON_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

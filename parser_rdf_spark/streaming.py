@@ -261,3 +261,56 @@ def component_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def canonical_dedup_maintenance(
+    pages_stream: DataFrame,
+    registry_root: str,
+    checkpoint_dir: str,
+    rounds: int = 2,
+):
+    """Continuous GRAPH-LEVEL dedup over a page stream — the streaming
+    face of :func:`~.canonical.isomorphic_duplicates`: each micro-batch
+    is parsed, every document graph gets its isomorphism-invariant
+    canonical hash (WL refinement, :mod:`.canonical`), and the
+    (graph_hash, doc_url) membership registry is committed as a new
+    :class:`~.snapshots.SnapshotTable` snapshot. Re-crawls of the same
+    graph under freshly-minted blank-node labels land on an existing
+    hash — readers pick ``min(doc_url)`` per hash as the canonical
+    representative and the rest as drops.
+
+    The registry stores MEMBERSHIP PAIRS, not counts: pairs merge under
+    set semantics (union + distinct), which makes foreachBatch's
+    at-least-once replay a no-op — a replayed batch re-asserts pairs the
+    registry already holds. Counts are a read-side aggregate. At 10^12
+    docs the registry write would be a hash-prefix-partitioned MERGE
+    instead of the overwrite commit used here (same trade
+    :func:`component_maintenance` documents for its labelling).
+    Returns the StreamingQuery (availableNow drain)."""
+    from .canonical import canonical_graph_hash
+    from .snapshots import SnapshotTable
+
+    table = SnapshotTable(registry_root)
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = triples_of(parse_pages(batch_df))
+        pairs = canonical_graph_hash(t, rounds=rounds).select(
+            "graph_hash", "doc_url"
+        )
+        if table.current_id() is not None:
+            pairs = table.read(batch_df.sparkSession).unionByName(pairs)
+        table.commit_write(
+            pairs.distinct(),
+            mode="overwrite",
+            operation="canonical-dedup-batch",
+            summary={"batch_id": int(batch_id)},
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

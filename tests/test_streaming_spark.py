@@ -197,3 +197,48 @@ def test_crawl_sessions_streaming_append_finalizes_on_watermark(spark, dirs):
         ("a.example.org", naive(120), naive(150), 1),
         ("b.example.org", naive(0), naive(30), 1),
     }
+
+
+def test_canonical_dedup_maintenance_across_batches(spark, dirs):
+    """Streaming graph-level dedup: batch 1 brings a graph, batch 2
+    re-crawls the SAME graph under fresh _:genid labels plus one new
+    distinct graph — the registry must land the re-crawl on the existing
+    hash; an empty third drain must not grow the registry (resume
+    no-op)."""
+    from parser_rdf_spark.snapshots import SnapshotTable
+
+    pages_dir, _, ckpt = dirs
+    reg = ckpt + "_registry"
+    ttl = """@prefix ex: <http://e/> .
+ex:x ex:knows _:{a} .
+_:{a} ex:name "Ann" ; ex:friend _:{b} .
+_:{b} ex:name "{bob}" ."""
+
+    def drain():
+        stream = spark.readStream.schema(PAGES).parquet(pages_dir)
+        q = st.canonical_dedup_maintenance(stream, reg, ckpt)
+        assert q.awaitTermination(240), "availableNow drain did not finish"
+
+    _write_pages(spark, pages_dir,
+                 {"https://c/p1": ttl.format(a="a", b="b", bob="Bob")})
+    drain()
+    _write_pages(spark, pages_dir, {
+        "https://c/p2": ttl.format(a="genid1", b="genid2", bob="Bob"),
+        "https://c/p3": ttl.format(a="a", b="b", bob="Carol"),
+    })
+    drain()
+
+    table = SnapshotTable(reg)
+    rows = table.read(spark).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r.graph_hash, set()).add(r.doc_url)
+    assert len(rows) == 3 and len(by_hash) == 2
+    assert {"https://c/p1", "https://c/p2"} in by_hash.values()
+    assert {"https://c/p3"} in by_hash.values()
+
+    # a re-drain with no new files commits nothing new
+    n_snaps = len(table.history())
+    drain()
+    assert len(SnapshotTable(reg).history()) == n_snaps
+    assert SnapshotTable(reg).read(spark).count() == 3
