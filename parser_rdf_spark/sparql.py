@@ -1416,8 +1416,6 @@ def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     every triple whose SUBJECT is in the resource set — constants plus
     every value the DESCRIBE variables take in the WHERE solutions. One
     semi-join, output-sized."""
-    if "union" in spec:
-        raise SparqlError("DESCRIBE over UNION is not supported")
     targets = spec["describe"]
     consts = [t for t in targets if not t.startswith("?")]
     var_names = [t[1:] for t in targets if t.startswith("?")]
@@ -1426,10 +1424,14 @@ def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     if consts:
         parts.append(spark.createDataFrame([(c,) for c in consts], "r string"))
     if var_names:
-        if not spec.get("patterns"):
+        if "union" in spec:
+            sols = _union_solutions(triples, spec, dedup)
+        elif not spec.get("patterns"):
             raise SparqlError("DESCRIBE with variables needs a WHERE clause")
-        kwargs = _exec_kwargs(spec)
-        sols = bgp_query(triples, kwargs.pop("patterns"), dedup=dedup, **kwargs)
+        else:
+            kwargs = _exec_kwargs(spec)
+            sols = bgp_query(triples, kwargs.pop("patterns"), dedup=dedup,
+                             **kwargs)
         for v in var_names:
             if v not in sols.columns:
                 raise SparqlError(f"DESCRIBE variable ?{v} is not bound by WHERE")

@@ -990,3 +990,17 @@ def test_construct_union_drops_unbound_template_rows(spark):
         }
     """).collect()
     assert [(r.subj, r.pred, r.obj) for r in out] == [("c", "has", "d")]
+
+
+def test_describe_over_union(spark):
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "q", "d"), ("a", "r", "v")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_query(t, """
+        DESCRIBE ?x WHERE { { ?x p ?y } UNION { ?x q ?y } }
+    """).collect()
+    assert sorted((r.subj, r.pred, r.obj) for r in out) == [
+        ("a", "p", "b"), ("a", "r", "v"), ("c", "q", "d")]
