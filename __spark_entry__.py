@@ -1586,6 +1586,24 @@ def _q_minhash_near_dup(spark, sf_dir):
     )
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Cluster-level fuzzy dedup (linking.near_dup_clusters): LSH pairs
+    → connected components → one row per doc with its cluster, the
+    min-id representative flag, and cluster size — filter(is_representative)
+    IS the deduped corpus. Oracle: union-find over the bit-exact
+    pure-Python LSH pair mirror plus singleton fill-in."""
+    from parser_rdf_spark.linking import near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    c = near_dup_clusters(docs, "text", "doc_id", num_hashes=32, bands=8)
+    return c.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_representative",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
@@ -3981,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_nquads_export": _q_canonical_nquads_export,
         "property_graph_export": _q_property_graph_export,
         "stream_canonical_dedup": _q_stream_canonical_dedup,
+        "near_dup_clusters": _q_near_dup_clusters,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -4456,7 +4475,7 @@ def _simhash_pairs_golden_sql() -> str:
     )
 
 
-def _minhash_pairs_golden_sql() -> str:
+def _minhash_pairs_py() -> set:
     """Independent pure-Python/numpy mirror of minhash_lsh_blocking
     (linking.py): shingle → xxh64 → 32 permutation minima → 8 banded
     buckets → in-bucket pairs (star pairing past max_bucket). Spark's
@@ -4506,10 +4525,50 @@ def _minhash_pairs_golden_sql() -> str:
             for x in ids:
                 if x != m:
                     pairs.add((m, x))
-    rows = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return pairs
+
+
+def _minhash_pairs_golden_sql() -> str:
+    rows = ", ".join(f"({a}, {b})" for a, b in sorted(_minhash_pairs_py()))
     return (
         "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b "
         f"FROM (VALUES {rows}) AS t(id_a, id_b)"
+    )
+
+
+def _near_dup_clusters_golden_sql() -> str:
+    """Union-find over the mirrored LSH pair set + singleton fill-in —
+    the expected (id, cluster_id, is_representative, cluster_size)
+    relation of linking.near_dup_clusters (cluster_id = hash-min CC
+    label = min id per component, matching connected_components)."""
+    import pyarrow.parquet as pq
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_pairs_py():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    tbl = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id"])
+    ids = [int(i) for i in tbl.column("doc_id").to_pylist()]
+    cluster = {i: (find(i) if i in parent else i) for i in ids}
+    sizes: dict[int, int] = {}
+    for c in cluster.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rows = ", ".join(
+        f"({i}, {c}, {str(i == c).upper()}, {sizes[c]})"
+        for i, c in sorted(cluster.items())
+    )
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+        "is_representative, CAST(cluster_size AS BIGINT) AS cluster_size "
+        f"FROM (VALUES {rows}) AS t(id, cluster_id, is_representative, cluster_size)"
     )
 
 
@@ -5710,6 +5769,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
         "stream_canonical_dedup": _STREAM_CANON_SQL,
+        "near_dup_clusters": _near_dup_clusters_golden_sql(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -484,3 +484,52 @@ def fuzzy_name_pairs(
             F.col("distance").cast("bigint").alias("distance"),
         )
     )
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The production fuzzy-dedup shape end to end: MinHash-LSH
+    candidate pairs (:func:`minhash_lsh_blocking`, star-paired hostile
+    buckets) → connected components over the pair graph → one cluster
+    row per document: ``(id, cluster_id, is_representative, cluster_size)``
+    with the minimum id per cluster as the kept representative —
+    ``filter(is_representative)`` IS the deduped corpus, the rest is the
+    drop list. Documents with no near-dup candidate form singleton
+    clusters of themselves (left anti-joined back in, no shuffle beyond
+    the one hash join).
+
+    This composes two already-scale-shaped operators; transitive
+    near-duplicate chains (A~B, B~C but A!~C) land in ONE cluster —
+    the set-cover semantics corpus dedup wants (pair-at-a-time dropping
+    can drop both endpoints or neither)."""
+    pairs = minhash_lsh_blocking(
+        documents, text_col, id_col,
+        num_hashes=num_hashes, bands=bands,
+        shingle_len=shingle_len, max_bucket=max_bucket,
+    )
+    labels = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    clustered = labels.select(
+        F.col("vertex").alias("id"), F.col("component").alias("cluster_id")
+    )
+    singles = (
+        documents.select(F.col(id_col).alias("id"))
+        .join(clustered.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    allc = clustered.unionByName(singles)
+    sizes = allc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("id").alias("rep"),
+    )
+    return allc.join(sizes, "cluster_id").select(
+        "id", "cluster_id",
+        (F.col("id") == F.col("rep")).alias("is_representative"),
+        "cluster_size",
+    )

@@ -312,3 +312,29 @@ def test_fuzzy_name_pairs_block_cap(spark):
                  for r in fuzzy_name_pairs(df, max_distance=1, max_block=5).collect())
     # the 10-member 'aa' block is dropped; the small 'zz' block pairs
     assert got == [(100, 101)]
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    """A~B and B~C (but A!~C directly) must land in ONE cluster with the
+    min id as representative; untouched docs form singletons."""
+    from parser_rdf_spark.linking import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base + "tail one"),
+            (2, base + "tail two"),          # near-dup of 1 and 3
+            (3, base + "tail two three"),    # near-dup of 2
+            (9, "completely different content about spark dataframes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in near_dup_clusters(docs, "text", "doc_id").collect()}
+    assert len(rows) == 4
+    c1 = rows[1].cluster_id
+    assert rows[2].cluster_id == c1 and rows[3].cluster_id == c1
+    assert c1 == 1 and rows[1].is_representative
+    assert not rows[2].is_representative and not rows[3].is_representative
+    assert rows[1].cluster_size == 3
+    assert rows[9].cluster_id == 9 and rows[9].is_representative
+    assert rows[9].cluster_size == 1
