@@ -121,6 +121,10 @@ _FUNC_MAP = {
     "substr": "substring", "concat": "concat", "abs": "abs", "ceil": "ceil",
     "floor": "floor", "round": "round", "coalesce": "coalesce", "if": "if",
     "replace": "regexp_replace",
+    # §17.4.4 hash functions (lexical-form input, lowercase hex out in
+    # both Spark and the DuckDB oracles); sha256/384/512 special-cased
+    # below (Spark spells them sha2(x, bits))
+    "md5": "md5", "sha1": "sha1",
 }
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -756,6 +760,17 @@ class _ExprTranslator:
                 f"ELSE '' END)",
                 "str",
             )
+        if name in ("sha256", "sha384", "sha512"):
+            if len(args) != 1:
+                raise SparqlError(f"{name.upper()} takes one argument")
+            return f"sha2({args[0]}, {name[3:]})", "call"
+        if name in ("iri", "uri"):
+            # bindings are lexical forms engine-wide, so IRI(str) is the
+            # string itself (resolution against BASE happens at parse
+            # time for constant terms)
+            if len(args) != 1:
+                raise SparqlError(f"{name.upper()} takes one argument")
+            return f"CAST({args[0]} AS STRING)", "str"
         if name in _FUNC_MAP:
             return f"{_FUNC_MAP[name]}({', '.join(args)})", "call"
         if name in _AGG_FUNCS:

@@ -1004,3 +1004,23 @@ def test_describe_over_union(spark):
     """).collect()
     assert sorted((r.subj, r.pred, r.obj) for r in out) == [
         ("a", "p", "b"), ("a", "r", "v"), ("c", "q", "d")]
+
+
+def test_hash_and_iri_functions(spark):
+    import hashlib
+
+    from parser_rdf_spark.sparql import sparql_query
+
+    t = spark.createDataFrame([("a", "p", "hello")],
+                              "subj string, pred string, obj string")
+    rows = sparql_query(t, """
+        SELECT ?h ?h2 ?u WHERE {
+          ?x p ?v .
+          BIND (MD5(?v) AS ?h)
+          BIND (SHA256(?v) AS ?h2)
+          BIND (IRI(CONCAT("urn:x:", ?v)) AS ?u)
+        }
+    """).collect()
+    assert rows[0].h == hashlib.md5(b"hello").hexdigest()
+    assert rows[0].h2 == hashlib.sha256(b"hello").hexdigest()
+    assert rows[0].u == "urn:x:hello"
