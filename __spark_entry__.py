@@ -2426,14 +2426,10 @@ def _canon_labels_oracle() -> str:
     )
 
 
-def _q_shacl_deep_constraints(spark, sf_dir):
-    """Extended SHACL-core constraint kinds (shacl.py round-4 surface)
-    over FULL-schema triples (term kinds + datatypes): sh:datatype
-    (plain literal IS xsd:string, so a missing decimal tag violates),
-    sh:minInclusive (negative balances; non-castable lexical forms
-    would too), sh:minLength/maxLength, and sh:nodeKind (literal
-    homepages where an IRI is required). Oracle enumerates each
-    violation set from the base tables."""
+def _shacl_deep_violations(spark, sf_dir):
+    """Shared by shacl_deep_constraints and shacl_report_rdf: the raw
+    violations frame of the extended-constraint validation over the
+    full-schema TPC-H triple-ization."""
     from parser_rdf_spark.schemas import TRIPLES
     from parser_rdf_spark.shacl import shacl_validate
 
@@ -2496,7 +2492,18 @@ def _q_shacl_deep_constraints(spark, sf_dir):
         "min_inclusive double, max_inclusive double, min_exclusive double, "
         "max_exclusive double, datatype string, node_kind string",
     )
-    return shacl_validate(t, shapes, type_pred="rdf:type").select(
+    return shacl_validate(t, shapes, type_pred="rdf:type")
+
+
+def _q_shacl_deep_constraints(spark, sf_dir):
+    """Extended SHACL-core constraint kinds (shacl.py round-4 surface)
+    over FULL-schema triples (term kinds + datatypes): sh:datatype
+    (plain literal IS xsd:string, so a missing decimal tag violates),
+    sh:minInclusive (negative balances; non-castable lexical forms
+    would too), sh:minLength/maxLength, and sh:nodeKind (literal
+    homepages where an IRI is required). Oracle enumerates each
+    violation set from the base tables."""
+    return _shacl_deep_violations(spark, sf_dir).select(
         "shape_id", "focus", "constraint",
         F.coalesce("value", F.lit("")).alias("value"),
         F.coalesce("observed", F.lit(-1)).alias("observed"),
@@ -2520,6 +2527,68 @@ _SHACL_DEEP_CONSTRAINTS_SQL = (
     "UNION ALL SELECT 's-home', 'urn:supp:' || s_suppkey, 'nodeKind', "
     "'http://supp.example.org/' || s_suppkey, -1 FROM supplier "
     "WHERE s_suppkey % 2 = 1"
+)
+
+
+def _q_shacl_report_rdf(spark, sf_dir):
+    """The violations of shacl_deep_constraints rendered AS RDF in the
+    W3C SHACL validation-report vocabulary (shacl.py
+    validation_report_triples): sh:ValidationReport header +
+    sh:conforms false + one md5-keyed sh:ValidationResult node per
+    violation with focusNode/sourceShape/sourceConstraintComponent/
+    value. Oracle rebuilds every report triple (including the md5
+    result-node IRIs) from the base tables."""
+    from parser_rdf_spark.shacl import validation_report_triples
+
+    viol = _shacl_deep_violations(spark, sf_dir)
+    rep = validation_report_triples(viol)
+    return rep.select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+_SHACL_REPORT_SQL = (
+    "WITH viol(shape_id, focus, cname, value, observed) AS ("
+    "SELECT 's-bal', 'urn:cust:' || c_custkey, 'datatype', "
+    "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), CAST(NULL AS BIGINT) "
+    "FROM customer WHERE c_custkey % 3 = 0 "
+    "UNION ALL SELECT 's-bal', 'urn:cust:' || c_custkey, 'minInclusive', "
+    "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), NULL "
+    "FROM customer WHERE c_acctbal < 0 "
+    "UNION ALL SELECT 's-nname', 'urn:nation:' || n_nationkey, 'maxLength', "
+    "n_name, CAST(length(n_name) AS BIGINT) FROM nation WHERE length(n_name) > 8 "
+    "UNION ALL SELECT 's-home', 'urn:supp:' || s_suppkey, 'nodeKind', "
+    "'http://supp.example.org/' || s_suppkey, NULL "
+    "FROM supplier WHERE s_suppkey % 2 = 1), "
+    "r AS (SELECT *, 'urn:shacl:report/result/' || md5("
+    "shape_id || chr(31) || focus || chr(31) || cname || chr(31) || "
+    "COALESCE(value, '') || chr(31) || COALESCE(CAST(observed AS VARCHAR), '')"
+    ") AS rid, "
+    "'http://www.w3.org/ns/shacl#' || "
+    "CASE cname WHEN 'datatype' THEN 'DatatypeConstraintComponent' "
+    "WHEN 'minInclusive' THEN 'MinInclusiveConstraintComponent' "
+    "WHEN 'maxLength' THEN 'MaxLengthConstraintComponent' "
+    "WHEN 'nodeKind' THEN 'NodeKindConstraintComponent' END AS comp FROM viol) "
+    "SELECT 'urn:shacl:report' AS subj, "
+    "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred, "
+    "'iri' AS obj_kind, 'http://www.w3.org/ns/shacl#ValidationReport' AS obj_value, "
+    "'' AS obj_datatype "
+    "UNION ALL SELECT 'urn:shacl:report', 'http://www.w3.org/ns/shacl#conforms', "
+    "'literal', 'false', 'http://www.w3.org/2001/XMLSchema#boolean' "
+    "UNION ALL SELECT DISTINCT rid, "
+    "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri', "
+    "'http://www.w3.org/ns/shacl#ValidationResult', '' FROM r "
+    "UNION ALL SELECT DISTINCT 'urn:shacl:report', "
+    "'http://www.w3.org/ns/shacl#result', 'iri', rid, '' FROM r "
+    "UNION ALL SELECT DISTINCT rid, 'http://www.w3.org/ns/shacl#focusNode', "
+    "'iri', focus, '' FROM r "
+    "UNION ALL SELECT DISTINCT rid, 'http://www.w3.org/ns/shacl#sourceShape', "
+    "'iri', shape_id, '' FROM r "
+    "UNION ALL SELECT DISTINCT rid, "
+    "'http://www.w3.org/ns/shacl#sourceConstraintComponent', 'iri', comp, '' FROM r "
+    "UNION ALL SELECT DISTINCT rid, 'http://www.w3.org/ns/shacl#value', "
+    "'literal', value, '' FROM r WHERE value IS NOT NULL"
 )
 
 
@@ -3995,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_canonical_labels": _q_graph_canonical_labels,
         "sparql_results_formats": _q_sparql_results_formats,
         "shacl_deep_constraints": _q_shacl_deep_constraints,
+        "shacl_report_rdf": _q_shacl_report_rdf,
         "sparql_entailed_query": _q_sparql_entailed_query,
         "canonical_nquads_export": _q_canonical_nquads_export,
         "property_graph_export": _q_property_graph_export,
@@ -5765,6 +5835,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_canonical_labels": _canon_labels_oracle(),
         "sparql_results_formats": _RESULTS_FORMATS_SQL,
         "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
+        "shacl_report_rdf": _SHACL_REPORT_SQL,
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,

@@ -303,3 +303,101 @@ def shacl_validate(
         .unionByName(dt_viol)
         .unionByName(nodekind_viol)
     )
+
+
+_SH_CONSTRAINT_COMPONENT = {
+    "minCount": "MinCountConstraintComponent",
+    "maxCount": "MaxCountConstraintComponent",
+    "class": "ClassConstraintComponent",
+    "pattern": "PatternConstraintComponent",
+    "in": "InConstraintComponent",
+    "minLength": "MinLengthConstraintComponent",
+    "maxLength": "MaxLengthConstraintComponent",
+    "minInclusive": "MinInclusiveConstraintComponent",
+    "maxInclusive": "MaxInclusiveConstraintComponent",
+    "minExclusive": "MinExclusiveConstraintComponent",
+    "maxExclusive": "MaxExclusiveConstraintComponent",
+    "datatype": "DatatypeConstraintComponent",
+    "nodeKind": "NodeKindConstraintComponent",
+}
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
+
+
+def validation_report_triples(
+    violations: DataFrame, report_iri: str = "urn:shacl:report"
+) -> DataFrame:
+    """Render a :func:`shacl_validate` violations frame as the W3C SHACL
+    validation-report vocabulary (https://www.w3.org/TR/shacl/#results)
+    — full-schema TRIPLES rows, so any of the engine's serializers can
+    emit the report as Turtle/N-Triples/JSON-LD/RDF-XML for downstream
+    tooling:
+
+    - ``<report> rdf:type sh:ValidationReport``,
+      ``sh:conforms "true|false"^^xsd:boolean``;
+    - per violation a deterministic result node
+      ``<report>/result/<md5(shape,focus,constraint,value,observed)>``
+      typed ``sh:ValidationResult`` with ``sh:focusNode``,
+      ``sh:sourceShape``, ``sh:sourceConstraintComponent``, and
+      ``sh:value`` (value rows only).
+
+    Result nodes are md5-keyed IRIs, not blank nodes — deterministic,
+    dedupable, and join-able back to the violation relation. Map-only
+    over the violations plus one 1-row global aggregate for
+    ``sh:conforms``."""
+    rid = F.concat(
+        F.lit(report_iri + "/result/"),
+        F.md5(F.concat_ws(
+            "\x1f", "shape_id", "focus", "constraint",
+            F.coalesce(F.col("value"), F.lit("")),
+            F.coalesce(F.col("observed").cast("string"), F.lit("")),
+        )),
+    )
+
+    def row(subj, pred, kind, value, dt=None):
+        return F.struct(
+            F.lit(report_iri).alias("doc_url"),
+            F.lit(None).cast("string").alias("graph"),
+            (subj if not isinstance(subj, str) else F.lit(subj)).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            (value if not isinstance(value, str) else F.lit(value))
+            .cast("string").alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("obj_datatype"),
+            F.lit(1).alias("line_no"),
+        )
+
+    per_result = violations.select(
+        F.explode(F.array(
+            row(rid, _RDF_TYPE_IRI, "iri", _SH_NS + "ValidationResult"),
+            row(F.lit(report_iri), _SH_NS + "result", "iri", rid),
+            row(rid, _SH_NS + "focusNode", "iri", F.col("focus")),
+            row(rid, _SH_NS + "sourceShape", "iri", F.col("shape_id")),
+            row(rid, _SH_NS + "sourceConstraintComponent", "iri",
+                F.concat(
+                    F.lit(_SH_NS),
+                    F.element_at(
+                        F.create_map(*[
+                            x for k, v in _SH_CONSTRAINT_COMPONENT.items()
+                            for x in (F.lit(k), F.lit(v))
+                        ]),
+                        F.col("constraint"),
+                    ),
+                )),
+            row(rid, _SH_NS + "value", "literal", F.col("value")),
+        )).alias("t")
+    ).select("t.*").where(F.col("obj_value").isNotNull())
+
+    conforms = violations.groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.explode(F.array(
+            row(F.lit(report_iri), _RDF_TYPE_IRI, "iri",
+                _SH_NS + "ValidationReport"),
+            row(F.lit(report_iri), _SH_NS + "conforms", "literal",
+                F.when(F.col("n") > 0, F.lit("false")).otherwise(F.lit("true")),
+                dt=_XSD_BOOL),
+        )).alias("t")
+    ).select("t.*")
+    return conforms.unionByName(per_result).distinct()

@@ -201,3 +201,56 @@ def test_bare_relation_still_works_with_extended_schema_nulls(spark):
         [_ext_shape("s-nick", "nick", max_length=8)], _EXT_SCHEMA)
     rep = shacl_validate(t, shapes, type_pred="type").collect()
     assert _v(rep, "maxLength") == [("s-nick", "x", "waytoolongnickname", 18)]
+
+
+def test_validation_report_triples(spark, report):
+    from parser_rdf_spark.schemas import TRIPLES as FULL
+    from parser_rdf_spark.shacl import shacl_validate, validation_report_triples
+
+    t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    s = spark.createDataFrame(SHAPES, SHAPE_SCHEMA)
+    viol = shacl_validate(t, s, type_pred="type")
+    rt = validation_report_triples(viol)
+    assert [(f.name, f.dataType) for f in rt.schema.fields] == \
+        [(f.name, f.dataType) for f in FULL.fields]
+    rows = rt.collect()
+    SH = "http://www.w3.org/ns/shacl#"
+    conforms = [r for r in rows if r.pred == SH + "conforms"]
+    assert len(conforms) == 1 and conforms[0].obj_value == "false"
+    n_results = len([r for r in rows if r.pred == SH + "result"])
+    assert n_results == len(report)  # one result node per violation
+    # components named per constraint kind
+    comps = {r.obj_value for r in rows
+             if r.pred == SH + "sourceConstraintComponent"}
+    assert SH + "MinCountConstraintComponent" in comps
+    assert SH + "PatternConstraintComponent" in comps
+    # a conforming graph reports conforms=true and nothing else
+    ok = spark.createDataFrame([("x", "type", "Person"), ("x", "phone", "1")],
+                               "subj string, pred string, obj string")
+    s2 = spark.createDataFrame(
+        [("s", "Person", "phone", 1, 1, None, None, None)], SHAPE_SCHEMA)
+    rep2 = validation_report_triples(shacl_validate(ok, s2, type_pred="type"))
+    vals = {(r.pred, r.obj_value) for r in rep2.collect()}
+    assert (SH + "conforms", "true") in vals and len(vals) == 2
+
+
+def test_validation_report_serializes(spark):
+    """The report is real RDF: render it to N-Triples and reparse
+    (fixture uses dereferenceable IRIs — bare-name focus nodes are not
+    valid N-Triples terms)."""
+    from parser_rdf_spark.serialize import to_ntriples
+    from parser_rdf_spark.shacl import shacl_validate, validation_report_triples
+
+    t = spark.createDataFrame(
+        [("urn:p:alice", "type", "urn:c:Person"),
+         ("urn:p:alice", "urn:prop:nick", "x")],
+        "subj string, pred string, obj string")
+    s = spark.createDataFrame(
+        [("urn:shape:nick", "urn:c:Person", "urn:prop:nick", None, None,
+          None, "^.{3,}$", None)], SHAPE_SCHEMA)
+    rep = validation_report_triples(shacl_validate(t, s, type_pred="type"))
+    lines = [r.line for r in to_ntriples(rep).collect()]
+    from parser_rdf_spark.ntriples import parse_document
+
+    triples = parse_document("\n".join(lines))
+    assert len(triples) == len(lines)
