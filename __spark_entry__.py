@@ -2051,6 +2051,62 @@ _PROPERTY_GRAPH_SQL = (
 )
 
 
+def _q_owl_restriction_inference(spark, sf_dir):
+    """OWL 2 RL restriction-class rules (inference.py
+    owl_restriction_entailment — the semantics behind the reference's
+    E20 restrictions placeholder): someValuesFrom over a typed filler
+    (svf1: everyone inNation a typed Nation), someValuesFrom owl:Thing
+    (svf2), hasValue in both directions (hv1 emits the value assertion,
+    hv2 types the holder), and allValuesFrom (avf types the fillers of
+    explicitly-typed subjects). Oracle enumerates every consequence
+    from the base tables."""
+    from parser_rdf_spark.inference import owl_restriction_entailment
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    OWL = "http://www.w3.org/2002/07/owl#"
+    axioms = spark.createDataFrame(
+        [
+            ("ex:R_Resident", OWL + "onProperty", "ex:inNation"),
+            ("ex:R_Resident", OWL + "someValuesFrom", "ex:Nation"),
+            ("ex:R_Seg", OWL + "onProperty", "ex:mktsegment"),
+            ("ex:R_Seg", OWL + "someValuesFrom", OWL + "Thing"),
+            ("ex:R_HighValue", OWL + "onProperty", "ex:highBalance"),
+            ("ex:R_HighValue", OWL + "hasValue", "true"),
+            ("ex:R_Audited", OWL + "onProperty", "ex:inRegion"),
+            ("ex:R_Audited", OWL + "allValuesFrom", "ex:AuditedPlace"),
+            ("ex:R_Flagged", OWL + "onProperty", "ex:flag"),
+            ("ex:R_Flagged", OWL + "hasValue", "on"),
+            ("urn:region:0", "rdf:type", "ex:R_Flagged"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    audited = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("ex:R_Audited").alias("obj"),
+    )
+    kg = _tpch_triples(spark, sf_dir).unionByName(axioms).unionByName(audited)
+    return owl_restriction_entailment(kg, vocab={"type": "rdf:type"})
+
+
+_OWL_RESTRICTION_SQL = (
+    # svf1: every customer/supplier has ex:inNation to a typed ex:Nation
+    "SELECT 'urn:cust:' || c_custkey AS subj, 'rdf:type' AS pred, "
+    "'ex:R_Resident' AS obj FROM customer "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', 'ex:R_Resident' FROM supplier "
+    # svf2: every customer has a mktsegment
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:R_Seg' FROM customer "
+    # hv2: highBalance 'true' holders
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:R_HighValue' "
+    "FROM customer WHERE c_acctbal > 9000 "
+    # avf: regions of the explicitly-audited nations
+    "UNION ALL SELECT DISTINCT 'urn:region:' || n_regionkey, 'rdf:type', "
+    "'ex:AuditedPlace' FROM nation WHERE n_nationkey % 5 = 0 "
+    # hv1: the flagged region gets the value assertion
+    "UNION ALL SELECT 'urn:region:0', 'ex:flag', 'on'"
+)
+
+
 def _q_kg_statistics(spark, sf_dir):
     """Stats-collection pass over the TPC-H KG: per-predicate counts,
     subject/object NDVs, and integer-div fanout — the numbers a BGP
@@ -4070,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_graph_export": _q_property_graph_export,
         "stream_canonical_dedup": _q_stream_canonical_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
+        "owl_restriction_inference": _q_owl_restriction_inference,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5841,6 +5898,7 @@ def oracle_sql() -> dict[str, str]:
         "property_graph_export": _PROPERTY_GRAPH_SQL,
         "stream_canonical_dedup": _STREAM_CANON_SQL,
         "near_dup_clusters": _near_dup_clusters_golden_sql(),
+        "owl_restriction_inference": _OWL_RESTRICTION_SQL,
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -649,3 +649,128 @@ def resolve_entities(
     for p in parts[1:]:
         kg = kg.unionByName(p)
     return sameas_canonicalize(kg, max_iters=max_iters)
+
+
+OWL_ON_PROPERTY = "http://www.w3.org/2002/07/owl#onProperty"
+OWL_SOME_VALUES = "http://www.w3.org/2002/07/owl#someValuesFrom"
+OWL_ALL_VALUES = "http://www.w3.org/2002/07/owl#allValuesFrom"
+OWL_HAS_VALUE = "http://www.w3.org/2002/07/owl#hasValue"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+_RESTRICTION_VOCAB = {
+    "type": RDF_TYPE,
+    "on_property": OWL_ON_PROPERTY,
+    "some_values": OWL_SOME_VALUES,
+    "all_values": OWL_ALL_VALUES,
+    "has_value": OWL_HAS_VALUE,
+    "thing": OWL_THING,
+}
+
+
+def owl_restriction_entailment(
+    triples: DataFrame,
+    vocab: dict[str, str] | None = None,
+) -> DataFrame:
+    """Materialize the OWL 2 RL restriction-class consequences — the
+    semantics behind the reference's E20 ``restrictions`` placeholder
+    (reference src/RdfParser.php:214-217 reserves the slot; this is the
+    engine actually applying them). Rules (OWL 2 RL profile names):
+
+      cls-svf1  R owl:onProperty p ∧ R owl:someValuesFrom C ∧
+                x p y ∧ y rdf:type C                     ⇒ x rdf:type R
+      cls-svf2  … owl:someValuesFrom owl:Thing ∧ x p y   ⇒ x rdf:type R
+      cls-avf   R owl:onProperty p ∧ R owl:allValuesFrom C ∧
+                x rdf:type R ∧ x p y                     ⇒ y rdf:type C
+      cls-hv1   R owl:onProperty p ∧ R owl:hasValue v ∧
+                x rdf:type R                             ⇒ x p v
+      cls-hv2   … ∧ x p v                               ⇒ x rdf:type R
+
+    Returns inferred-only triples (asserted subtracted), same contract
+    as :func:`rdfs_entailment`. One pass (no fixpoint): each rule fires
+    once over asserted triples — chained restriction derivations
+    (a freshly derived type re-triggering svf1) need iteration, which
+    callers get by composing passes; documented, not silent.
+
+    Scale shape: restriction axioms are ontology-sized → assembled on
+    the driver-free broadcast side (three `_schema` slices joined on
+    the restriction node, still ontology-sized), every rule is then one
+    broadcast join against the instance scan (plus the one (p, C)-keyed
+    equi-join svf1 needs between property assertions and type
+    assertions — key-partitioned, output-sized)."""
+    v = {**_RESTRICTION_VOCAB, **(vocab or {})}
+    inst = triples.select("subj", "pred", "obj").distinct()
+    types = inst.filter(F.col("pred") == v["type"]).select(
+        F.col("subj").alias("t_subj"), F.col("obj").alias("t_class")
+    )
+    on_prop = _schema(triples, v["on_property"])  # (R, p)
+
+    def axioms(pred: str) -> DataFrame:
+        # (restriction R, property p, class/value c)
+        return (
+            on_prop.alias("op")
+            .join(
+                _schema(triples, pred).alias("ax"),
+                F.col("op.src") == F.col("ax.src"),
+            )
+            .select(
+                F.col("op.src").alias("r"),
+                F.col("op.dst").alias("p"),
+                F.col("ax.dst").alias("c"),
+            )
+            .distinct()
+        )
+
+    typed = F.lit(v["type"])
+    props = inst.filter(F.col("pred") != v["type"])
+
+    svf = axioms(v["some_values"])
+    svf_thing = svf.filter(F.col("c") == v["thing"])
+    svf_class = svf.filter(F.col("c") != v["thing"])
+    # cls-svf1: x p y ∧ y type C — the (p) broadcast prunes the scan,
+    # then one (y, C)-keyed join against the type slice
+    svf1 = (
+        props.join(F.broadcast(svf_class), props.pred == svf_class.p)
+        .join(
+            types,
+            (F.col("obj") == F.col("t_subj")) & (F.col("c") == F.col("t_class")),
+            "left_semi",
+        )
+        .select("subj", typed.alias("pred"), F.col("r").alias("obj"))
+    )
+    svf2 = (
+        props.join(F.broadcast(svf_thing), props.pred == svf_thing.p)
+        .select("subj", typed.alias("pred"), F.col("r").alias("obj"))
+    )
+
+    avf = axioms(v["all_values"])
+    avf_out = (
+        props.join(F.broadcast(avf), props.pred == avf.p)
+        .join(
+            types,
+            (F.col("subj") == F.col("t_subj")) & (F.col("r") == F.col("t_class")),
+            "left_semi",
+        )
+        .select(F.col("obj").alias("subj"), typed.alias("pred"),
+                F.col("c").alias("obj"))
+    )
+
+    hv = axioms(v["has_value"])
+    hv1 = (
+        types.join(F.broadcast(hv), types.t_class == hv.r)
+        .select(F.col("t_subj").alias("subj"), F.col("p").alias("pred"),
+                F.col("c").alias("obj"))
+    )
+    hv2 = (
+        props.join(
+            F.broadcast(hv),
+            (props.pred == hv.p) & (props.obj == hv.c),
+        )
+        .select("subj", typed.alias("pred"), F.col("r").alias("obj"))
+    )
+
+    inferred = (
+        svf1.unionByName(svf2).unionByName(avf_out)
+        .unionByName(hv1).unionByName(hv2)
+        .distinct()
+    )
+    return inferred.join(inst, ["subj", "pred", "obj"], "left_anti")
