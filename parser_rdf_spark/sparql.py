@@ -1649,12 +1649,18 @@ def sparql_query_entailed(
     if "rdfs" in regimes:
         extended = extended.unionByName(rdfs_entailment(triples, vocab=vocab))
     if "owl" in regimes:
+        from .inference import owl_restriction_entailment
+
         owl_vocab = None
         if vocab:
             keys = ("type", "inverse", "symmetric", "transitive")
             owl_vocab = {k: v for k, v in vocab.items() if k in keys} or None
         extended = extended.unionByName(
             owl_property_entailment(triples, vocab=owl_vocab)
+        )
+        r_vocab = {"type": vocab["type"]} if vocab and "type" in vocab else None
+        extended = extended.unionByName(
+            owl_restriction_entailment(triples, vocab=r_vocab)
         )
     return sparql_query(extended.distinct(), text, dedup=dedup)
 
