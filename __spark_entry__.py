@@ -4029,6 +4029,211 @@ def _q_sparql_from_dataset(spark, sf_dir):
     """)
 
 
+# ---------------------------------------------------------------------------
+# RDF-star (rdfstar.py / starops.py): parse, unnest, reification bridge,
+# SPARQL-star. New engine surface — the reference's format matrix ends at
+# RDF 1.1 (docs/spec-completeness.md:131).
+
+_STAR_E = "http://e/"
+_STAR_DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+_STAR_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+# canonical lexical forms of the five distinct quoted terms in the fixture
+_STAR_A = f"<< <{_STAR_E}alice> <{_STAR_E}worksFor> <{_STAR_E}acme> >>"
+_STAR_B = f"<< <{_STAR_E}bob> <{_STAR_E}worksFor> <{_STAR_E}acme> >>"
+_STAR_C = f"<< <{_STAR_E}bob> <{_STAR_E}worksFor> <{_STAR_E}globex> >>"
+_STAR_D = f'<< <{_STAR_E}x> <{_STAR_E}p> "été"@fr >>'
+_STAR_NEST = f"<< {_STAR_A} <{_STAR_E}derived> <{_STAR_E}rule7> >>"
+_STAR_ANNOT_DOC = (
+    f'{_STAR_A} <{_STAR_E}confidence> "0.9"^^<{_STAR_DEC}> .\n'
+    f'{_STAR_B} <{_STAR_E}confidence> "0.4"^^<{_STAR_DEC}> .\n'
+    f'{_STAR_C} <{_STAR_E}confidence> "0.8"^^<{_STAR_DEC}> .\n'
+    f"{_STAR_A} <{_STAR_E}source> <http://crawl/p1> .\n"
+    f"<{_STAR_E}doc> <{_STAR_E}claims> {_STAR_D} .\n"
+    f'{_STAR_NEST} <{_STAR_E}depth> "2" .\n'
+    f"<{_STAR_E}alice> <{_STAR_E}worksFor> <{_STAR_E}acme> .\n"
+)
+
+
+def _star_fixture_triples(spark):
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/star/doc1": _STAR_ANNOT_DOC}
+    )
+    return triples_of(parse_pages(pages))
+
+
+def _q_rdfstar_parse_annotations(spark, sf_dir):
+    """N-Triples-star through the FULL parse pipeline: the doc sniffs as
+    a line format (reference-pinned D5), fails the strict RDF 1.1 parse,
+    and is routed by the parse-stage retry (parse.py) to the star
+    grammar (rdfstar.py). Quoted terms land as canonical lexical forms
+    (subjects verbatim, objects as obj_kind='quoted'); nesting and
+    typed/lang literals inside quoted terms included. Oracle: golden
+    VALUES of the canonical encoding."""
+    return _star_fixture_triples(spark).select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _star_parse_golden_rows() -> list[tuple]:
+    e, dec = _STAR_E, _STAR_DEC
+    return [
+        (_STAR_A, f"{e}confidence", "literal", "0.9", "", dec),
+        (_STAR_B, f"{e}confidence", "literal", "0.4", "", dec),
+        (_STAR_C, f"{e}confidence", "literal", "0.8", "", dec),
+        (_STAR_A, f"{e}source", "iri", "http://crawl/p1", "", ""),
+        (f"{e}doc", f"{e}claims", "quoted", _STAR_D, "", ""),
+        (_STAR_NEST, f"{e}depth", "literal", "2", "", ""),
+        (f"{e}alice", f"{e}worksFor", "iri", f"{e}acme", "", ""),
+    ]
+
+
+def _golden_values_star_parse() -> str:
+    vals = ", ".join(
+        "(" + ", ".join(_sql_quote(c) for c in r) + ")"
+        for r in _star_parse_golden_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)"
+    )
+
+
+def _q_rdfstar_unnest(spark, sf_dir):
+    """star_unnest (starops.py): the relational accessor for quoted
+    terms — one row per DISTINCT quoted lexical form with its inner
+    s/p/o parts (the scalable substitute for SPARQL-star SUBJECT() /
+    PREDICATE() / OBJECT(): the Arrow parse runs on the term dictionary,
+    not the corpus). A nested subterm surfaces with kind 'quoted'."""
+    from parser_rdf_spark.starops import star_unnest
+
+    return star_unnest(_star_fixture_triples(spark)).select(
+        "term", "q_subj_kind", "q_subj", "q_pred", "q_obj_kind", "q_obj_value",
+        F.coalesce("q_obj_lang", F.lit("")).alias("q_obj_lang"),
+        F.coalesce("q_obj_datatype", F.lit("")).alias("q_obj_datatype"),
+    )
+
+
+def _golden_values_star_unnest() -> str:
+    e = _STAR_E
+    rows = [
+        (_STAR_A, "iri", f"{e}alice", f"{e}worksFor", "iri", f"{e}acme", "", ""),
+        (_STAR_B, "iri", f"{e}bob", f"{e}worksFor", "iri", f"{e}acme", "", ""),
+        (_STAR_C, "iri", f"{e}bob", f"{e}worksFor", "iri", f"{e}globex", "", ""),
+        (_STAR_D, "iri", f"{e}x", f"{e}p", "literal", "été", "fr", ""),
+        (_STAR_NEST, "quoted", _STAR_A, f"{e}derived", "iri", f"{e}rule7", "", ""),
+    ]
+    vals = ", ".join("(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(term, q_subj_kind, q_subj, "
+        "q_pred, q_obj_kind, q_obj_value, q_obj_lang, q_obj_datatype)"
+    )
+
+
+def _q_rdfstar_reification(spark, sf_dir):
+    """star_to_reification (starops.py): the W3C star→reification
+    mapping as a distributed job — every distinct quoted term becomes a
+    skolem node ``urn:stmt:md5(lexical)`` with rdf:type/subject/
+    predicate/object quads; asserted rows are rewritten to the node IRI
+    by a pure-Column md5 (no join); nested terms expand recursively with
+    parent references rewritten to child ids. Oracle: DuckDB derives the
+    SAME skolem ids independently via its own md5() over the canonical
+    lexical forms."""
+    from parser_rdf_spark.starops import star_to_reification
+
+    return star_to_reification(_star_fixture_triples(spark)).select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _star_reification_sql() -> str:
+    e, dec, rdf = _STAR_E, _STAR_DEC, _STAR_RDF
+    qa, qb, qc, qd, qn = (
+        _sql_quote(x) for x in (_STAR_A, _STAR_B, _STAR_C, _STAR_D, _STAR_NEST)
+    )
+    # the five statement rows: (lexical, s_kind, s, p, o_kind, o, lang, dt);
+    # the nested term's subject reference is the INNER term's skolem id
+    q_rows = ", ".join([
+        f"({qa}, 'iri', '{e}alice', '{e}worksFor', 'iri', '{e}acme', '', '')",
+        f"({qb}, 'iri', '{e}bob', '{e}worksFor', 'iri', '{e}acme', '', '')",
+        f"({qc}, 'iri', '{e}bob', '{e}worksFor', 'iri', '{e}globex', '', '')",
+        f"({qd}, 'iri', '{e}x', '{e}p', 'literal', 'été', 'fr', '')",
+        f"({qn}, 'iri', 'urn:stmt:' || md5({qa}), '{e}derived', 'iri', '{e}rule7', '', '')",
+    ])
+    asserted = ", ".join([
+        f"('urn:stmt:' || md5({qa}), '{e}confidence', 'literal', '0.9', '', '{dec}')",
+        f"('urn:stmt:' || md5({qb}), '{e}confidence', 'literal', '0.4', '', '{dec}')",
+        f"('urn:stmt:' || md5({qc}), '{e}confidence', 'literal', '0.8', '', '{dec}')",
+        f"('urn:stmt:' || md5({qa}), '{e}source', 'iri', 'http://crawl/p1', '', '')",
+        f"('{e}doc', '{e}claims', 'iri', 'urn:stmt:' || md5({qd}), '', '')",
+        f"('urn:stmt:' || md5({qn}), '{e}depth', 'literal', '2', '', '')",
+        f"('{e}alice', '{e}worksFor', 'iri', '{e}acme', '', '')",
+    ])
+    return f"""
+        WITH q(lex, sk, sv, pv, ok, ov, olang, odt) AS (VALUES {q_rows}),
+        ids AS (SELECT 'urn:stmt:' || md5(lex) AS id, * FROM q),
+        reif AS (
+          SELECT id AS subj, '{rdf}type' AS pred, 'iri' AS obj_kind,
+                 '{rdf}Statement' AS obj_value, '' AS obj_lang, '' AS obj_datatype
+          FROM ids
+          UNION ALL SELECT id, '{rdf}subject', sk, sv, '', '' FROM ids
+          UNION ALL SELECT id, '{rdf}predicate', 'iri', pv, '', '' FROM ids
+          UNION ALL SELECT id, '{rdf}object', ok, ov, olang, odt FROM ids
+        )
+        SELECT * FROM reif
+        UNION ALL
+        SELECT * FROM (VALUES {asserted})
+          AS a(subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)
+    """
+
+
+def _q_rdfstar_reify_roundtrip(spark, sf_dir):
+    """The reification bridge round-trip law IN the driver gate:
+    reification_to_star(star_to_reification(t)) ≡ t (triple-identical,
+    nested terms resolved innermost-first) — so the oracle is the same
+    golden VALUES as rdfstar_parse_annotations."""
+    from parser_rdf_spark.starops import reification_to_star, star_to_reification
+
+    t = _star_fixture_triples(spark)
+    return reification_to_star(star_to_reification(t)).select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _q_sparql_star_annotations(spark, sf_dir):
+    """SPARQL-star over the annotated fixture: a quoted-triple pattern
+    ``<< ?s e:worksFor ?o >> e:confidence ?c`` compiles to a
+    startswith('<<')-constrained scan joined 1:1 against the
+    parse-once-per-distinct-term unnest relation (bgp.py). Oracle:
+    golden VALUES of the three annotated edges."""
+    from parser_rdf_spark.bgp import triples_spo
+    from parser_rdf_spark.sparql import sparql_query
+
+    spo = triples_spo(_star_fixture_triples(spark))
+    return sparql_query(spo, f"""
+        PREFIX e: <{_STAR_E}>
+        SELECT ?s ?o ?c WHERE {{
+          << ?s e:worksFor ?o >> e:confidence ?c .
+        }}
+    """)
+
+
+def _golden_values_star_sparql() -> str:
+    e = _STAR_E
+    rows = [
+        (f"{e}alice", f"{e}acme", "0.9"),
+        (f"{e}bob", f"{e}acme", "0.4"),
+        (f"{e}bob", f"{e}globex", "0.8"),
+    ]
+    vals = ", ".join("(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t(s, o, c)"
+
+
 _TPCH_DELTA_CTE = (
     "old_t(subj, pred, obj) AS ("
     "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
@@ -4127,6 +4332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_canonical_dedup": _q_stream_canonical_dedup,
         "near_dup_clusters": _q_near_dup_clusters,
         "owl_restriction_inference": _q_owl_restriction_inference,
+        "rdfstar_parse_annotations": _q_rdfstar_parse_annotations,
+        "rdfstar_unnest": _q_rdfstar_unnest,
+        "rdfstar_reification": _q_rdfstar_reification,
+        "rdfstar_reify_roundtrip": _q_rdfstar_reify_roundtrip,
+        "sparql_star_annotations": _q_sparql_star_annotations,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -5899,6 +6109,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_canonical_dedup": _STREAM_CANON_SQL,
         "near_dup_clusters": _near_dup_clusters_golden_sql(),
         "owl_restriction_inference": _OWL_RESTRICTION_SQL,
+        "rdfstar_parse_annotations": _golden_values_star_parse(),
+        "rdfstar_unnest": _golden_values_star_unnest(),
+        "rdfstar_reification": _star_reification_sql(),
+        "rdfstar_reify_roundtrip": _golden_values_star_parse(),
+        "sparql_star_annotations": _golden_values_star_sparql(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

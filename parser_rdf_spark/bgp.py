@@ -266,6 +266,7 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
     else:
         positions, terms = ("graph",) + _POSITIONS, (g_term, s_term, p_term, o_term)
     cols: dict[str, F.Column] = {}
+    quoted: dict[str, tuple] = {}  # position -> ('quoted', s, p, o)
     for pos, term in zip(positions, terms):
         if pos == "pred" and term is None:
             continue
@@ -273,6 +274,19 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
             if any(_is_var(t) for t in term):
                 raise ValueError(f"alternation members must be constants: {term!r}")
             scan = scan.filter(F.col(pos).isin(list(term)))
+            continue
+        if isinstance(term, tuple) and term[:1] == ("quoted",):
+            # RDF-star quoted-triple pattern << s p o >> in subject or
+            # object position: constrain the scan to quoted terms here,
+            # resolve the inner positions after dedup via star_unnest
+            if pos not in ("subj", "obj"):
+                raise ValueError(
+                    f"quoted-triple patterns are only valid in subject/"
+                    f"object position, not {pos}")
+            if len(term) != 4:
+                raise ValueError(f"malformed quoted pattern: {term!r}")
+            scan = scan.filter(F.col(pos).startswith("<<"))
+            quoted[pos] = term
             continue
         if _is_var(term):
             name = _var_name(term)
@@ -283,17 +297,66 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
                 cols[name] = F.col(pos)
         else:
             scan = scan.filter(F.col(pos) == F.lit(term))
+    if dedup and (cols or quoted):
+        # triple granularity for 3-term patterns (a quad store collapses
+        # to its triple SET — the documented corpus-level semantics);
+        # quad granularity when the graph term participates
+        scan = scan.dropDuplicates(list(positions))
+    for pos, term in quoted.items():
+        # parse-once-per-distinct-term unnest relation (starops), joined
+        # 1:1 on the quoted lexical form AFTER the dedup so the Arrow
+        # parse cost is paid on the term dictionary, not the triples
+        un = _quoted_unnest_spo(triples, tag=pos)
+        scan = scan.join(un, F.col(pos) == F.col(f"__qt_{pos}"), "inner")
+        for ipos, iterm in zip(
+            (f"__qs_{pos}", f"__qp_{pos}", f"__qo_{pos}"), term[1:]
+        ):
+            if isinstance(iterm, tuple):
+                raise ValueError(
+                    "nested quoted-triple patterns are not supported — "
+                    "bind the inner term to a variable and add a second "
+                    "quoted pattern over it")
+            if _is_var(iterm):
+                name = _var_name(iterm)
+                if name in cols:
+                    scan = scan.filter(F.col(ipos) == cols[name])
+                else:
+                    cols[name] = F.col(ipos)
+            else:
+                scan = scan.filter(F.col(ipos) == F.lit(iterm))
     if not cols:
         # fully-constant pattern: an existence test; bind a constant-free
         # marker column so the join below degenerates to a cross with a
         # 0-or-1-row side (AQE broadcasts it); limit(1) makes dedup moot
         return scan.select(F.lit(1).alias("__exists")).limit(1), set()
-    if dedup:
-        # triple granularity for 3-term patterns (a quad store collapses
-        # to its triple SET — the documented corpus-level semantics);
-        # quad granularity when the graph term participates
-        scan = scan.dropDuplicates(list(positions))
     return scan.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
+
+
+def _quoted_unnest_spo(triples: DataFrame, tag: str) -> DataFrame:
+    """star_unnest collapsed to the spo surface: one row per distinct
+    quoted lexical form with inner (subject, predicate, object-value)
+    strings, columns tagged per pattern position so two quoted patterns
+    in one BGP never collide. Strings that start with '<<' but do not
+    parse as quoted terms (possible in the kind-collapsed relation) are
+    dropped — they can never match a quoted pattern."""
+    from .starops import _parse_quoted_udf
+
+    terms = (
+        triples.filter(F.col("subj").startswith("<<"))
+        .select(F.col("subj").alias("term"))
+        .unionByName(
+            triples.filter(F.col("obj").startswith("<<"))
+            .select(F.col("obj").alias("term"))
+        )
+        .distinct()
+    )
+    parts = terms.withColumn("p", _parse_quoted_udf(F.col("term")))
+    return parts.select(
+        F.col("term").alias(f"__qt_{tag}"),
+        F.col("p.q_subj").alias(f"__qs_{tag}"),
+        F.col("p.q_pred").alias(f"__qp_{tag}"),
+        F.col("p.q_obj_value").alias(f"__qo_{tag}"),
+    ).filter(F.col(f"__qp_{tag}").isNotNull())
 
 
 def _join_patterns(
@@ -373,7 +436,11 @@ def _estimate_pattern(pat, smap: dict, n_total: float) -> float:
 def _pattern_vars(pat) -> set[str]:
     out = set()
     for t in pat:
-        if _is_var(t):
+        if isinstance(t, tuple) and t[:1] == ("quoted",):
+            # inner variables of a quoted-triple pattern participate in
+            # join connectivity exactly like top-level ones
+            out |= _pattern_vars(t[1:])
+        elif _is_var(t):
             out.add(_var_name(t))
     return out
 

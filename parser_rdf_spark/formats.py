@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from . import htmldata, jsonld, nquads, ntriples, rdfxml, trig, turtle
+from . import htmldata, jsonld, nquads, ntriples, rdfstar, rdfxml, trig, turtle
 from .ntriples import Triple
 
 COMMON_PREFIXES: dict[str, str] = {
@@ -50,6 +50,10 @@ def _parse_ntriples(content: str) -> tuple[list[Triple], dict[str, str]]:
     return ntriples.parse_document(content), {}
 
 
+def _parse_ntriples_star(content: str) -> tuple[list[Triple], dict[str, str]]:
+    return rdfstar.parse_document(content), {}
+
+
 # Priority order is observable behavior (reference: src/RdfParser.php:219-227;
 # priority tests tests/Unit/RdfParserTest.php:219-231). The html handler
 # (structured-data extraction: embedded JSON-LD / microdata / RDFa Lite)
@@ -67,6 +71,11 @@ _DEFAULT_HANDLERS: list[FormatHandler] = [
     FormatHandler("n-quads", nquads.can_handle, nquads.parse_document),
     FormatHandler("trig", trig.can_handle, trig.parse_document),
     FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
+    # RDF-star: star docs normally sniff as n-triples/turtle (their D5/D6
+    # decisions are reference-pinned) and reach this handler through the
+    # parse-stage retry (parse.py) or explicit fmt=; the sniffer only
+    # claims documents whose first lines open a quoted triple
+    FormatHandler("ntriples-star", rdfstar.can_handle, _parse_ntriples_star),
 ]
 
 _handlers: list[FormatHandler] = list(_DEFAULT_HANDLERS)
@@ -239,9 +248,18 @@ def scope_bnodes(triples: list[Triple], doc_hash: str) -> list[Triple]:
     triples table never collides across documents."""
     out: list[Triple] = []
     for t in triples:
-        subj = f"_:d{doc_hash}-{t.subj[2:]}" if t.subj.startswith("_:") else t.subj
+        if t.subj.startswith("_:"):
+            subj = f"_:d{doc_hash}-{t.subj[2:]}"
+        elif t.subj.startswith("<<"):
+            # quoted-triple subject: scope the bnodes INSIDE the term so
+            # asserted and quoted occurrences keep one label per doc
+            subj = rdfstar.rescope_quoted(t.subj, doc_hash)
+        else:
+            subj = t.subj
         if t.obj_kind == "bnode" and t.obj_value.startswith("_:"):
             obj = f"_:d{doc_hash}-{t.obj_value[2:]}"
+        elif t.obj_kind == "quoted":
+            obj = rdfstar.rescope_quoted(t.obj_value, doc_hash)
         else:
             obj = t.obj_value
         graph = t.graph

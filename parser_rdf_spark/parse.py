@@ -121,6 +121,19 @@ def _parse_batch(
                 retry = _formats.parse_rdf_document(text, "trig", empty_guard=empty_guard)
                 if retry.ok:
                     res = retry
+            if (
+                not res.ok
+                and res.format in ("n-triples", "n-quads", "turtle")
+                and "<<" in text
+            ):
+                # RDF-star docs are line/sniff-shaped like N-Triples (D5)
+                # or Turtle (D6) but their strict parses reject '<<' —
+                # retry as N-Triples-star; keep only a successful retry
+                retry = _formats.parse_rdf_document(
+                    text, "ntriples-star", empty_guard=empty_guard
+                )
+                if retry.ok:
+                    res = retry
         triples = res.triples
         if scope and triples:
             triples = _formats.scope_bnodes(triples, doc_hash(urls[i]))

@@ -33,7 +33,11 @@ def _escape_literal(col: Column) -> Column:
 
 
 def _term(col: Column) -> Column:
-    return F.when(col.startswith("_:"), col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
+    # '_:' = bnode label, '<<' = RDF-star quoted-triple lexical form
+    # (already canonical — embeds verbatim); anything else is an IRI
+    return F.when(
+        col.startswith("_:") | col.startswith("<<"), col
+    ).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
 
 
 def _spo() -> Column:
@@ -41,7 +45,7 @@ def _spo() -> Column:
     N-Quads line renderings."""
     obj = (
         F.when(F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
-        .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
+        .when(F.col("obj_kind").isin("bnode", "quoted"), F.col("obj_value"))
         .otherwise(
             F.concat(
                 F.lit('"'),

@@ -241,6 +241,19 @@ class _Parser:
         return text  # verbatim matching against the string-typed relation
 
     def _term(self, expect: str = "term", as_pred: bool = False) -> str:
+        if self._at("<") and not as_pred:
+            # RDF-star (SPARQL-star) quoted-triple pattern << s p o >>:
+            # '<<' tokenizes as two OP '<' (a lone '<' is never a term),
+            # likewise '>>'. Compiles to a ('quoted', s, p, o) pattern
+            # term — bgp._pattern_scan resolves it against star_unnest.
+            self._expect("<")
+            self._expect("<")
+            s = self._term("quoted subject")
+            pd = self._term("quoted predicate", as_pred=True)
+            o = self._term("quoted object")
+            self._expect(">")
+            self._expect(">")
+            return ("quoted", s, pd, o)
         kind, text = self._next()
         if kind == "VAR":
             return "?" + text[1:]
@@ -471,6 +484,8 @@ class _Parser:
                 continue
             if self._eat_kw("graph"):
                 g_term = self._term("graph name")
+                if isinstance(g_term, tuple):
+                    raise SparqlError("a quoted triple cannot name a GRAPH")
                 self._expect("{")
                 sub = self._group()
                 if set(sub) - {"patterns"}:
@@ -835,7 +850,8 @@ def parse_sparql(text: str) -> dict:
             spec = _parse_where(p)
             for t in spec["patterns"]:
                 if not isinstance(t[1], str) or t[1][:1] in ("^", "!") \
-                        or t[1][-1:] in ("+", "*", "?"):
+                        or t[1][-1:] in ("+", "*", "?") \
+                        or any(isinstance(term, tuple) for term in t):
                     raise SparqlError(
                         "CONSTRUCT WHERE takes plain triple patterns only")
             if any(spec.get(k) for k in ("optional", "filters", "union",
@@ -854,7 +870,8 @@ def parse_sparql(text: str) -> dict:
             p._triples_block(template)
         for t in template:
             if not isinstance(t[1], str) or t[1][:1] in ("^", "!") \
-                    or t[1][-1:] in ("+", "*", "?"):
+                    or t[1][-1:] in ("+", "*", "?") \
+                    or any(isinstance(term, tuple) for term in t):
                 raise SparqlError("CONSTRUCT templates take plain terms only")
         spec = _parse_where(p)
         spec["form"] = "construct"
