@@ -4223,6 +4223,50 @@ def _q_sparql_star_annotations(spark, sf_dir):
     """)
 
 
+_TTL_STAR_DOC = f"""@prefix ex: <{_STAR_E}> .
+ex:alice ex:worksFor ex:acme {{| ex:confidence 0.9 ; ex:source <http://crawl/p1> |}} .
+<< ex:bob ex:worksFor ex:acme >> ex:confidence 0.4 .
+ex:doc ex:claims << ex:x ex:p "été"@fr >> .
+ex:s ex:p "a", "b" {{| ex:note "only-b" |}} .
+"""
+
+
+def _q_turtle_star_annotations(spark, sf_dir):
+    """Turtle-star through the FULL pipeline: the '@prefix'-led doc
+    sniffs as Turtle (reference-pinned D6) and parses natively —
+    annotation blocks ``{| … |}`` assert the base triple AND annotate
+    its quoted form (per-object in ',' lists); explicit ``<< … >>``
+    terms resolve prefixed names to the same canonical encoding as
+    N-Triples-star (turtle.py). Oracle: golden VALUES."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/star/doc2": _TTL_STAR_DOC}
+    )
+    return triples_of(parse_pages(pages)).select(
+        "subj", "pred", "obj_kind", "obj_value",
+        F.coalesce("obj_lang", F.lit("")).alias("obj_lang"),
+        F.coalesce("obj_datatype", F.lit("")).alias("obj_datatype"),
+    )
+
+
+def _golden_values_turtle_star() -> str:
+    e, dec = _STAR_E, _STAR_DEC
+    rows = [
+        (f"{e}alice", f"{e}worksFor", "iri", f"{e}acme", "", ""),
+        (_STAR_A, f"{e}confidence", "literal", "0.9", "", dec),
+        (_STAR_A, f"{e}source", "iri", "http://crawl/p1", "", ""),
+        (_STAR_B, f"{e}confidence", "literal", "0.4", "", dec),
+        (f"{e}doc", f"{e}claims", "quoted", _STAR_D, "", ""),
+        (f"{e}s", f"{e}p", "literal", "a", "", ""),
+        (f"{e}s", f"{e}p", "literal", "b", "", ""),
+        (f'<< <{e}s> <{e}p> "b" >>', f"{e}note", "literal", "only-b", "", ""),
+    ]
+    vals = ", ".join("(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)"
+    )
+
+
 def _golden_values_star_sparql() -> str:
     e = _STAR_E
     rows = [
@@ -4337,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfstar_reification": _q_rdfstar_reification,
         "rdfstar_reify_roundtrip": _q_rdfstar_reify_roundtrip,
         "sparql_star_annotations": _q_sparql_star_annotations,
+        "turtle_star_annotations": _q_turtle_star_annotations,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6114,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfstar_reification": _star_reification_sql(),
         "rdfstar_reify_roundtrip": _golden_values_star_parse(),
         "sparql_star_annotations": _golden_values_star_sparql(),
+        "turtle_star_annotations": _golden_values_turtle_star(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

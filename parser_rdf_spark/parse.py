@@ -126,9 +126,11 @@ def _parse_batch(
                 and res.format in ("n-triples", "n-quads", "turtle")
                 and "<<" in text
             ):
-                # RDF-star docs are line/sniff-shaped like N-Triples (D5)
-                # or Turtle (D6) but their strict parses reject '<<' —
-                # retry as N-Triples-star; keep only a successful retry
+                # line-shaped RDF-star docs sniff as N-Triples (D5) but
+                # the strict RDF 1.1 parser rejects '<<' — retry as
+                # N-Triples-star; keep only a successful retry. (Turtle/
+                # TriG-sniffed docs parse star natively — turtle.py — so
+                # this retry only fires for them on other parse errors.)
                 retry = _formats.parse_rdf_document(
                     text, "ntriples-star", empty_guard=empty_guard
                 )

@@ -168,7 +168,11 @@ def _compact_iri(col: Column, prefixes: dict[str, str]) -> Column:
 
 
 def _turtle_subject(col: Column, prefixes: dict[str, str]) -> Column:
-    return F.when(col.startswith("_:"), col).otherwise(_compact_iri(col, prefixes))
+    # quoted-triple lexical forms ('<<…>>') are already valid Turtle-star
+    # and embed verbatim — never prefix-compacted
+    return F.when(
+        col.startswith("_:") | col.startswith("<<"), col
+    ).otherwise(_compact_iri(col, prefixes))
 
 
 def _turtle_predicate(col: Column, prefixes: dict[str, str]) -> Column:
@@ -178,7 +182,7 @@ def _turtle_predicate(col: Column, prefixes: dict[str, str]) -> Column:
 def _turtle_object(prefixes: dict[str, str]) -> Column:
     return (
         F.when(F.col("obj_kind") == "iri", _compact_iri(F.col("obj_value"), prefixes))
-        .when(F.col("obj_kind") == "bnode", F.col("obj_value"))
+        .when(F.col("obj_kind").isin("bnode", "quoted"), F.col("obj_value"))
         .otherwise(
             F.concat(
                 F.lit('"'),

@@ -10,6 +10,17 @@ and boolean shorthand literals, and prefixed names. ``@base`` is explicitly
 NOT implemented (the reference doesn't implement it either,
 docs/spec-completeness.md:147).
 
+Engine extension beyond the reference: RDF 1.2 Turtle-star — quoted
+triples ``<< s p o >>`` in subject/object position (prefixed names
+resolve, nesting allowed, anon/collections banned inside) and the
+annotation shorthand ``s p o {| q v |}`` (asserts the base triple AND
+annotates its quoted form). Quoted terms render to the same canonical
+lexical encoding as :mod:`.rdfstar`, so the downstream relation,
+serializers and SPARQL-star patterns treat Turtle-star and
+N-Triples-star input identically. TriG inherits all of this
+(:class:`.trig.TrigParser` extends this parser), completing the
+star-format matrix.
+
 Recursive-descent over the document string — per-document sequential by
 nature, vectorized *across* documents by the calling ``mapInPandas`` stage.
 """
@@ -211,6 +222,10 @@ class TurtleParser:
             raise self._err("unexpected end of input")
         ch = self.s[self.i]
         if ch == "<":
+            if self.s.startswith("<<", self.i):
+                # RDF 1.2 Turtle-star quoted triple — unambiguous ('<'
+                # can never occur inside an IRIREF)
+                return self._read_quoted()
             return _Term("iri", self._read_iriref())
         if self.s.startswith("_:", self.i):
             # pos-anchored match — self.s[self.i:] would copy the whole
@@ -259,6 +274,53 @@ class TurtleParser:
                 self.i += 5
                 return _Term("literal", "false", None, XSD + "boolean")
         return _Term("iri", self._read_pname())
+
+    def _quoted_term(self, subj: _Term, pred: str, obj: _Term) -> _Term:
+        """Build the canonical quoted-triple lexical form (rdfstar.py's
+        encoding — single spaces, absolute IRIs, N-Triples escapes) from
+        already-parsed Turtle terms. IRIs that still contain characters
+        the IRIREF production bans only in RAW form (reachable here via
+        ``\\u`` escapes) are rejected: the canonical form must re-parse
+        byte-identically."""
+        from .rdfstar import _IRI_BAD, quoted_lexical
+
+        for kind, value in ((subj.kind, subj.value), ("iri", pred),
+                            (obj.kind, obj.value)):
+            if kind == "iri" and any(c in _IRI_BAD for c in value):
+                raise self._err(
+                    "IRI inside a quoted triple contains a character that "
+                    "cannot round-trip through the canonical encoding")
+        return _Term(
+            "quoted",
+            quoted_lexical(subj.value, pred, obj.kind, obj.value,
+                           obj.lang, obj.datatype),
+        )
+
+    def _read_quoted(self) -> _Term:
+        """``<< qtSubject verb qtObject >>`` — qtSubject admits IRIs,
+        blank node labels and nested quoted triples (no anon ``[]``, no
+        collections, no literals); qtObject additionally admits
+        literals. Renders to the canonical lexical encoding."""
+        self.i += 2
+
+        def qt_term(subject_pos: bool) -> _Term:
+            self._skip_ws()
+            if self.i < self.n and self.s[self.i] in "[(":
+                raise self._err(
+                    "anonymous blank nodes and collections are not "
+                    "allowed inside a quoted triple")
+            # subject_pos=True already bans literal forms (numeric/
+            # boolean/string shorthands never parse in subject position)
+            return self._read_term(subject_pos=subject_pos)
+
+        subj = qt_term(subject_pos=True)
+        pred = self._verb()
+        obj = qt_term(subject_pos=False)
+        self._skip_ws()
+        if not self.s.startswith(">>", self.i):
+            raise self._err("expected '>>' closing a quoted triple")
+        self.i += 2
+        return self._quoted_term(subj, pred, obj)
 
     def _read_collection(self) -> _Term:
         """( e1 e2 … ) ⇒ rdf:first/rdf:rest chain; empty ⇒ rdf:nil."""
@@ -319,6 +381,20 @@ class TurtleParser:
                 obj = self._read_term(subject_pos=False)
                 self._emit(subj, pred, obj)
                 self._skip_ws()
+                if self.s.startswith("{|", self.i):
+                    # RDF 1.2 annotation block: asserts the base triple
+                    # (already emitted) AND a predicate-object list whose
+                    # subject is the quoted form of that triple; applies
+                    # to the object just read (per-object in a ',' list);
+                    # nests (an annotation inside an annotation quotes
+                    # the annotation triple)
+                    self.i += 2
+                    self._predicate_object_list(self._quoted_term(subj, pred, obj))
+                    self._skip_ws()
+                    if not self.s.startswith("|}", self.i):
+                        raise self._err("expected '|}' closing an annotation")
+                    self.i += 2
+                    self._skip_ws()
                 if self.i < self.n and self.s[self.i] == ",":
                     self.i += 1
                     continue

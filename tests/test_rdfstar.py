@@ -259,6 +259,115 @@ def test_reification_ignores_malformed_statements(spark):
 
 
 # ---------------------------------------------------------------------------
+# Turtle-star (turtle.py extension; TriG inherits)
+# ---------------------------------------------------------------------------
+
+TTL_STAR_DOC = f"""@prefix ex: <{E}> .
+ex:alice ex:worksFor ex:acme {{| ex:confidence 0.9 ; ex:source <http://crawl/p1> |}} .
+<< ex:bob ex:worksFor ex:acme >> ex:confidence 0.4 .
+ex:doc ex:claims << ex:x ex:p "été"@fr >> .
+ex:s ex:p "a", "b" {{| ex:note "only-b" |}}, "c" .
+ex:t ex:q ex:o {{| ex:w ex:v {{| ex:meta "nested" |}} |}} .
+"""
+
+
+def ttl_rows(doc):
+    from parser_rdf_spark import turtle
+
+    return [
+        (t.subj, t.pred, t.obj_kind, t.obj_value)
+        for t in turtle.parse_document(doc)[0]
+    ]
+
+
+def test_turtle_star_quoted_terms_and_annotations():
+    out = ttl_rows(TTL_STAR_DOC)
+    qa = f"<< <{E}alice> <{E}worksFor> <{E}acme> >>"
+    # annotation asserts the base triple AND annotates its quoted form
+    assert (f"{E}alice", f"{E}worksFor", "iri", f"{E}acme") in out
+    assert (qa, f"{E}confidence", "literal", "0.9") in out
+    assert (qa, f"{E}source", "iri", "http://crawl/p1") in out
+    # prefixed names inside explicit quoted terms resolve
+    assert (f"<< <{E}bob> <{E}worksFor> <{E}acme> >>",
+            f"{E}confidence", "literal", "0.4") in out
+    # quoted object, canonical encoding with language tag
+    assert (f"{E}doc", f"{E}claims", "quoted",
+            f'<< <{E}x> <{E}p> "été"@fr >>') in out
+
+
+def test_turtle_star_annotation_applies_per_object():
+    out = ttl_rows(TTL_STAR_DOC)
+    assert (f'<< <{E}s> <{E}p> "b" >>', f"{E}note", "literal", "only-b") in out
+    assert (f'<< <{E}s> <{E}p> "a" >>', f"{E}note", "literal", "only-b") not in out
+    # all three objects of the list are still asserted
+    assert sum(1 for r in out if r[0] == f"{E}s") == 3
+
+
+def test_turtle_star_nested_annotation():
+    out = ttl_rows(TTL_STAR_DOC)
+    inner = f"<< <{E}t> <{E}q> <{E}o> >>"
+    assert (inner, f"{E}w", "iri", f"{E}v") in out
+    assert (f"<< {inner} <{E}w> <{E}v> >>", f"{E}meta", "literal", "nested") in out
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # anon bnode inside a quoted triple
+        f"@prefix ex: <{E}> .\n<< [ ex:p ex:o ] ex:q ex:o2 >> ex:r ex:o3 .",
+        # collection inside a quoted triple
+        f"@prefix ex: <{E}> .\n<< ex:s ex:p (1 2) >> ex:r ex:o .",
+        # unclosed quoted triple
+        f"@prefix ex: <{E}> .\n<< ex:s ex:p ex:o ex:r ex:o2 .",
+        # unclosed annotation
+        f"@prefix ex: <{E}> .\nex:s ex:p ex:o {{| ex:q ex:v .",
+        # quoted triple in predicate position
+        f"@prefix ex: <{E}> .\nex:s << ex:a ex:b ex:c >> ex:o .",
+    ],
+)
+def test_turtle_star_rejections(bad):
+    from parser_rdf_spark import turtle
+
+    with pytest.raises(turtle.TurtleError):
+        turtle.parse_document(bad)
+
+
+def test_trig_star_annotation_in_graph_block():
+    from parser_rdf_spark import trig
+
+    doc = f"""@prefix ex: <{E}> .
+GRAPH <http://g/one> {{
+  ex:alice ex:worksFor ex:acme {{| ex:confidence 0.9 |}} .
+}}
+"""
+    got = [
+        (t.graph, t.subj, t.pred, t.obj_value)
+        for t in trig.parse_document(doc)[0]
+    ]
+    assert ("http://g/one", f"{E}alice", f"{E}worksFor", f"{E}acme") in got
+    assert ("http://g/one", f"<< <{E}alice> <{E}worksFor> <{E}acme> >>",
+            f"{E}confidence", "0.9") in got
+
+
+def test_turtle_star_pipeline_and_serializer_roundtrip(spark):
+    # full pipeline: Turtle-star sniffs as turtle (D6) and parses
+    # natively; serialize back to Turtle and re-parse — triple-identical
+    from parser_rdf_spark.parse import parse_pages, triples_of
+    from parser_rdf_spark.serialize import to_turtle_docs
+    from parser_rdf_spark import turtle
+
+    t = triples_of(parse_pages(pages_df(spark, {"https://t/ttlstar": TTL_STAR_DOC})))
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    orig = {tuple(r) for r in t.select(*key).collect()}
+    doc = to_turtle_docs(t).first()["turtle"]
+    reparsed = {
+        (x.subj, x.pred, x.obj_kind, x.obj_value, x.obj_lang, x.obj_datatype)
+        for x in turtle.parse_document(doc)[0]
+    }
+    assert reparsed == orig
+
+
+# ---------------------------------------------------------------------------
 # quoted patterns (bgp + SPARQL text)
 # ---------------------------------------------------------------------------
 
