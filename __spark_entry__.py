@@ -4267,6 +4267,46 @@ def _golden_values_turtle_star() -> str:
     )
 
 
+_NQ_STAR_DOC = (
+    f'<< <{_STAR_E}s> <{_STAR_E}p> "v1" >> <{_STAR_E}confidence> "0.9" <http://g/one> .\n'
+    f"<{_STAR_E}doc> <{_STAR_E}claims> << <{_STAR_E}x> <{_STAR_E}p> <{_STAR_E}y> >> _:g2 .\n"
+    f"<{_STAR_E}a> <{_STAR_E}b> <{_STAR_E}c> <http://g/one> .\n"
+    f'<{_STAR_E}plain> <{_STAR_E}p> "no graph" .\n'
+)
+
+
+def _q_nquads_star_graphs(spark, sf_dir):
+    """N-Quads-star through the FULL pipeline: the 4-term star doc fails
+    the N-Triples sniff-parse AND the triples-star retry, landing on the
+    quads-star retry (parse.py) — quoted terms coexist with named-graph
+    terms; graph bnode labels are doc-scoped (descoped here for a
+    deterministic oracle). Oracle: golden VALUES."""
+    pages = _fixture_pages(
+        spark, {"https://fixtures.example.org/star/doc3": _NQ_STAR_DOC}
+    )
+    t = triples_of(parse_pages(pages))
+    descope = lambda c: F.regexp_replace(c, r"^_:(d[0-9a-f]+-)+", "_:")  # noqa: E731
+    return t.select(
+        descope(F.col("graph")).alias("graph"),
+        "subj", "pred", "obj_kind", "obj_value",
+    )
+
+
+def _golden_values_nquads_star() -> str:
+    e = _STAR_E
+    rows = [
+        ("http://g/one", f'<< <{e}s> <{e}p> "v1" >>', f"{e}confidence",
+         "literal", "0.9"),
+        ("_:g2", f"{e}doc", f"{e}claims", "quoted", f"<< <{e}x> <{e}p> <{e}y> >>"),
+        ("http://g/one", f"{e}a", f"{e}b", "iri", f"{e}c"),
+        ("_:default", f"{e}plain", f"{e}p", "literal", "no graph"),
+    ]
+    vals = ", ".join("(" + ", ".join(_sql_quote(c) for c in r) + ")" for r in rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(graph, subj, pred, obj_kind, obj_value)"
+    )
+
+
 def _golden_values_star_sparql() -> str:
     e = _STAR_E
     rows = [
@@ -4382,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfstar_reify_roundtrip": _q_rdfstar_reify_roundtrip,
         "sparql_star_annotations": _q_sparql_star_annotations,
         "turtle_star_annotations": _q_turtle_star_annotations,
+        "nquads_star_graphs": _q_nquads_star_graphs,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6160,6 +6201,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfstar_reify_roundtrip": _golden_values_star_parse(),
         "sparql_star_annotations": _golden_values_star_sparql(),
         "turtle_star_annotations": _golden_values_turtle_star(),
+        "nquads_star_graphs": _golden_values_nquads_star(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

@@ -54,6 +54,10 @@ def _parse_ntriples_star(content: str) -> tuple[list[Triple], dict[str, str]]:
     return rdfstar.parse_document(content), {}
 
 
+def _parse_nquads_star(content: str) -> tuple[list[Triple], dict[str, str]]:
+    return rdfstar.parse_document(content, allow_graph=True), {}
+
+
 # Priority order is observable behavior (reference: src/RdfParser.php:219-227;
 # priority tests tests/Unit/RdfParserTest.php:219-231). The html handler
 # (structured-data extraction: embedded JSON-LD / microdata / RDFa Lite)
@@ -76,6 +80,7 @@ _DEFAULT_HANDLERS: list[FormatHandler] = [
     # parse-stage retry (parse.py) or explicit fmt=; the sniffer only
     # claims documents whose first lines open a quoted triple
     FormatHandler("ntriples-star", rdfstar.can_handle, _parse_ntriples_star),
+    FormatHandler("nquads-star", rdfstar.can_handle_quads, _parse_nquads_star),
 ]
 
 _handlers: list[FormatHandler] = list(_DEFAULT_HANDLERS)

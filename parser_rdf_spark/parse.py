@@ -128,12 +128,17 @@ def _parse_batch(
             ):
                 # line-shaped RDF-star docs sniff as N-Triples (D5) but
                 # the strict RDF 1.1 parser rejects '<<' — retry as
-                # N-Triples-star; keep only a successful retry. (Turtle/
-                # TriG-sniffed docs parse star natively — turtle.py — so
-                # this retry only fires for them on other parse errors.)
+                # N-Triples-star, then N-Quads-star (4-term lines); keep
+                # only a successful retry. (Turtle/TriG-sniffed docs
+                # parse star natively — turtle.py — so this retry only
+                # fires for them on other parse errors.)
                 retry = _formats.parse_rdf_document(
                     text, "ntriples-star", empty_guard=empty_guard
                 )
+                if not retry.ok:
+                    retry = _formats.parse_rdf_document(
+                        text, "nquads-star", empty_guard=empty_guard
+                    )
                 if retry.ok:
                     res = retry
         triples = res.triples

@@ -232,10 +232,14 @@ def _scan_quoted(line: str, i: int, line_num: int) -> tuple[str, int]:
     return quoted_lexical(s_val, p_val, o_kind, o_val, o_lang, o_dt), i + 2
 
 
-def tokenize_line_star(line: str, line_num: int) -> Optional[Triple]:
+def tokenize_line_star(
+    line: str, line_num: int, allow_graph: bool = False
+) -> Optional[Triple]:
     """Strict N-Triples-star tokenizer: ``subject predicate object .``
     where subject/object admit quoted-triple terms. ``line`` must be
-    comment-stripped and trimmed; None for blank/comment lines."""
+    comment-stripped and trimmed; None for blank/comment lines.
+    ``allow_graph=True`` is the N-Quads-star grammar: an optional fourth
+    graph term (IRI or blank node — never a quoted triple)."""
     if not line or line.startswith("#"):
         return None
     n = len(line)
@@ -248,17 +252,25 @@ def tokenize_line_star(line: str, line_num: int) -> Optional[Triple]:
     i = _skip_ws(line, i)
     o_kind, obj, lang, dt, i = _scan_term(line, i, line_num, "object")
     i = _skip_ws(line, i)
+    graph: Optional[str] = None
+    if allow_graph and i < n and line[i] != ".":
+        g_kind, graph, _, _, i = _scan_term(line, i, line_num, "graph label")
+        if g_kind not in ("iri", "bnode"):
+            raise NTriplesError(
+                line_num, "graph label must be an IRI or blank node")
+        i = _skip_ws(line, i)
     if i >= n or line[i] != ".":
         raise NTriplesError(line_num, "expected '.' after object")
     i = _skip_ws(line, i + 1)
     if i < n:
         raise NTriplesError(line_num, "unexpected content after terminal '.'")
-    return Triple(subj, pred, o_kind, obj, lang, dt, line_num)
+    return Triple(subj, pred, o_kind, obj, lang, dt, line_num, graph)
 
 
-def parse_document(content: str) -> list[Triple]:
+def parse_document(content: str, allow_graph: bool = False) -> list[Triple]:
     """Full strict N-Triples-star parse (V1 line guard + V13 comment
-    strip + the star grammar). First offending line raises."""
+    strip + the star grammar); ``allow_graph=True`` = N-Quads-star.
+    First offending line raises."""
     triples: list[Triple] = []
     max_chars = MAX_LINE_LENGTH // 4
     for idx, raw in enumerate(content.split("\n")):
@@ -268,7 +280,9 @@ def parse_document(content: str) -> list[Triple]:
         line_num = idx + 1
         if len(raw) > max_chars and len(raw.encode("utf-8", "surrogatepass")) > MAX_LINE_LENGTH:
             raise NTriplesError(line_num, "line exceeds maximum length")
-        t = tokenize_line_star(strip_trailing_comment(trimmed), line_num)
+        t = tokenize_line_star(
+            strip_trailing_comment(trimmed), line_num, allow_graph=allow_graph
+        )
         if t is not None:
             triples.append(t)
     return triples
@@ -296,6 +310,39 @@ def can_handle(content: str) -> bool:
         if "<<" in line:
             seen_star = True
     return seen_star
+
+
+def can_handle_quads(content: str) -> bool:
+    """N-Quads-star sniff: among the first 10 non-blank lines, every
+    non-comment line tokenizes under the star quads grammar, at least
+    one carries a quoted triple and at least one a graph term.
+    Registered after the triples-star handler; quads-star docs normally
+    arrive via the parse-stage retry chain instead (parse.py)."""
+    seen_star = seen_graph = False
+    checked = 0
+    for raw in content.split("\n"):
+        line = php_trim(raw)
+        if not line:
+            continue
+        checked += 1
+        if checked > 10:
+            break
+        if line.startswith("#"):
+            continue
+        stripped = strip_trailing_comment(line)
+        if not stripped.endswith("."):
+            return False
+        try:
+            t = tokenize_line_star(stripped, 0, allow_graph=True)
+        except NTriplesError:
+            return False
+        if t is None:
+            continue
+        if "<<" in stripped:
+            seen_star = True
+        if t.graph is not None:
+            seen_graph = True
+    return seen_star and seen_graph
 
 
 def rescope_quoted(lexical: str, doc_hash: str) -> str:

@@ -98,7 +98,7 @@ def test_supported_formats_reference_four_in_priority_order():
     # (n-quads, trig, html) append AFTER so reference priorities are
     # unchanged
     assert fmts[:4] == ["json-ld", "turtle", "n-triples", "rdf/xml"]
-    assert set(fmts[4:]) == {"n-quads", "trig", "html", "ntriples-star"}
+    assert set(fmts[4:]) == {"n-quads", "trig", "html", "ntriples-star", "nquads-star"}
 
 
 def test_turtle_wins_over_ntriples_for_ambiguous_content():

@@ -259,6 +259,58 @@ def test_reification_ignores_malformed_statements(spark):
 
 
 # ---------------------------------------------------------------------------
+# N-Quads-star (allow_graph)
+# ---------------------------------------------------------------------------
+
+NQ_STAR_DOC = (
+    f"<< <{E}s> <{E}p> \"v1\" >> <{E}confidence> \"0.9\" <http://g/one> .\n"
+    f"<{E}doc> <{E}claims> << <{E}x> <{E}p> <{E}y> >> _:g2 .\n"
+    f"<{E}a> <{E}b> <{E}c> <http://g/one> .\n"
+    f"<{E}plain> <{E}p> \"no graph\" .\n"
+)
+
+
+def test_nquads_star_parse():
+    got = [
+        (t.subj, t.pred, t.obj_kind, t.obj_value, t.graph)
+        for t in rdfstar.parse_document(NQ_STAR_DOC, allow_graph=True)
+    ]
+    assert got[0] == (f'<< <{E}s> <{E}p> "v1" >>', f"{E}confidence",
+                      "literal", "0.9", "http://g/one")
+    assert got[1] == (f"{E}doc", f"{E}claims", "quoted",
+                      f"<< <{E}x> <{E}p> <{E}y> >>", "_:g2")
+    assert got[3][4] is None
+
+
+def test_nquads_star_graph_cannot_be_quoted():
+    bad = f"<{E}s> <{E}p> <{E}o> << <{E}a> <{E}b> <{E}c> >> .\n"
+    with pytest.raises(NTriplesError, match="graph label"):
+        rdfstar.parse_document(bad, allow_graph=True)
+
+
+def test_nquads_star_sniffer():
+    assert rdfstar.can_handle_quads(NQ_STAR_DOC)
+    # star-but-no-graph and graph-but-no-star both decline
+    assert not rdfstar.can_handle_quads(STAR_DOC)
+    assert not rdfstar.can_handle_quads(f"<{E}a> <{E}b> <{E}c> <http://g> .\n")
+
+
+def test_pipeline_retry_routes_quads_star(spark):
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    parsed = parse_pages(pages_df(spark, {"https://t/nqstar": NQ_STAR_DOC}))
+    row = parsed.select("format", "error_stage", "n_triples").first()
+    assert row["format"] == "nquads-star"
+    assert row["error_stage"] is None and row["n_triples"] == 4
+    t = triples_of(parsed)
+    gs = {r["graph"] for r in t.collect()}
+    # quads formats carry the E21 default-graph sentinel downstream
+    assert "http://g/one" in gs and "_:default" in gs
+    # graph bnode label doc-scoped (P5)
+    assert any(g and g.startswith("_:d") and g.endswith("-g2") for g in gs)
+
+
+# ---------------------------------------------------------------------------
 # Turtle-star (turtle.py extension; TriG inherits)
 # ---------------------------------------------------------------------------
 
