@@ -4318,6 +4318,34 @@ def _golden_values_star_sparql() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(s, o, c)"
 
 
+def _q_sparql_star_annotation_block(spark, sf_dir):
+    """SPARQL-star annotation syntax ``?s p ?o {| q ?v |}`` in query
+    text: sugar for the base pattern PLUS quoted-subject patterns
+    (sparql.py _maybe_annotation) — the conjunction keeps only edges
+    that are BOTH asserted and annotated (in the fixture: alice alone;
+    bob's annotated edges are not asserted). Oracle: golden VALUES."""
+    from parser_rdf_spark.bgp import triples_spo
+    from parser_rdf_spark.sparql import sparql_query
+
+    spo = triples_spo(_star_fixture_triples(spark))
+    return sparql_query(spo, f"""
+        PREFIX e: <{_STAR_E}>
+        SELECT ?s ?o ?c ?src WHERE {{
+          ?s e:worksFor ?o {{| e:confidence ?c ; e:source ?src |}} .
+        }}
+    """)
+
+
+def _golden_values_star_annotation() -> str:
+    e = _STAR_E
+    return (
+        "SELECT * FROM (VALUES ("
+        + ", ".join(_sql_quote(c) for c in
+                    (f"{e}alice", f"{e}acme", "0.9", "http://crawl/p1"))
+        + ")) AS t(s, o, c, src)"
+    )
+
+
 _TPCH_DELTA_CTE = (
     "old_t(subj, pred, obj) AS ("
     "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
@@ -4423,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_star_annotations": _q_sparql_star_annotations,
         "turtle_star_annotations": _q_turtle_star_annotations,
         "nquads_star_graphs": _q_nquads_star_graphs,
+        "sparql_star_annotation_block": _q_sparql_star_annotation_block,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6202,6 +6231,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_star_annotations": _golden_values_star_sparql(),
         "turtle_star_annotations": _golden_values_turtle_star(),
         "nquads_star_graphs": _golden_values_nquads_star(),
+        "sparql_star_annotation_block": _golden_values_star_annotation(),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

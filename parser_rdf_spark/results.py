@@ -83,6 +83,10 @@ def _term_kind(c: Column, kind: str) -> Column:
         raise ValueError(f"kind must be 'iri'|'literal'|'auto', got {kind!r}")
     return (
         F.when(c.startswith("_:"), F.lit("bnode"))
+        # RDF-star quoted-triple lexical form (canonical encoding —
+        # rdfstar.py); '<<' can never open an IRI or a plain literal
+        # produced by this engine's relations
+        .when(c.startswith("<<"), F.lit("quoted"))
         .when(c.rlike(_IRI_RX), F.lit("iri"))
         .otherwise(F.lit("literal"))
     )
@@ -104,7 +108,9 @@ def _tsv_term(c: Column, kind: str) -> Column:
         F.lit('"'),
     )
     term = (
-        F.when(k == "bnode", c)
+        # quoted triples embed verbatim — the canonical lexical form IS
+        # the SPARQL 1.2 TSV rendering
+        F.when(k.isin("bnode", "quoted"), c)
         .when(k == "iri", F.concat(F.lit("<"), c, F.lit(">")))
         .otherwise(lit)
     )
@@ -146,6 +152,10 @@ def _binding_struct(c: Column, kind: str) -> Column:
         F.struct(
             F.when(k == "iri", F.lit("uri"))
             .when(k == "bnode", F.lit("bnode"))
+            # flat engine rendering of RDF 1.2's "triple" binding type:
+            # the value is the canonical lexical form (re-parseable),
+            # not the spec's recursive subject/predicate/object object
+            .when(k == "quoted", F.lit("triple"))
             .otherwise(F.lit("literal"))
             .alias("type"),
             F.when(k == "bnode", F.substring_index(c, "_:", -1))
@@ -217,6 +227,11 @@ def to_sparql_xml_results(solutions: DataFrame,
                   F.concat(F.lit("<bnode>"),
                            _xml_escape(F.substring_index(col, "_:", -1)),
                            F.lit("</bnode>")))
+            # flat engine rendering (canonical lexical form) of the
+            # RDF 1.2 <triple> binding element
+            .when(k == "quoted",
+                  F.concat(F.lit("<triple>"), _xml_escape(col),
+                           F.lit("</triple>")))
             .otherwise(F.concat(F.lit("<literal>"), _xml_escape(col),
                                 F.lit("</literal>")))
         )

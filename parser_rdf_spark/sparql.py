@@ -378,9 +378,13 @@ class _Parser:
         subj = self._term("subject")
         while True:
             pred = self._path()
-            self._emit(patterns, subj, pred, self._term("object"))
+            obj = self._term("object")
+            self._emit(patterns, subj, pred, obj)
+            self._maybe_annotation(patterns, subj, pred, obj)
             while self._eat(","):
-                self._emit(patterns, subj, pred, self._term("object"))
+                obj = self._term("object")
+                self._emit(patterns, subj, pred, obj)
+                self._maybe_annotation(patterns, subj, pred, obj)
             if self._eat(";"):
                 k, t = self._peek()
                 if k in ("IRIREF", "PNAME", "VAR") \
@@ -389,6 +393,45 @@ class _Parser:
                     continue
             break
         self._eat(".")
+
+    def _maybe_annotation(self, patterns: list, s, p, o) -> None:
+        """SPARQL-star annotation block ``s p o {| q v ; … |}``: sugar
+        for the base pattern (already emitted) plus patterns whose
+        subject is the quoted form ``('quoted', s, p, o)`` — resolved by
+        bgp.py against the star_unnest relation. ``{`` not followed by
+        ``|`` is left untouched (a nested group may legally follow a
+        triples block)."""
+        if not (self._at("{") and self._peek(1) == ("OP", "|")):
+            return
+        self._next()
+        self._next()
+        if isinstance(s, tuple) or isinstance(o, tuple) \
+                or not isinstance(p, str) \
+                or p[:1] in ("^", "!") or p[-1:] in ("+", "*", "?"):
+            raise SparqlError(
+                "annotation blocks require a plain triple pattern "
+                "(no property paths, no nested quoted terms)")
+        qs = ("quoted", s, p, o)
+        while True:
+            pred = self._path()
+            obj = self._term("object")
+            self._emit(patterns, qs, pred, obj)
+            if self._at("{") and self._peek(1) == ("OP", "|"):
+                raise SparqlError(
+                    "nested annotation blocks are not supported — bind "
+                    "the annotation triple's quoted form explicitly")
+            while self._eat(","):
+                obj = self._term("object")
+                self._emit(patterns, qs, pred, obj)
+            if self._eat(";"):
+                k, t = self._peek()
+                if k in ("IRIREF", "PNAME", "VAR") \
+                        or (k == "NAME" and (t == "a" or t.lower() not in _KEYWORDS)) \
+                        or t in ("^", "!", "("):
+                    continue
+            break
+        if not (self._eat("|") and self._eat("}")):
+            raise SparqlError("expected '|}' closing an annotation block")
 
     def _emit(self, patterns: list, s: str, p, o: str):
         if isinstance(p, tuple) and p[0] == "seq":

@@ -503,6 +503,64 @@ def test_sparql_star_ask_constant(spark):
     assert sparql_query(_annot_spo(spark), q2).first()["ask"] is False
 
 
+def test_sparql_star_annotation_block(spark):
+    # {| … |} = base pattern AND quoted-subject patterns; only the
+    # asserted edge (alice worksFor acme appears both quoted and plain
+    # in ANNOT_DOC) solves the conjunction
+    from parser_rdf_spark.sparql import sparql_query
+
+    q = f"""
+    PREFIX e: <{E}>
+    SELECT ?s ?o ?c ?src WHERE {{
+      ?s e:worksFor ?o {{| e:confidence ?c ; e:source ?src |}} .
+    }}
+    """
+    got = [(r["s"], r["o"], r["c"], r["src"])
+           for r in sparql_query(_annot_spo(spark), q).collect()]
+    assert got == [(f"{E}alice", f"{E}acme", "0.9", "http://crawl/p1")]
+
+
+def test_sparql_star_annotation_requires_plain_pattern(spark):
+    from parser_rdf_spark.sparql import SparqlError, sparql_query
+
+    q = f"PREFIX e: <{E}> SELECT ?c WHERE {{ ?s e:worksFor+ ?o {{| e:confidence ?c |}} . }}"
+    with pytest.raises(SparqlError, match="plain triple pattern"):
+        sparql_query(_annot_spo(spark), q)
+
+
+def test_sparql_star_nested_annotation_rejected(spark):
+    from parser_rdf_spark.sparql import SparqlError, sparql_query
+
+    q = f"""PREFIX e: <{E}>
+    SELECT ?m WHERE {{ ?s e:worksFor ?o {{| e:confidence ?c {{| e:meta ?m |}} |}} . }}"""
+    with pytest.raises(SparqlError, match="nested annotation"):
+        sparql_query(_annot_spo(spark), q)
+
+
+def test_results_formats_quoted_bindings(spark):
+    # a quoted term in a solution binding renders as its lexical form
+    # (TSV verbatim; SRJ/XML use the flat 'triple' type), never as a
+    # quoted-string literal
+    import json
+
+    from parser_rdf_spark.results import (
+        to_sparql_json_bindings,
+        to_sparql_tsv,
+        to_sparql_xml_results,
+    )
+    from parser_rdf_spark.sparql import sparql_query
+
+    q = f"PREFIX e: <{E}> SELECT ?s WHERE {{ ?s e:confidence \"0.9\" . }}"
+    sol = sparql_query(_annot_spo(spark), q)
+    lex = f"<< <{E}alice> <{E}worksFor> <{E}acme> >>"
+    tsv = [r["line"] for r in to_sparql_tsv(sol).orderBy("pos").collect()]
+    assert tsv == ["?s", lex]
+    srj = json.loads(to_sparql_json_bindings(sol).first()["binding"])
+    assert srj["s"] == {"type": "triple", "value": lex}
+    xml = to_sparql_xml_results(sol).first()["result"]
+    assert "<triple>" in xml and "&lt;&lt;" in xml
+
+
 def test_sparql_star_construct_template_rejected(spark):
     from parser_rdf_spark.sparql import SparqlError, sparql_query
 
