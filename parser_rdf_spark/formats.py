@@ -74,13 +74,16 @@ _DEFAULT_HANDLERS: list[FormatHandler] = [
     # retry fallback; html never collides with the RDF sniffers
     FormatHandler("n-quads", nquads.can_handle, nquads.parse_document),
     FormatHandler("trig", trig.can_handle, trig.parse_document),
-    FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
     # RDF-star: star docs normally sniff as n-triples/turtle (their D5/D6
     # decisions are reference-pinned) and reach this handler through the
     # parse-stage retry (parse.py) or explicit fmt=; the sniffer only
-    # claims documents whose first lines open a quoted triple
+    # claims documents whose first lines open a quoted triple, so it
+    # never collides with the html last-resort sniffer below
     FormatHandler("ntriples-star", rdfstar.can_handle, _parse_ntriples_star),
     FormatHandler("nquads-star", rdfstar.can_handle_quads, _parse_nquads_star),
+    # html stays LAST (pinned by tests): structured-data extraction is
+    # the fallback surface no RDF serialization should ever lose to
+    FormatHandler("html", htmldata.can_handle, htmldata.parse_document),
 ]
 
 _handlers: list[FormatHandler] = list(_DEFAULT_HANDLERS)
