@@ -4346,6 +4346,92 @@ def _golden_values_star_annotation() -> str:
     )
 
 
+def _tpch_term_triples(spark, sf_dir):
+    """Full-schema (schemas.TRIPLES) micro-KG with language tags and
+    datatypes — the term-mode twin of _tpch_triples: nation names are
+    lang-tagged @en / @fr / plain by n_nationkey % 3, customer balances
+    are integer-cents typed literals (xsd:integer; floor(bal*100) is
+    deterministic in both engines), customer→nation is an IRI object.
+    Feeds bgp.terms_spo for sparql_query(term_mode=True)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def row(df, subj, pred, kind, value, lang=None, dt=None):
+        return df.select(
+            F.lit("tpch").alias("doc_url"),
+            F.lit(None).cast("string").alias("graph"),
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"), value.alias("obj_value"),
+            (lang if lang is not None else F.lit(None).cast("string")).alias("obj_lang"),
+            (F.lit(dt) if dt else F.lit(None).cast("string")).alias("obj_datatype"),
+            F.lit(None).cast("int").alias("line_no"),
+        )
+
+    nat_iri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    cust_iri = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    lang = (
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("en"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit("fr"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint").cast("string")
+    parts = [
+        row(nation, nat_iri, "urn:ex:name", "literal", F.col("n_name"), lang=lang),
+        row(nation, nat_iri, "urn:ex:inRegion", "iri",
+            F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string"))),
+        row(customer, cust_iri, "urn:ex:acctbal", "literal", cents, dt=xsd_int),
+        row(customer, cust_iri, "urn:ex:inNation", "iri",
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_sparql_term_filters(spark, sf_dir):
+    """Term-mode SPARQL over the encoded relation (bgp.terms_spo): LANG /
+    langMatches / isLiteral term builtins as pure string SQL, constants
+    matched by term identity. Selects the lang-tagged nation names with
+    their tags. Oracle: direct nation-table SQL reproducing the % 3
+    tagging rule."""
+    from parser_rdf_spark.bgp import terms_spo
+    from parser_rdf_spark.sparql import sparql_query
+
+    enc = terms_spo(_tpch_term_triples(spark, sf_dir))
+    return sparql_query(enc, """
+        SELECT ?nname ?lg WHERE {
+          ?n <urn:ex:name> ?name .
+          ?n <urn:ex:inRegion> ?r .
+          FILTER(isLiteral(?name) && langMatches(LANG(?name), "*"))
+          BIND(STR(?name) AS ?nname)
+          BIND(LANG(?name) AS ?lg)
+        }
+    """, term_mode=True)
+
+
+def _q_sparql_term_functions(spark, sf_dir):
+    """Term-mode SPARQL typed-literal arithmetic: isNumeric gates on the
+    xsd datatype, the numeric FILTER compares by VALUE (try_cast of the
+    lexical form — SPARQL's numeric operator mapping), and DATATYPE /
+    STR / STRAFTER destructure the encoding. Oracle: customer-table SQL
+    over the same floor(bal*100) cents."""
+    from parser_rdf_spark.bgp import terms_spo
+    from parser_rdf_spark.sparql import sparql_query
+
+    enc = terms_spo(_tpch_term_triples(spark, sf_dir))
+    return sparql_query(enc, """
+        SELECT ?ck ?cents ?dtl WHERE {
+          ?c <urn:ex:acctbal> ?b .
+          FILTER(isNumeric(?b) && ?b >= 900000)
+          BIND(STRAFTER(STR(?c), "urn:cust:") AS ?ck)
+          BIND(STR(?b) AS ?cents)
+          BIND(STRAFTER(STR(DATATYPE(?b)), "XMLSchema#") AS ?dtl)
+        }
+    """, term_mode=True)
+
+
 _TPCH_DELTA_CTE = (
     "old_t(subj, pred, obj) AS ("
     "SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Customer' FROM customer "
@@ -4452,6 +4538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_star_annotations": _q_turtle_star_annotations,
         "nquads_star_graphs": _q_nquads_star_graphs,
         "sparql_star_annotation_block": _q_sparql_star_annotation_block,
+        "sparql_term_filters": _q_sparql_term_filters,
+        "sparql_term_functions": _q_sparql_term_functions,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6232,6 +6320,18 @@ def oracle_sql() -> dict[str, str]:
         "turtle_star_annotations": _golden_values_turtle_star(),
         "nquads_star_graphs": _golden_values_nquads_star(),
         "sparql_star_annotation_block": _golden_values_star_annotation(),
+        "sparql_term_filters": (
+            "SELECT n_name AS nname, "
+            "CASE WHEN n_nationkey % 3 = 0 THEN 'en' ELSE 'fr' END AS lg "
+            "FROM nation WHERE n_nationkey % 3 < 2"
+        ),
+        "sparql_term_functions": (
+            "WITH t AS (SELECT c_custkey, "
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer) "
+            "SELECT CAST(c_custkey AS VARCHAR) AS ck, "
+            "CAST(cents AS VARCHAR) AS cents, 'integer' AS dtl "
+            "FROM t WHERE cents >= 900000"
+        ),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "
             "SELECT subj, pred, obj FROM old_t "

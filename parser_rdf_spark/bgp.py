@@ -55,6 +55,29 @@ def quads_spo(triples: DataFrame) -> DataFrame:
     )
 
 
+def terms_spo(triples: DataFrame) -> DataFrame:
+    """Project the full triples schema (schemas.TRIPLES) to the
+    TERM-ENCODED (subj, pred, obj) relation of
+    ``sparql_query(..., term_mode=True)``: every position rendered in
+    canonical N-Triples term syntax — ``<iri>``, ``_:label``,
+    ``"lex"``, ``"lex"@lang``, ``"lex"^^<dt>``, or an RDF-star quoted
+    lexical form. One string IS one RDF term, so joins / DISTINCT /
+    solution equality are term-identity for free and the SPARQL term
+    builtins (LANG, DATATYPE, isIRI/isBlank/isLiteral/isNumeric,
+    sameTerm, STR) compile to pure string expressions over the encoding
+    (whole-stage-codegen friendly; no companion columns to thread
+    through the join machinery). The rendering is exactly the
+    serializer's (serialize.object_term), so the encoded relation is
+    also the canonical comparison form of SURVEY §1.3."""
+    from .serialize import _term, object_term
+
+    return triples.select(
+        _term(F.col("subj")).alias("subj"),
+        _term(F.col("pred")).alias("pred"),
+        object_term().alias("obj"),
+    )
+
+
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 

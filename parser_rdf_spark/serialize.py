@@ -40,10 +40,13 @@ def _term(col: Column) -> Column:
     ).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
 
 
-def _spo() -> Column:
-    """The "subject predicate object" body shared by the N-Triples and
-    N-Quads line renderings."""
-    obj = (
+def object_term() -> Column:
+    """The canonical N-Triples rendering of one full-schema OBJECT term:
+    ``<iri>``, bnode/quoted lexical form verbatim, or
+    ``"lex"[@lang|^^<dt>]``. Shared by the line renderers below and by
+    :func:`.bgp.terms_spo` (the term-encoded relation of
+    ``sparql_query(term_mode=True)``)."""
+    return (
         F.when(F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj_value"), F.lit(">")))
         .when(F.col("obj_kind").isin("bnode", "quoted"), F.col("obj_value"))
         .otherwise(
@@ -61,9 +64,14 @@ def _spo() -> Column:
             )
         )
     )
+
+
+def _spo() -> Column:
+    """The "subject predicate object" body shared by the N-Triples and
+    N-Quads line renderings."""
     return F.concat(_term(F.col("subj")), F.lit(" "),
                     _term(F.col("pred")), F.lit(" "),
-                    obj)
+                    object_term())
 
 
 def ntriples_line() -> Column:

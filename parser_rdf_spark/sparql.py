@@ -71,6 +71,15 @@ A blank node in a query position acts as a non-selectable variable, per
 spec. Numeric comparisons in FILTER/HAVING (``?x > 9000``) cast the
 variable side to DOUBLE, mirroring SPARQL's numeric operator mapping
 over the string-typed relation.
+
+``term_mode=True`` switches both conventions to TERM IDENTITY over the
+:func:`.bgp.terms_spo` encoding (one canonical N-Triples string per
+term): constants render encoded, matching distinguishes ``"x"`` /
+``"x"@en`` / ``<x>``, numeric comparison try_casts the lexical form
+(non-numeric terms → NULL → row dropped, the spec's type-error
+semantics), and the term builtins LANG / LANGMATCHES / DATATYPE /
+isIRI / isBlank / isLiteral / isNumeric / sameTerm / STRLANG / STRDT
+compile to pure string SQL over the encoding.
 """
 
 from __future__ import annotations
@@ -173,12 +182,54 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+# xsd numeric types isNumeric() recognizes (SPARQL §17.4.2.4 operand types)
+_NUMERIC_XSD_LOCAL = (
+    "integer|decimal|double|float|long|int|short|byte|"
+    "nonNegativeInteger|nonPositiveInteger|negativeInteger|"
+    "positiveInteger|unsignedLong|unsignedInt|unsignedShort|unsignedByte"
+)
+
+
+def _nt_escape(val: str) -> str:
+    """Python-side twin of serialize._escape_literal (same order)."""
+    return (val.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+def _sql_lex(x: str) -> str:
+    """SQL expression for the LEXICAL FORM of a term-encoded value
+    (``bgp.terms_spo`` encoding): IRI body for ``<iri>``, unescaped
+    literal body for ``"lex"[@lang|^^<dt>]``, the label verbatim for
+    bnodes / quoted forms. The unescape chain inverts exactly the five
+    serializer escapes (backslash first via a chr(1) sentinel); chr/||/
+    replace keep it portable to the DuckDB oracle dialect."""
+    body = (f"regexp_extract({x}, "
+            "'^\"(.*)\"(@[A-Za-z0-9-]+|\\\\^\\\\^<[^>]*>)?$', 1)")
+    unesc = ("replace(replace(replace(replace(replace(replace("
+             f"{body}, chr(92)||chr(92), chr(1)), "
+             "chr(92)||'\"', '\"'), chr(92)||'n', chr(10)), "
+             "chr(92)||'r', chr(13)), chr(92)||'t', chr(9)), "
+             "chr(1), chr(92))")
+    return (f"(CASE WHEN {x} LIKE '<%' THEN substring({x}, 2, length({x}) - 2) "
+            f"WHEN {x} LIKE '\"%' THEN {unesc} "
+            f"ELSE {x} END)")
+
+
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, term_mode: bool = False):
         self.toks = _tokenize(text)
         self.pos = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
+        self.term_mode = term_mode
+        # term mode: variables bound by BIND / SELECT expressions to a
+        # PLAIN value (string/number, not an encoded term) — later
+        # expressions must not lex-strip them. Populated in parse order,
+        # so a FILTER textually before its BIND sees the var as a term
+        # (documented edge; SPARQL allows either order in a group).
+        self.plain_vars: set[str] = set()
         self._fresh = 0
 
     # ----- token helpers -------------------------------------------------
@@ -241,6 +292,9 @@ class _Parser:
         return text  # verbatim matching against the string-typed relation
 
     def _term(self, expect: str = "term", as_pred: bool = False) -> str:
+        if self.term_mode and self._at("<") and not as_pred:
+            raise SparqlError(
+                "quoted-triple patterns are not supported in term mode")
         if self._at("<") and not as_pred:
             # RDF-star (SPARQL-star) quoted-triple pattern << s p o >>:
             # '<<' tokenizes as two OP '<' (a lone '<' is never a term),
@@ -258,15 +312,46 @@ class _Parser:
         if kind == "VAR":
             return "?" + text[1:]
         if kind == "IRIREF":
-            return self._resolve_iriref(text)
+            iri = self._resolve_iriref(text)
+            return f"<{iri}>" if self.term_mode else iri
         if kind == "PNAME":
-            return self._expand_pname(text)
+            iri = self._expand_pname(text)
+            return f"<{iri}>" if self.term_mode else iri
         if kind == "BNODE":
             return "?__bn_" + text[2:]
         if kind == "NUMBER":
+            if self.term_mode:
+                # SPARQL grammar abbreviations (§4.1.2): bare integer /
+                # decimal / double tokens are typed literals with the
+                # written lexical form
+                if re.fullmatch(r"[+-]?\d+", text):
+                    dt = _XSD + "integer"
+                elif "e" in text or "E" in text:
+                    dt = _XSD + "double"
+                else:
+                    dt = _XSD + "decimal"
+                return f'"{text}"^^<{dt}>'
             return text
         if kind == "STRING":
             val = _unescape(text[1:-1])
+            if self.term_mode:
+                # full-term rendering: language tag / datatype become
+                # part of the constant (term-identity matching)
+                enc = '"' + _nt_escape(val) + '"'
+                k2, t2 = self._peek()
+                if k2 == "LANGTAG":
+                    self._next()
+                    enc += "@" + t2[1:]
+                elif self._peek() == ("OP", "^^"):
+                    self._next()
+                    k3, t3 = self._next()
+                    if k3 == "IRIREF":
+                        enc += "^^<" + self._resolve_iriref(t3) + ">"
+                    elif k3 == "PNAME":
+                        enc += "^^<" + self._expand_pname(t3) + ">"
+                    else:
+                        raise SparqlError("datatype must be an IRI")
+                return enc
             k2, _ = self._peek()
             if k2 == "LANGTAG":
                 self._next()  # lexical-form matching only (module docstring)
@@ -276,12 +361,19 @@ class _Parser:
             return val
         if kind == "NAME":
             if text == "a" and as_pred:
-                return RDF_TYPE_IRI
+                return f"<{RDF_TYPE_IRI}>" if self.term_mode else RDF_TYPE_IRI
             if text in ("true", "false"):
+                if self.term_mode:
+                    return f'"{text}"^^<{_XSD}boolean>'
                 return text
             if text.lower() in _KEYWORDS:
                 raise SparqlError(
                     f"keyword {text!r} cannot be a term; quote it as a literal"
+                )
+            if self.term_mode:
+                raise SparqlError(
+                    f"bare name {text!r} is not a valid RDF term in term "
+                    "mode; write an IRI, prefixed name, or quoted literal"
                 )
             # engine extension: the relation matches strings verbatim, so
             # a bare name is accepted as a verbatim constant (keywords
@@ -515,6 +607,9 @@ class _Parser:
                     raise SparqlError(
                         f"duplicate BIND target ?{t[1:]} in one group"
                     )
+                if self.term_mode and \
+                        getattr(self, "last_expr_kind", "var") not in ("var", "term"):
+                    self.plain_vars.add(t[1:])
                 spec.setdefault("bind", {})[t[1:]] = expr
                 continue
             if self._eat_kw("values"):
@@ -629,7 +724,12 @@ class _Parser:
                     break
                 depth -= 1
             out.append(tok)
-        return _ExprTranslator(self, out).translate()
+        tr = _ExprTranslator(self, out)
+        sql = tr.translate()
+        # stashed for the BIND / SELECT-expression sites: whether the
+        # bound variable holds an encoded term or a plain value
+        self.last_expr_kind = tr.last_kind
+        return sql
 
 
 class _ExprTranslator:
@@ -641,8 +741,30 @@ class _ExprTranslator:
 
     def __init__(self, parser: _Parser, toks: list):
         self.p = parser
+        self.tm = parser.term_mode
         self.toks = toks
         self.i = 0
+
+    # term-mode value model: kind 'var' (a solution column) and kind
+    # 'term' (an IRI constant / a term-returning builtin like DATATYPE)
+    # hold ENCODED terms; everything else is a plain SQL value. The two
+    # bridges:
+    def _lexed(self, sql: str, kind: str) -> str:
+        """Plain lexical form of an operand (string-function argument
+        position): strips the term encoding in term mode."""
+        if self.tm and kind in ("var", "term"):
+            return _sql_lex(sql)
+        return sql
+
+    def _as_num(self, sql: str, kind: str) -> str:
+        """Numeric value of an operand (arithmetic / ordering position):
+        lexical form try_cast to DOUBLE in term mode (a non-numeric term
+        yields NULL — FILTER then drops the row, SPARQL's type-error
+        semantics; a hard CAST would abort the job under ANSI mode), the
+        historical bare CAST otherwise."""
+        if self.tm and kind in ("var", "term"):
+            return f"try_cast({_sql_lex(sql)} AS DOUBLE)"
+        return f"CAST({sql} AS DOUBLE)"
 
     def _peek(self, k: int = 0):
         j = self.i + k
@@ -660,9 +782,10 @@ class _ExprTranslator:
         return False
 
     def translate(self) -> str:
-        sql, _ = self._or()
+        sql, kind = self._or()
         if self._peek()[0] != "EOF":
             raise SparqlError(f"trailing tokens in expression: {self._peek()[1]!r}")
+        self.last_kind = kind
         return sql
 
     def _or(self):
@@ -694,27 +817,43 @@ class _ExprTranslator:
             self._next()
             rhs, rkind = self._additive()
             if t in ("<", ">", "<=", ">="):
-                if kind == "var" and rkind == "num":
-                    sql = f"CAST({sql} AS DOUBLE)"
-                elif kind == "num" and rkind == "var":
-                    rhs = f"CAST({rhs} AS DOUBLE)"
+                if kind in ("var", "term") and rkind == "num":
+                    sql = self._as_num(sql, kind)
+                elif kind == "num" and rkind in ("var", "term"):
+                    rhs = self._as_num(rhs, rkind)
+            elif self.tm:
+                # term-mode =/!=: RDFterm-equal over the encoding. A
+                # plain-string side (a "str" constant or a string
+                # function result) is a SIMPLE LITERAL term — re-encode
+                # it; a numeric side compares by VALUE (lex-cast the
+                # term side, SPARQL's numeric operator mapping)
+                if kind in ("var", "term") and rkind in ("str", "call"):
+                    rhs = f"concat('\"', {rhs}, '\"')"
+                elif rkind in ("var", "term") and kind in ("str", "call"):
+                    sql = f"concat('\"', {sql}, '\"')"
+                elif kind in ("var", "term") and rkind == "num":
+                    sql = self._as_num(sql, kind)
+                elif rkind in ("var", "term") and kind == "num":
+                    rhs = self._as_num(rhs, rkind)
             return f"({sql} {self._CMP[t]} {rhs})", "bool"
         if k == "NAME" and t.lower() == "in":
             self._next()
-            return self._in_list(sql, negated=False)
+            return self._in_list(sql, kind, negated=False)
         if k == "NAME" and t.lower() == "not" and \
                 self._peek(1)[1].lower() == "in":
             self._next()
             self._next()
-            return self._in_list(sql, negated=True)
+            return self._in_list(sql, kind, negated=True)
         return sql, kind
 
-    def _in_list(self, lhs: str, negated: bool):
+    def _in_list(self, lhs: str, lkind: str, negated: bool):
         if not self._eat("("):
             raise SparqlError("IN needs a parenthesized list")
         items = []
         while not self._eat(")"):
-            item, _ = self._additive()
+            item, ikind = self._additive()
+            if self.tm and lkind in ("var", "term") and ikind in ("str", "call"):
+                item = f"concat('\"', {item}, '\"')"  # simple-literal term
             items.append(item)
             self._eat(",")
         op = "NOT IN" if negated else "IN"
@@ -726,7 +865,9 @@ class _ExprTranslator:
             k, t = self._peek()
             if k == "OP" and t in ("+", "-"):
                 self._next()
-                rhs, _ = self._mult()
+                rhs, rkind = self._mult()
+                if self.tm:
+                    sql, rhs = self._as_num(sql, kind), self._as_num(rhs, rkind)
                 sql, kind = f"({sql} {t} {rhs})", "num"
             else:
                 return sql, kind
@@ -737,7 +878,9 @@ class _ExprTranslator:
             k, t = self._peek()
             if k == "OP" and t in ("*", "/"):
                 self._next()
-                rhs, _ = self._unary()
+                rhs, rkind = self._unary()
+                if self.tm:
+                    sql, rhs = self._as_num(sql, kind), self._as_num(rhs, rkind)
                 sql, kind = f"({sql} {t} {rhs})", "num"
             else:
                 return sql, kind
@@ -754,6 +897,8 @@ class _ExprTranslator:
             name = text[1:]
             if not re.fullmatch(r"[A-Za-z_]\w*", name):
                 raise SparqlError(f"variable ?{name} is not SQL-addressable")
+            if self.tm and name in self.p.plain_vars:
+                return name, "str"  # BIND/SELECT-expr var holding a plain value
             return name, "var"
         if kind == "NUMBER":
             return text, "num"
@@ -762,6 +907,8 @@ class _ExprTranslator:
         if kind in ("IRIREF", "PNAME"):
             term = self.p._resolve_iriref(text) if kind == "IRIREF" \
                 else self.p._expand_pname(text)
+            if self.tm:
+                return _sql_quote(f"<{term}>"), "term"
             return _sql_quote(term), "str"
         if kind == "OP" and text == "(":
             sql, k = self._or()
@@ -777,17 +924,41 @@ class _ExprTranslator:
             raise SparqlError(f"bare name {text!r} in expression")
         raise SparqlError(f"unexpected token {text!r} in expression")
 
+    # term builtins (term mode only): name → arity
+    _TERM_FUNCS = {
+        "lang": 1, "langmatches": 2, "datatype": 1, "isiri": 1, "isuri": 1,
+        "isblank": 1, "isliteral": 1, "isnumeric": 1, "sameterm": 2,
+        "strlang": 2, "strdt": 2,
+    }
+
     def _function(self, name: str):
-        args = []
+        args, kinds = [], []
         while not self._eat(")"):
-            arg, _ = self._or()
+            arg, k = self._or()
             args.append(arg)
+            kinds.append(k)
             self._eat(",")
+
+        def lex(i: int) -> str:
+            return self._lexed(args[i], kinds[i])
+
         if name == "bound":
             if len(args) != 1:
                 raise SparqlError("BOUND takes one variable")
             return f"({args[0]} IS NOT NULL)", "bool"
+        if name in self._TERM_FUNCS:
+            if not self.tm:
+                raise SparqlError(
+                    f"{name.upper()} needs the term-encoded relation — "
+                    "run sparql_query(..., term_mode=True) over "
+                    "bgp.terms_spo(triples)")
+            if len(args) != self._TERM_FUNCS[name]:
+                raise SparqlError(
+                    f"{name.upper()} takes {self._TERM_FUNCS[name]} argument(s)")
+            return self._term_function(name, args, kinds, lex)
         if name == "regex":
+            if len(args) >= 2:
+                args[0] = lex(0)
             if len(args) == 3:
                 if args[2] == "'i'":
                     return f"({args[0]} RLIKE concat('(?i)', {args[1]}))", "bool"
@@ -798,8 +969,11 @@ class _ExprTranslator:
         if name == "str":
             if len(args) != 1:
                 raise SparqlError("STR takes one argument")
+            if self.tm and kinds[0] in ("var", "term"):
+                return lex(0), "str"
             return f"CAST({args[0]} AS STRING)", "str"
         if name in ("strbefore", "strafter"):
+            args = [self._lexed(a, k) for a, k in zip(args, kinds)]
             # SPARQL §17.4.3.7-8: '' when the delimiter never occurs;
             # STRBEFORE(x,'') = '', STRAFTER(x,'') = x (instr(x,'') = 1
             # in Spark, so both fall out of the found branch)
@@ -821,15 +995,21 @@ class _ExprTranslator:
         if name in ("sha256", "sha384", "sha512"):
             if len(args) != 1:
                 raise SparqlError(f"{name.upper()} takes one argument")
-            return f"sha2({args[0]}, {name[3:]})", "call"
+            return f"sha2({lex(0)}, {name[3:]})", "call"
         if name in ("iri", "uri"):
+            if len(args) != 1:
+                raise SparqlError(f"{name.upper()} takes one argument")
+            if self.tm:
+                # IRI(str) constructs an IRI term from the lexical form
+                return f"concat('<', {lex(0)}, '>')", "term"
             # bindings are lexical forms engine-wide, so IRI(str) is the
             # string itself (resolution against BASE happens at parse
             # time for constant terms)
-            if len(args) != 1:
-                raise SparqlError(f"{name.upper()} takes one argument")
             return f"CAST({args[0]} AS STRING)", "str"
         if name in _FUNC_MAP:
+            # string/numeric builtins operate on lexical forms: strip the
+            # term encoding off var/term args in term mode (no-op otherwise)
+            args = [self._lexed(a, k) for a, k in zip(args, kinds)]
             return f"{_FUNC_MAP[name]}({', '.join(args)})", "call"
         if name in _AGG_FUNCS:
             raise SparqlError(
@@ -837,6 +1017,53 @@ class _ExprTranslator:
                 "clause / HAVING"
             )
         raise SparqlError(f"function {name.upper()} is not supported")
+
+    def _term_function(self, name: str, args, kinds, lex):
+        """SPARQL term accessors / constructors over the terms_spo
+        encoding — pure string SQL, no Python. Documented totalizations
+        (the engine never hard-errors a row, matching FILTER's
+        error-drops-row effect through NULL/'' instead): LANG of a
+        non-literal is '' (spec: LANG is defined on literals only);
+        DATATYPE of a non-literal is NULL (comparisons then fail →
+        FILTER drops the row, the spec's error semantics)."""
+        x = args[0]
+        lang_re = "'^\".*\"@[A-Za-z0-9-]+$'"
+        dt_re = "'\\\\^\\\\^<[^>]*>$'"
+        if name == "lang":
+            return (f"(CASE WHEN {x} RLIKE {lang_re} THEN "
+                    f"regexp_extract({x}, '@([A-Za-z0-9-]+)$', 1) "
+                    f"ELSE '' END)", "str")
+        if name == "langmatches":
+            tag, rng = lex(0), self._lexed(args[1], kinds[1])
+            return (f"(CASE WHEN {rng} = '*' THEN {tag} <> '' "
+                    f"ELSE lower({tag}) = lower({rng}) "
+                    f"OR startswith(lower({tag}), concat(lower({rng}), '-')) "
+                    f"END)", "bool")
+        if name == "datatype":
+            return (f"(CASE WHEN {x} RLIKE {dt_re} THEN "
+                    f"regexp_extract({x}, '\\\\^\\\\^(<[^>]*>)$', 1) "
+                    f"WHEN {x} RLIKE {lang_re} THEN '<{_RDF_LANGSTRING}>' "
+                    f"WHEN {x} LIKE '\"%' THEN '<{_XSD}string>' "
+                    f"ELSE NULL END)", "term")
+        if name in ("isiri", "isuri"):
+            return f"({x} LIKE '<%' AND NOT {x} LIKE '<<%')", "bool"
+        if name == "isblank":
+            return f"startswith({x}, '_:')", "bool"
+        if name == "isliteral":
+            return f"startswith({x}, '\"')", "bool"
+        if name == "isnumeric":
+            num_re = f"'\\\\^\\\\^<{_XSD}({_NUMERIC_XSD_LOCAL})>$'"
+            return (f"({x} RLIKE {num_re} "
+                    f"AND try_cast({_sql_lex(x)} AS DOUBLE) IS NOT NULL)", "bool")
+        if name == "sameterm":
+            return f"({args[0]} = {args[1]})", "bool"
+        if name == "strlang":
+            return (f"concat('\"', {lex(0)}, '\"@', "
+                    f"{self._lexed(args[1], kinds[1])})", "term")
+        if name == "strdt":
+            return (f"concat('\"', {lex(0)}, '\"^^<', "
+                    f"{self._lexed(args[1], kinds[1])}, '>')", "term")
+        raise SparqlError(f"unhandled term function {name}")  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -873,10 +1100,13 @@ def _prologue(p: _Parser):
         break
 
 
-def parse_sparql(text: str) -> dict:
+def parse_sparql(text: str, term_mode: bool = False) -> dict:
     """Parse a SPARQL query string into an execution spec dict (exposed
-    for tests; :func:`sparql_query` is the run-it entry point)."""
-    p = _Parser(text)
+    for tests; :func:`sparql_query` is the run-it entry point).
+    ``term_mode`` renders every constant in canonical N-Triples term
+    syntax and enables the term builtins — the spec then executes over
+    the :func:`.bgp.terms_spo` relation."""
+    p = _Parser(text, term_mode=term_mode)
     _prologue(p)
 
     if p._eat_kw("select"):
@@ -973,6 +1203,9 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                             "SELECT expression needs `AS ?var`")
                     p._expect(")")
                     name = t3[1:]
+                    if p.term_mode and \
+                            getattr(p, "last_expr_kind", "var") not in ("var", "term"):
+                        p.plain_vars.add(name)
                     proj_exprs[name] = expr
                 select.append(name)
             else:
@@ -1297,15 +1530,30 @@ def _union_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     return bgp_union(triples, branches, dedup=dedup)
 
 
-def sparql_query(triples: DataFrame, text: str, dedup: bool = True) -> DataFrame:
+def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
+                 term_mode: bool = False) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
     SELECT returns one column per selected variable (names without the
     ``?``); ASK returns a 1-row boolean ``ask`` column; CONSTRUCT
     returns a (subj, pred, obj) relation. All plan shapes are exactly
-    :mod:`.bgp`'s — the text layer adds zero execution cost."""
-    spec = parse_sparql(text)
+    :mod:`.bgp`'s — the text layer adds zero execution cost.
+
+    ``term_mode=True`` executes over the TERM-ENCODED relation of
+    :func:`.bgp.terms_spo` (one canonical N-Triples string per term):
+    constants in the query render the same way, matching becomes
+    term-identity (``"42"`` no longer matches ``<42>``), and the SPARQL
+    term builtins — LANG, LANGMATCHES, DATATYPE, isIRI/isURI, isBlank,
+    isLiteral, isNumeric, sameTerm, STRLANG, STRDT, and lexical-form
+    STR — become available in FILTER/BIND/SELECT expressions as pure
+    string SQL (whole-stage codegen; no Python). Quoted-triple patterns
+    and GRAPH/quads relations are out of scope in this mode."""
+    spec = parse_sparql(text, term_mode=term_mode)
     form = spec.pop("form")
+    if term_mode and "graph" in triples.columns:
+        raise SparqlError(
+            "term_mode expects the 3-column terms_spo relation "
+            "(GRAPH/quads surfaces are not term-encoded)")
     triples = _apply_dataset_clauses(triples, spec)
     spec = _apply_graph_semantics(spec, "graph" in triples.columns)
     if form != "select" and _has_subselect(spec):

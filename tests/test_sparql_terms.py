@@ -1,0 +1,212 @@
+"""Term-encoded SPARQL mode (sparql_query(term_mode=True) over
+bgp.terms_spo): the relation carries one canonical N-Triples string per
+term, constants render the same way, and the SPARQL term builtins
+compile to pure string SQL. Covers the builtin matrix, term-identity
+matching, numeric value comparison over typed literals, the literal
+escape round-trip, and the documented out-of-scope raises."""
+
+import pytest
+
+from parser_rdf_spark import schemas
+from parser_rdf_spark.bgp import terms_spo
+from parser_rdf_spark.sparql import SparqlError, sparql_query
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+EX = "http://ex.org/"
+
+ROWS = [
+    # (doc_url, graph, subj, pred, obj_kind, obj_value, obj_lang, obj_dt, line)
+    ("d", None, EX + "a", EX + "name", "literal", "Alice", "en", None, 1),
+    ("d", None, EX + "a", EX + "name", "literal", "Alicia", "fr", None, 2),
+    ("d", None, EX + "b", EX + "name", "literal", "Bob", None, None, 3),
+    ("d", None, EX + "c", EX + "name", "literal", "Cam", "en-GB", None, 4),
+    ("d", None, EX + "a", EX + "age", "literal", "42", None, XSD + "integer", 5),
+    ("d", None, EX + "b", EX + "age", "literal", "17.5", None, XSD + "decimal", 6),
+    ("d", None, EX + "c", EX + "age", "literal", "old", None, XSD + "string", 7),
+    ("d", None, EX + "a", EX + "knows", "iri", EX + "b", None, None, 8),
+    ("d", None, EX + "b", EX + "note", "bnode", "_:n1", None, None, 9),
+    ("d", None, EX + "a", EX + "quote", "literal", 'say "hi"\\now\tend', None, None, 10),
+    # a literal whose lexical form COLLIDES with an IRI object in the
+    # kind-collapsed relation — term mode must keep them apart
+    ("d", None, EX + "x", EX + "ref", "literal", EX + "b", None, None, 11),
+]
+
+
+@pytest.fixture(scope="module")
+def enc(spark):
+    df = spark.createDataFrame(ROWS, schema=schemas.TRIPLES)
+    return terms_spo(df).cache()
+
+
+def _q(enc, text):
+    return sparql_query(enc, text, term_mode=True)
+
+
+def _vals(enc, text, col=None):
+    rows = _q(enc, text).collect()
+    if col is None:
+        col = rows[0].__fields__[0] if rows else None
+    return sorted(r[col] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# encoding + term-identity matching
+# ---------------------------------------------------------------------------
+
+def test_terms_spo_rendering(enc):
+    got = {r.obj for r in enc.collect()}
+    assert '"Alice"@en' in got
+    assert '"Bob"' in got
+    assert f'"42"^^<{XSD}integer>' in got
+    assert f"<{EX}b>" in got
+    assert "_:n1" in got
+    assert '"say \\"hi\\"\\\\now\\tend"' in got
+
+
+def test_constant_literal_with_langtag_matches(enc):
+    assert _vals(enc, f'SELECT ?s WHERE {{ ?s <{EX}name> "Alice"@en }}') \
+        == [f"<{EX}a>"]
+    # same lexical form, no tag → no match (term identity, not lexical)
+    assert _vals(enc, f'SELECT ?s WHERE {{ ?s <{EX}name> "Alice" }}') == []
+
+
+def test_typed_literal_and_bare_number_match(enc):
+    got = _vals(enc, f'SELECT ?s WHERE {{ ?s <{EX}age> 42 }}')
+    assert got == [f"<{EX}a>"]  # bare 42 = "42"^^xsd:integer (grammar abbrev)
+    got = _vals(enc, f'SELECT ?s WHERE {{ ?s <{EX}age> "42"^^<{XSD}integer> }}')
+    assert got == [f"<{EX}a>"]
+
+
+def test_iri_vs_literal_collision_kept_apart(enc):
+    # obj "http://ex.org/b" as literal vs <http://ex.org/b> as IRI
+    got = _vals(enc, f'SELECT ?s WHERE {{ ?s ?p <{EX}b> }}')
+    assert got == [f"<{EX}a>"]          # only the ex:knows IRI object
+    got = _vals(enc, f'SELECT ?s WHERE {{ ?s ?p "{EX}b" }}')
+    assert got == [f"<{EX}x>"]          # only the literal twin
+
+
+# ---------------------------------------------------------------------------
+# term builtins
+# ---------------------------------------------------------------------------
+
+def test_lang_and_langmatches(enc):
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . '
+         f'FILTER(LANG(?n) = "en") }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . '
+         f'FILTER(langMatches(LANG(?n), "en")) }}')
+    assert _vals(enc, q) == sorted([f"<{EX}a>", f"<{EX}c>"])  # en, en-GB
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . '
+         f'FILTER(langMatches(LANG(?n), "*")) }}')
+    assert len(_vals(enc, q)) == 3      # every tagged literal, not "Bob"
+
+
+def test_datatype(enc):
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . '
+         f'FILTER(DATATYPE(?a) = <{XSD}decimal>) }}')
+    assert _vals(enc, q) == [f"<{EX}b>"]
+    # plain literal → xsd:string; lang literal → rdf:langString
+    q = (f'SELECT (DATATYPE(?n) AS ?dt) WHERE {{ <{EX}b> <{EX}name> ?n }}')
+    assert _vals(enc, q) == [f"<{XSD}string>"]
+    q = (f'SELECT (DATATYPE(?n) AS ?dt) WHERE {{ <{EX}a> <{EX}name> ?n . '
+         f'FILTER(LANG(?n) = "en") }}')
+    assert _vals(enc, q) == \
+        ["<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"]
+
+
+def test_is_kind_checks(enc):
+    q = 'SELECT ?o WHERE { ?s ?p ?o . FILTER(isBlank(?o)) }'
+    assert _vals(enc, q) == ["_:n1"]
+    q = f'SELECT ?o WHERE {{ ?s <{EX}knows> ?o . FILTER(isIRI(?o)) }}'
+    assert _vals(enc, q) == [f"<{EX}b>"]
+    q = 'SELECT (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }'
+    assert _vals(enc, q, "n") == [9]
+
+
+def test_isnumeric_checks_datatype_and_lexical(enc):
+    q = f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . FILTER(isNumeric(?a)) }}'
+    # "old"^^xsd:string fails the datatype gate; 42 and 17.5 pass
+    assert _vals(enc, q) == sorted([f"<{EX}a>", f"<{EX}b>"])
+
+
+def test_numeric_comparison_over_typed_literals(enc):
+    q = f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . FILTER(?a > 20) }}'
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    q = f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . FILTER(?a * 2 < 40) }}'
+    assert _vals(enc, q) == [f"<{EX}b>"]
+
+
+def test_str_strips_encoding_and_unescapes(enc):
+    q = f'SELECT (STR(?o) AS ?lex) WHERE {{ <{EX}a> <{EX}quote> ?o }}'
+    assert _vals(enc, q) == ['say "hi"\\now\tend']
+    q = f'SELECT (STR(?s) AS ?lex) WHERE {{ ?s <{EX}quote> ?o }}'
+    assert _vals(enc, q) == [EX + "a"]
+
+
+def test_string_functions_auto_lex(enc):
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . '
+         f'FILTER(STRSTARTS(?n, "Ali")) }}')
+    assert _vals(enc, q) == [f"<{EX}a>", f"<{EX}a>"]  # Alice@en, Alicia@fr
+    q = (f'SELECT (UCASE(?n) AS ?u) WHERE {{ <{EX}b> <{EX}name> ?n }}')
+    assert _vals(enc, q) == ["BOB"]
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . FILTER(REGEX(?n, "^B")) }}')
+    assert _vals(enc, q) == [f"<{EX}b>"]
+
+
+def test_sameterm_and_equality_encode_str_side(enc):
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n1 . ?s <{EX}name> ?n2 . '
+         f'FILTER(!sameTerm(?n1, ?n2)) }}')
+    assert _vals(enc, q) == [f"<{EX}a>", f"<{EX}a>"]  # the two a-names, both orders
+    # = against a plain string compares as a simple-literal term
+    q = f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . FILTER(?n = "Bob") }}'
+    assert _vals(enc, q) == [f"<{EX}b>"]
+    q = f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . FILTER(STR(?n) = "Alice") }}'
+    assert _vals(enc, q) == [f"<{EX}a>"]
+
+
+def test_strlang_strdt_iri_constructors(enc):
+    q = (f'SELECT (STRLANG(STR(?n), "de") AS ?t) '
+         f'WHERE {{ <{EX}b> <{EX}name> ?n }}')
+    assert _vals(enc, q) == ['"Bob"@de']
+    q = (f'SELECT (STRDT(STR(?a), <{XSD}byte>) AS ?t) '
+         f'WHERE {{ <{EX}a> <{EX}age> ?a }}')
+    assert _vals(enc, q) == [f'"42"^^<{XSD}byte>']
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}knows> ?o . '
+         f'FILTER(?o = IRI(CONCAT("{EX}", "b"))) }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+
+
+def test_bind_of_term_builtin(enc):
+    q = (f'SELECT ?s ?l WHERE {{ ?s <{EX}name> ?n . '
+         f'BIND(LANG(?n) AS ?l) FILTER(?l != "") }}')
+    got = {(r.s, r.l) for r in _q(enc, q).collect()}
+    assert got == {(f"<{EX}a>", "en"), (f"<{EX}a>", "fr"), (f"<{EX}c>", "en-GB")}
+
+
+# ---------------------------------------------------------------------------
+# out-of-scope raises + non-term-mode guard
+# ---------------------------------------------------------------------------
+
+def test_term_builtin_requires_term_mode(enc):
+    with pytest.raises(SparqlError, match="term_mode"):
+        sparql_query(enc, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }')
+
+
+def test_term_mode_rejects_bare_names_and_quoted_patterns(enc):
+    with pytest.raises(SparqlError, match="bare name"):
+        _q(enc, "SELECT ?s WHERE { ?s knows ?o }")
+    with pytest.raises(SparqlError, match="quoted-triple"):
+        _q(enc, f"SELECT ?s WHERE {{ << ?s <{EX}p> ?o >> <{EX}q> ?v }}")
+
+
+def test_term_mode_rejects_quads_relation(enc, spark):
+    quads = enc.withColumn("graph", enc.subj)
+    with pytest.raises(SparqlError, match="terms_spo"):
+        sparql_query(quads, "SELECT ?s WHERE { ?s ?p ?o }", term_mode=True)
+
+
+def test_property_paths_compose_with_encoding(enc):
+    q = f'SELECT ?o WHERE {{ <{EX}a> <{EX}knows>+ ?o }}'
+    assert _vals(enc, q) == [f"<{EX}b>"]
+    q = f'SELECT ?s WHERE {{ ?o ^<{EX}knows> ?s }}'
+    assert _vals(enc, q) == [f"<{EX}a>"]
