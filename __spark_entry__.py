@@ -843,6 +843,17 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_substring_dup_windows(spark, sf_dir):
+    """ExactSubstr-style duplicate-span report (Lee et al. 2022) at
+    12-token window granularity over the documents table: windows
+    present in ≥2 distinct docs, per-doc counts + earliest duplicated
+    offset. Engine keys the shuffle on xxhash64(window); the oracle
+    groups the exact window strings — counts must agree."""
+    from parser_rdf_spark.textops import substring_dup_windows
+
+    return substring_dup_windows(_docs(spark, sf_dir), k=12)
+
+
 def _q_pii_redact(spark, sf_dir):
     """PII detect-and-redact (emails/SSNs/phones/IPv4) over a derivation
     of documents carrying deterministic doc_id-seeded PII spans. Pure
@@ -4540,6 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_star_annotation_block": _q_sparql_star_annotation_block,
         "sparql_term_filters": _q_sparql_term_filters,
         "sparql_term_functions": _q_sparql_term_functions,
+        "substring_dup_windows": _q_substring_dup_windows,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6331,6 +6343,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_custkey AS VARCHAR) AS ck, "
             "CAST(cents AS VARCHAR) AS cents, 'integer' AS dtl "
             "FROM t WHERE cents >= 900000"
+        ),
+        "substring_dup_windows": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sized AS (SELECT doc_id, t FROM toks WHERE len(t) >= 12), "
+            "w AS (SELECT doc_id, i, array_to_string(t[i+1:i+12], ' ') AS gram "
+            "FROM sized, unnest(range(len(t) - 11)) AS u(i)), "
+            "d AS (SELECT gram FROM w GROUP BY gram "
+            "HAVING min(doc_id) <> max(doc_id)), "
+            "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows, "
+            "CAST(min(i) AS BIGINT) AS first_dup_pos "
+            "FROM w WHERE gram IN (SELECT gram FROM d) GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(t) - 11 AS BIGINT) AS n_windows "
+            "FROM sized) "
+            "SELECT tot.doc_id, n_windows, dup_windows, first_dup_pos "
+            "FROM tot JOIN per ON tot.doc_id = per.doc_id"
         ),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "

@@ -56,6 +56,72 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     )
 
 
+def substring_dup_windows(
+    documents: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    k-token span occurring verbatim in more than one document is a
+    duplicate span. The paper's suffix array is a single-machine
+    structure; the distributed equivalent is window-hash matching at
+    k-token granularity — emit every k-token sliding window, keep the
+    windows present in ≥2 DISTINCT documents (cross-document semantics;
+    a doc repeating itself is not a corpus duplicate), and report per
+    document how much of it is duplicated elsewhere.
+
+    Returns (doc_id, n_windows, dup_windows, first_dup_pos) for
+    documents with ≥1 duplicated window; ``first_dup_pos`` is the
+    0-based token offset where the earliest duplicated window starts
+    (the removal cut point a cleaner would use).
+
+    Scale shape: explode(sequence) fans each doc into ~n_tokens rows —
+    corpus-token weight class, same as line_dedup — keyed by xxhash64 of
+    the window text (8 bytes, never the string) into ONE groupBy with
+    min/max partial agg (hot boilerplate windows collapse map-side; the
+    dup test is min(doc)≠max(doc), cheaper and fully combinable vs a
+    count-distinct sketch), then one semi-join back and one groupBy(doc).
+    No window-function over a skewed key, no driver state.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("pos") + 1, k))).alias("h"),
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    per_doc = (
+        wins.join(shared, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.min("pos").alias("first_dup_pos"),
+        )
+    )
+    totals = toks.select(
+        "doc_id", (F.size("t") - k + 1).cast("long").alias("n_windows")
+    )
+    return totals.join(per_doc, "doc_id").select(
+        "doc_id", "n_windows", "dup_windows", "first_dup_pos"
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     candidates: DataFrame | None = None,

@@ -282,3 +282,37 @@ def test_ann_sq8_topk_finds_planted_twin(spark):
     bf = {r.query_id: r.neighbor_id
           for r in ann_bruteforce_topk(emb, k=1).filter("query_id >= 100").collect()}
     assert sq == bf == {100 + i: i for i in range(5)}
+
+
+def test_substring_dup_windows_planted_span(spark):
+    from parser_rdf_spark.textops import substring_dup_windows
+
+    shared = " ".join(f"w{i}" for i in range(6))          # a 6-token span
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),      # span at pos 2
+            (2, f"{shared} tail1 tail2 tail3 tail4"),     # span at pos 0
+            (3, "totally unrelated words only here now"), # no dup
+            (4, "short doc"),                             # < k tokens: excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in substring_dup_windows(docs, k=6).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 10 tokens → 5 windows; only the one starting at the span dups
+    assert out[1].n_windows == 5 and out[1].dup_windows == 1
+    assert out[1].first_dup_pos == 2
+    assert out[2].n_windows == 5 and out[2].dup_windows == 1
+    assert out[2].first_dup_pos == 0
+
+
+def test_substring_dup_windows_within_doc_repeat_not_flagged(spark):
+    from parser_rdf_spark.textops import substring_dup_windows
+
+    span = " ".join(f"x{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, f"{span} mid1 mid2 {span}"), (2, "other words here beyond four")],
+        "doc_id bigint, text string",
+    )
+    # the repeat is inside ONE doc: cross-document semantics → no rows
+    assert substring_dup_windows(docs, k=4).count() == 0
