@@ -68,7 +68,16 @@ def terms_spo(triples: DataFrame) -> DataFrame:
     (whole-stage-codegen friendly; no companion columns to thread
     through the join machinery). The rendering is exactly the
     serializer's (serialize.object_term), so the encoded relation is
-    also the canonical comparison form of SURVEY §1.3."""
+    also the canonical comparison form of SURVEY §1.3.
+
+    Scale note (encode once, query many): over this DERIVED projection a
+    constant pattern filter evaluates above the base scan (Catalyst
+    cannot invert concat), so at 100-TB scale MATERIALIZE the encoded
+    relation (parquet/Iceberg, bucketed by pred like the edges table) —
+    the encoded terms are then stored columns and every constant filter
+    reaches the scan as a pushed parquet predicate (pinned by
+    tests/test_sparql_terms.py::test_materialized_encoding_pushes_filters).
+    """
     from .serialize import _term, object_term
 
     return triples.select(

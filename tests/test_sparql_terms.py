@@ -210,3 +210,18 @@ def test_property_paths_compose_with_encoding(enc):
     assert _vals(enc, q) == [f"<{EX}b>"]
     q = f'SELECT ?s WHERE {{ ?o ^<{EX}knows> ?s }}'
     assert _vals(enc, q) == [f"<{EX}a>"]
+
+
+def test_materialized_encoding_pushes_filters(enc, spark, tmp_path):
+    # encode-once-query-many: on a MATERIALIZED encoded relation the
+    # constant predicate filter must reach the parquet scan (at 100 TB
+    # this is the difference between a pruned scan and a full read)
+    from parser_rdf_spark.bgp import bgp_query
+
+    path = str(tmp_path / "enc")
+    enc.write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = bgp_query(stored, [("?s", f"<{EX}name>", "?o")], select=["?s", "?o"])
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "extended")
+    assert f"PushedFilters: [IsNotNull(pred), EqualTo(pred,<{EX}name>)]" in plan
