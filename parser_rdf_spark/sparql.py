@@ -996,6 +996,15 @@ class _ExprTranslator:
             if len(args) != 1:
                 raise SparqlError(f"{name.upper()} takes one argument")
             return f"sha2({lex(0)}, {name[3:]})", "call"
+        if name == "encode_for_uri":
+            if len(args) != 1:
+                raise SparqlError("ENCODE_FOR_URI takes one argument")
+            # §17.4.3.12 / XPath fn:encode-for-uri: percent-encode all
+            # but unreserved [A-Za-z0-9_.~-]. Spark url_encode is form
+            # encoding — fix its three divergences: space → '+',
+            # '*' left bare, '~' encoded as %7E
+            return (f"replace(replace(replace(url_encode({lex(0)}), "
+                    "'+', '%20'), '*', '%2A'), '%7E', '~')", "str")
         if name in ("iri", "uri"):
             if len(args) != 1:
                 raise SparqlError(f"{name.upper()} takes one argument")
@@ -1108,7 +1117,13 @@ def parse_sparql(text: str, term_mode: bool = False) -> dict:
     the :func:`.bgp.terms_spo` relation."""
     p = _Parser(text, term_mode=term_mode)
     _prologue(p)
+    spec = _parse_form(p)
+    if term_mode:
+        spec["term_mode"] = True
+    return spec
 
+
+def _parse_form(p: _Parser) -> dict:
     if p._eat_kw("select"):
         return _parse_select(p)
     if p._eat_kw("ask"):
@@ -1425,6 +1440,41 @@ def _having_expr(p: _Parser, spec: dict) -> str:
 # execution
 # ---------------------------------------------------------------------------
 
+def _term_order_keys(name: str, desc: bool) -> list:
+    """SPARQL §15.1 value ordering over the term encoding: unbound <
+    blank nodes < IRIs < literals (quoted triples after everything);
+    numeric-typed literals order by VALUE among themselves; lexical form
+    next; the full encoded string last as a deterministic tiebreaker."""
+    rank = (f"(CASE WHEN {name} IS NULL THEN 0 "
+            f"WHEN startswith({name}, '_:') THEN 1 "
+            f"WHEN startswith({name}, '<<') THEN 4 "
+            f"WHEN {name} LIKE '<%' THEN 2 ELSE 3 END)")
+    num = (f"(CASE WHEN {name} RLIKE '\\\\^\\\\^<{_XSD}"
+           f"({_NUMERIC_XSD_LOCAL})>$' "
+           f"THEN try_cast({_sql_lex(name)} AS DOUBLE) ELSE NULL END)")
+    rank_c, num_c = F.expr(rank), F.expr(num)
+    lex_c, full_c = F.expr(_sql_lex(name)), F.col(name)
+    if desc:
+        # exact mirror of the ascending total order
+        return [rank_c.desc(), num_c.desc_nulls_first(),
+                lex_c.desc(), full_c.desc()]
+    return [rank_c.asc(), num_c.asc_nulls_last(), lex_c.asc(), full_c.asc()]
+
+
+def _order_cols(df: DataFrame, order_by: list, term_mode: bool) -> list:
+    """ORDER BY sort columns: term-mode string columns get the §15.1
+    value-order keys (non-string columns — aggregates, plain numeric
+    BINDs — keep native ordering)."""
+    dtypes = dict(df.dtypes)
+    cols = []
+    for n, d in order_by:
+        if term_mode and dtypes.get(n) == "string":
+            cols += _term_order_keys(n, d)
+        else:
+            cols.append(F.col(n).desc() if d else F.col(n).asc())
+    return cols
+
+
 def _exec_kwargs(spec: dict) -> dict:
     return {k: v for k, v in spec.items()
             if k in ("patterns", "optional", "filters", "values", "bind",
@@ -1586,8 +1636,8 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
             sols = bgp_query(triples, patterns, dedup=dedup, **kwargs)
         order_by, limit = spec.get("order_by"), spec.get("limit")
         if order_by:
-            sols = sols.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
-                                  for n, d in order_by])
+            sols = sols.orderBy(
+                *_order_cols(sols, order_by, spec.get("term_mode", False)))
         if limit is not None:
             sols = sols.limit(limit)
         return construct_from_solutions(sols, spec["template"])
@@ -1640,6 +1690,7 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     aggregates = spec.pop("aggregates", None)
     group_by = spec.pop("group_by", None)
     having = spec.pop("having", None)
+    term_mode = spec.pop("term_mode", False)
     # projection expressions run AFTER the solution relation (and any
     # aggregate) is built, so the inner paths project nothing and the
     # final select/distinct move to the tail
@@ -1725,8 +1776,7 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
         if hidden:
             df = df.drop(*hidden)
     if order_by:
-        df = df.orderBy(*[F.col(n).desc() if d else F.col(n).asc()
-                          for n, d in order_by])
+        df = df.orderBy(*_order_cols(df, order_by, term_mode))
     if offset:
         df = df.offset(offset)
     if limit is not None:

@@ -225,3 +225,29 @@ def test_materialized_encoding_pushes_filters(enc, spark, tmp_path):
     plan = q._sc._jvm.PythonSQLUtils.explainString(
         q._jdf.queryExecution(), "extended")
     assert f"PushedFilters: [IsNotNull(pred), EqualTo(pred,<{EX}name>)]" in plan
+
+
+def test_term_mode_order_by_value(enc):
+    # §15.1 value order: numeric literals by VALUE (17.5 < 42 despite
+    # "17.5" > "42" lexically); IRIs sort before literals
+    q = f'SELECT ?s ?a WHERE {{ ?s <{EX}age> ?a }} ORDER BY ?a'
+    rows = _q(enc, q).collect()
+    assert [r.s for r in rows] == [f"<{EX}b>", f"<{EX}a>", f"<{EX}c>"]
+    q = (f'SELECT ?o WHERE {{ <{EX}a> ?p ?o . '
+         f'FILTER(isIRI(?o) || isLiteral(?o)) }} ORDER BY DESC(?o) LIMIT 1')
+    rows = _q(enc, q).collect()
+    assert rows[0].o.startswith('"')   # a literal outranks the IRI
+
+
+def test_term_mode_order_by_aggregate_falls_back(enc):
+    # a non-string (aggregate) sort column keeps native ordering
+    q = ('SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } '
+         'GROUP BY ?s ORDER BY DESC(?n) LIMIT 1')
+    rows = _q(enc, q).collect()
+    assert rows[0].s == f"<{EX}a>" and rows[0].n == 5
+
+
+def test_encode_for_uri(enc):
+    q = ('SELECT (ENCODE_FOR_URI("a b~c*d/e") AS ?u) '
+         f'WHERE {{ <{EX}b> <{EX}name> ?n }}')
+    assert _vals(enc, q) == ["a%20b~c%2Ad%2Fe"]
