@@ -1266,16 +1266,34 @@ def _select_agg(p: _Parser) -> tuple[str, str]:
         toks = p._collect_until_close()
         if func == "group_concat":
             toks, separator = _split_separator(toks)
-        inner = _ExprTranslator(p, toks).translate()
+        tr = _ExprTranslator(p, toks)
+        inner = tr.translate()
+        inner_kind = tr.last_kind
     p._expect_kw("as")
     k2, t2 = p._next()
     if k2 != "VAR":
         raise SparqlError("aggregate needs `AS ?var`")
     p._expect(")")
+    term_arg = p.term_mode and inner != "*" and inner_kind in ("var", "term")
     if func == "sample":
         sql = f"first({inner})"
     elif func in ("sum", "avg"):
+        if term_arg:
+            # SUM/AVG aggregate VALUES: lex-strip the encoding; a
+            # non-numeric term becomes NULL and is ignored by the
+            # aggregate (a bare CAST would abort under ANSI mode)
+            inner = f"try_cast({_sql_lex(inner)} AS DOUBLE)"
         sql = f"{func}(CAST({inner} AS DOUBLE))"
+    elif func in ("min", "max") and term_arg:
+        # value-correct MIN/MAX over encoded terms: pick by the §15.1
+        # sort key, not the encoded string (lexicographic min of
+        # '"17.5"^^…' vs '"42"^^…' would be silently wrong); NULL num
+        # (non-numeric literal) maps to +inf — same total order as
+        # ORDER BY's asc_nulls_last
+        rank, num, lex = _term_sort_sql(inner)
+        key = (f"struct({rank}, coalesce({num}, "
+               f"cast('Infinity' as double)), {lex}, {inner})")
+        sql = f"{'min_by' if func == 'min' else 'max_by'}({inner}, {key})"
     elif func == "group_concat":
         # deterministic rendering: SPARQL leaves group order undefined,
         # the engine pins lexicographic order (portable across runs,
@@ -1416,11 +1434,23 @@ def _having_expr(p: _Parser, spec: dict) -> str:
             if inner == [("OP", "*")] and func == "count":
                 sql = "count(*)"
             else:
-                arg = _ExprTranslator(p, inner).translate()
+                tr = _ExprTranslator(p, inner)
+                arg = tr.translate()
+                # mirror _select_agg's term-mode rewrites exactly — the
+                # alias lookup below matches by SQL string equality
+                term_arg = p.term_mode and tr.last_kind in ("var", "term")
                 if func in ("sum", "avg"):
+                    if term_arg:
+                        arg = f"try_cast({_sql_lex(arg)} AS DOUBLE)"
                     sql = f"{func}(CAST({arg} AS DOUBLE))"
                 elif func == "sample":
                     sql = f"first({arg})"
+                elif func in ("min", "max") and term_arg:
+                    rank, num, lex = _term_sort_sql(arg)
+                    key = (f"struct({rank}, coalesce({num}, "
+                           f"cast('Infinity' as double)), {lex}, {arg})")
+                    sql = (f"{'min_by' if func == 'min' else 'max_by'}"
+                           f"({arg}, {key})")
                 else:
                     sql = f"{func}({arg})"
             alias = next((n for n, s in aggs.items() if s == sql), None)
@@ -1440,20 +1470,27 @@ def _having_expr(p: _Parser, spec: dict) -> str:
 # execution
 # ---------------------------------------------------------------------------
 
+def _term_sort_sql(x: str) -> tuple[str, str, str]:
+    """The §15.1 value-order key components of a term-encoded value:
+    (kind rank, numeric value or NULL, lexical form)."""
+    rank = (f"(CASE WHEN {x} IS NULL THEN 0 "
+            f"WHEN startswith({x}, '_:') THEN 1 "
+            f"WHEN startswith({x}, '<<') THEN 4 "
+            f"WHEN {x} LIKE '<%' THEN 2 ELSE 3 END)")
+    num = (f"(CASE WHEN {x} RLIKE '\\\\^\\\\^<{_XSD}"
+           f"({_NUMERIC_XSD_LOCAL})>$' "
+           f"THEN try_cast({_sql_lex(x)} AS DOUBLE) ELSE NULL END)")
+    return rank, num, _sql_lex(x)
+
+
 def _term_order_keys(name: str, desc: bool) -> list:
     """SPARQL §15.1 value ordering over the term encoding: unbound <
     blank nodes < IRIs < literals (quoted triples after everything);
     numeric-typed literals order by VALUE among themselves; lexical form
     next; the full encoded string last as a deterministic tiebreaker."""
-    rank = (f"(CASE WHEN {name} IS NULL THEN 0 "
-            f"WHEN startswith({name}, '_:') THEN 1 "
-            f"WHEN startswith({name}, '<<') THEN 4 "
-            f"WHEN {name} LIKE '<%' THEN 2 ELSE 3 END)")
-    num = (f"(CASE WHEN {name} RLIKE '\\\\^\\\\^<{_XSD}"
-           f"({_NUMERIC_XSD_LOCAL})>$' "
-           f"THEN try_cast({_sql_lex(name)} AS DOUBLE) ELSE NULL END)")
+    rank, num, lex = _term_sort_sql(name)
     rank_c, num_c = F.expr(rank), F.expr(num)
-    lex_c, full_c = F.expr(_sql_lex(name)), F.col(name)
+    lex_c, full_c = F.expr(lex), F.col(name)
     if desc:
         # exact mirror of the ascending total order
         return [rank_c.desc(), num_c.desc_nulls_first(),

@@ -251,3 +251,19 @@ def test_encode_for_uri(enc):
     q = ('SELECT (ENCODE_FOR_URI("a b~c*d/e") AS ?u) '
          f'WHERE {{ <{EX}b> <{EX}name> ?n }}')
     assert _vals(enc, q) == ["a%20b~c%2Ad%2Fe"]
+
+
+def test_term_mode_aggregates_by_value(enc):
+    # SUM/AVG strip the encoding (value aggregation; non-numeric → NULL,
+    # ignored); MIN/MAX pick by the §15.1 key, not the encoded string
+    q = (f'SELECT (SUM(?a) AS ?tot) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) '
+         f'WHERE {{ ?s <{EX}age> ?a . FILTER(isNumeric(?a)) }}')
+    rows = _q(enc, q).collect()
+    assert rows[0].tot == 59.5
+    assert rows[0].lo == f'"17.5"^^<{XSD}decimal>'   # 17.5 < 42 by VALUE
+    assert rows[0].hi == f'"42"^^<{XSD}integer>'
+    # HAVING references the same term-mode aggregate (alias match)
+    q = (f'SELECT ?s (SUM(?a) AS ?tot) WHERE {{ ?s <{EX}age> ?a }} '
+         f'GROUP BY ?s HAVING (SUM(?a) > 20)')
+    got = {r.s: r.tot for r in _q(enc, q).collect()}
+    assert got == {f"<{EX}a>": 42.0}
