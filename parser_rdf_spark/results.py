@@ -13,10 +13,16 @@ literal lexical forms, datatypes/langs intentionally erased at
 :func:`bgp.triples_spo`). That maps exactly onto the CSV format, which
 is lossy BY SPEC (§3: "strings without datatype or language"). TSV and
 JSON need full term syntax back, so they take a per-column ``kinds``
-map (``'iri' | 'literal' | 'auto'``); ``'auto'`` recovers the term
-class structurally — ``_:`` prefix → blank node, absolute-IRI shape →
-IRI, else plain literal — which is exact for any vocabulary whose plain
-literals are not themselves absolute IRIs (documented, caller-overridable).
+map (``'iri' | 'literal' | 'auto' | 'term'``); ``'auto'`` recovers the
+term class structurally — ``_:`` prefix → blank node, absolute-IRI
+shape → IRI, else plain literal — which is exact for any vocabulary
+whose plain literals are not themselves absolute IRIs (documented,
+caller-overridable). ``'term'`` marks a TERM-ENCODED column
+(:func:`.bgp.terms_spo` / ``sparql_query(term_mode=True)`` output) and
+is the one kind that is LOSSLESS: language tags surface as
+``"xml:lang"`` and datatypes as ``"datatype"`` in SRJ/XML, TSV embeds
+the encoding verbatim (it already is the TSV term syntax), and literal
+lexical forms are unescaped exactly.
 
 Scale shape: every serializer is a map-only projection (no shuffle, no
 Python). The NDJSON surface (:func:`to_sparql_json_bindings`) is the
@@ -74,13 +80,47 @@ def to_sparql_csv(solutions: DataFrame) -> DataFrame:
     return head.unionByName(body)
 
 
+# --- 'term' kind: the column carries TERM-ENCODED values (bgp.terms_spo
+# --- / sparql_query(term_mode=True) SELECT output) — the one kind that
+# --- recovers language tags and datatypes LOSSLESSLY (no structural
+# --- guessing): '<iri>', '_:label', '"lex"[@lang|^^<dt>]', quoted forms.
+# --- A plain (non-encoded) value in a 'term' column — a LANG()/plain
+# --- BIND output — renders as a simple literal.
+
+_ENC_LIT_RX = '^"(.*)"(@[A-Za-z0-9-]+|\\^\\^<[^>]*>)?$'
+_ENC_LANG_RX = '^".*"@[A-Za-z0-9-]+$'
+_ENC_LANG_EXTRACT = "@([A-Za-z0-9-]+)$"
+_ENC_DT_RX = '\\^\\^<[^>]*>$'
+_ENC_DT_EXTRACT = "\\^\\^<([^>]*)>$"
+
+
+def _decode_lit_lex(c: Column) -> Column:
+    """Unescaped lexical form of an encoded literal — inverts the five
+    serializer escapes (backslash pairs first via a chr(1) sentinel)."""
+    s = F.regexp_extract(c, _ENC_LIT_RX, 1)
+    s = F.replace(s, F.lit("\\\\"), F.lit("\x01"))
+    s = F.replace(s, F.lit('\\"'), F.lit('"'))
+    s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+    s = F.replace(s, F.lit("\\r"), F.lit("\r"))
+    s = F.replace(s, F.lit("\\t"), F.lit("\t"))
+    return F.replace(s, F.lit("\x01"), F.lit("\\"))
+
+
 def _term_kind(c: Column, kind: str) -> Column:
     if kind == "iri":
         return F.lit("iri")
     if kind == "literal":
         return F.lit("literal")
+    if kind == "term":
+        return (
+            F.when(c.startswith("_:"), F.lit("bnode"))
+            .when(c.startswith("<<"), F.lit("quoted"))
+            .when(c.startswith("<"), F.lit("iri"))
+            .otherwise(F.lit("literal"))
+        )
     if kind != "auto":
-        raise ValueError(f"kind must be 'iri'|'literal'|'auto', got {kind!r}")
+        raise ValueError(
+            f"kind must be 'iri'|'literal'|'auto'|'term', got {kind!r}")
     return (
         F.when(c.startswith("_:"), F.lit("bnode"))
         # RDF-star quoted-triple lexical form (canonical encoding —
@@ -107,6 +147,12 @@ def _tsv_term(c: Column, kind: str) -> Column:
             "\t", r"\\t"),
         F.lit('"'),
     )
+    if kind == "term":
+        # encoded values ARE the TSV term syntax — embed verbatim;
+        # a plain value in a term column wraps as a simple literal
+        enc = (c.startswith("_:") | c.startswith("<<")
+               | c.startswith("<") | c.startswith('"'))
+        return F.coalesce(F.when(enc, c).otherwise(lit), F.lit(""))
     term = (
         # quoted triples embed verbatim — the canonical lexical form IS
         # the SPARQL 1.2 TSV rendering
@@ -147,6 +193,35 @@ def to_sparql_tsv(solutions: DataFrame,
 
 def _binding_struct(c: Column, kind: str) -> Column:
     k = _term_kind(c, kind)
+    if kind == "term":
+        # lossless SRJ binding: language-tagged literals carry
+        # "xml:lang", typed literals "datatype" (to_json drops nulls)
+        has_lang = c.rlike(_ENC_LANG_RX)
+        has_dt = c.startswith('"') & c.rlike(_ENC_DT_RX)
+        value = (
+            F.when(k == "bnode", c.substr(F.lit(3), F.length(c)))
+            .when(k == "quoted", c)
+            .when(k == "iri", c.substr(F.lit(2), F.length(c) - 2))
+            .when(c.startswith('"'), _decode_lit_lex(c))
+            .otherwise(c)  # plain value (LANG()/plain BIND output)
+        )
+        return F.when(
+            c.isNotNull(),
+            F.struct(
+                F.when(k == "iri", F.lit("uri"))
+                .when(k == "bnode", F.lit("bnode"))
+                .when(k == "quoted", F.lit("triple"))
+                .otherwise(F.lit("literal"))
+                .alias("type"),
+                value.alias("value"),
+                F.when(has_lang,
+                       F.regexp_extract(c, _ENC_LANG_EXTRACT, 1))
+                .alias("xml:lang"),
+                F.when(has_dt,
+                       F.regexp_extract(c, _ENC_DT_EXTRACT, 1))
+                .alias("datatype"),
+            ),
+        )
     return F.when(
         c.isNotNull(),
         F.struct(
@@ -220,6 +295,48 @@ def to_sparql_xml_results(solutions: DataFrame,
     parts = []
     for c in cols:
         col, k = F.col(c), _term_kind(F.col(c), km[c])
+        if km[c] == "term":
+            # lossless XML binding: xml:lang / datatype attributes
+            has_lang = col.rlike(_ENC_LANG_RX)
+            has_dt = col.startswith('"') & col.rlike(_ENC_DT_RX)
+            lit_open = (
+                F.when(has_lang,
+                       F.concat(F.lit('<literal xml:lang="'),
+                                F.regexp_extract(col, _ENC_LANG_EXTRACT, 1),
+                                F.lit('">')))
+                .when(has_dt,
+                      F.concat(F.lit('<literal datatype="'),
+                               _xml_escape(
+                                   F.regexp_extract(col, _ENC_DT_EXTRACT, 1)),
+                               F.lit('">')))
+                .otherwise(F.lit("<literal>"))
+            )
+            lit_body = F.when(col.startswith('"'), _decode_lit_lex(col)) \
+                .otherwise(col)
+            body = (
+                F.when(k == "iri",
+                       F.concat(F.lit("<uri>"),
+                                _xml_escape(
+                                    col.substr(F.lit(2), F.length(col) - 2)),
+                                F.lit("</uri>")))
+                .when(k == "bnode",
+                      F.concat(F.lit("<bnode>"),
+                               _xml_escape(col.substr(F.lit(3), F.length(col))),
+                               F.lit("</bnode>")))
+                .when(k == "quoted",
+                      F.concat(F.lit("<triple>"), _xml_escape(col),
+                               F.lit("</triple>")))
+                .otherwise(F.concat(lit_open, _xml_escape(lit_body),
+                                    F.lit("</literal>")))
+            )
+            parts.append(
+                F.when(
+                    col.isNotNull(),
+                    F.concat(F.lit(f'<binding name="{c}">'), body,
+                             F.lit("</binding>")),
+                ).otherwise(F.lit(""))
+            )
+            continue
         body = (
             F.when(k == "iri",
                    F.concat(F.lit("<uri>"), _xml_escape(col), F.lit("</uri>")))

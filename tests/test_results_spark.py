@@ -113,3 +113,52 @@ def test_xml_escaping(spark):
     df = spark.createDataFrame([("a <&> b",)], "v string")
     el = to_sparql_xml_results(df).collect()[0].result
     assert "<literal>a &lt;&amp;&gt; b</literal>" in el
+
+
+@pytest.fixture(scope="module")
+def term_sols(spark):
+    rows = [
+        ("<http://e/a>", '"Alice"@en'),
+        ("<http://e/b>", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("_:n1", '"say \\"hi\\"\\\\x"'),     # encoded escapes: " and backslash
+        ("<http://e/c>", None),
+    ]
+    return spark.createDataFrame(rows, "s string, o string")
+
+
+def test_term_kind_json_bindings_lossless(term_sols):
+    km = {"s": "term", "o": "term"}
+    got = [json.loads(r.binding)
+           for r in to_sparql_json_bindings(term_sols, km).collect()]
+    by_s = {b["s"]["value"]: b for b in got if "s" in b}
+    a = by_s["http://e/a"]
+    assert a["s"]["type"] == "uri"
+    assert a["o"] == {"type": "literal", "value": "Alice", "xml:lang": "en"}
+    b = by_s["http://e/b"]
+    assert b["o"] == {"type": "literal", "value": "42",
+                      "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+    n = by_s["n1"]
+    assert n["s"]["type"] == "bnode"
+    assert n["o"]["value"] == 'say "hi"\\x'      # unescaped exactly
+    assert "o" not in by_s["http://e/c"]          # unbound omitted
+
+
+def test_term_kind_tsv_verbatim(term_sols):
+    lines = [r.line for r in
+             to_sparql_tsv(term_sols, {"s": "term", "o": "term"})
+             .orderBy("pos", "line").collect()]
+    assert lines[0] == "?s\t?o"
+    assert '<http://e/a>\t"Alice"@en' in lines    # encoding IS the TSV form
+
+
+def test_term_kind_xml_attributes(term_sols):
+    from parser_rdf_spark.results import to_sparql_xml_results
+
+    res = [r.result for r in to_sparql_xml_results(
+        term_sols, {"s": "term", "o": "term"}).collect()]
+    joined = "".join(res)
+    assert '<literal xml:lang="en">Alice</literal>' in joined
+    assert ('<literal datatype="http://www.w3.org/2001/XMLSchema#integer">'
+            "42</literal>") in joined
+    assert "<bnode>n1</bnode>" in joined
+    assert "<uri>http://e/a</uri>" in joined
