@@ -4357,6 +4357,63 @@ def _golden_values_star_annotation() -> str:
     )
 
 
+_TERM_KB = "http://kb.example.org/"
+_TERM_PARSE_DOC = f"""\
+<{_TERM_KB}a> <{_TERM_KB}name> "Ada"@en .
+<{_TERM_KB}a> <{_TERM_KB}name> "Aude"@fr .
+<{_TERM_KB}b> <{_TERM_KB}name> "Bo" .
+<{_TERM_KB}a> <{_TERM_KB}age> "36"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_TERM_KB}b> <{_TERM_KB}age> "7.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+<{_TERM_KB}a> <{_TERM_KB}knows> <{_TERM_KB}b> .
+_:x <{_TERM_KB}note> "anon" .
+"""
+
+
+def _q_sparql_term_parse(spark, sf_dir):
+    """Parse→encode→query coherence: an N-Triples fixture with language
+    tags, typed literals, an IRI object and a bnode subject goes through
+    the FULL parse pipeline, bgp.terms_spo re-renders the serializer's
+    canonical encoding, and a term-mode SPARQL query destructures every
+    term class back out (STR/LANG/DATATYPE/isIRI — plain literals report
+    xsd:string, lang literals rdf:langString, IRIs ''). Oracle: golden
+    VALUES."""
+    from parser_rdf_spark.bgp import terms_spo
+    from parser_rdf_spark.parse import parse_pages, triples_of
+    from parser_rdf_spark.sparql import sparql_query
+
+    pages = _fixture_pages(
+        spark, {f"{_TERM_KB}doc1": _TERM_PARSE_DOC})
+    enc = terms_spo(triples_of(parse_pages(pages)))
+    return sparql_query(enc, """
+        SELECT ?sl ?pl ?lex ?lg ?dtl ?knd WHERE {
+          ?s ?p ?o . FILTER(isIRI(?s))
+          BIND(STR(?s) AS ?sl)
+          BIND(STR(?p) AS ?pl)
+          BIND(STR(?o) AS ?lex)
+          BIND(LANG(?o) AS ?lg)
+          BIND(COALESCE(STR(DATATYPE(?o)), "") AS ?dtl)
+          BIND(IF(isIRI(?o), "iri", "lit") AS ?knd)
+        }
+    """, term_mode=True)
+
+
+def _golden_values_term_parse() -> str:
+    kb, xsd = _TERM_KB, "http://www.w3.org/2001/XMLSchema#"
+    lang_s = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        (f"{kb}a", f"{kb}name", "Ada", "en", lang_s, "lit"),
+        (f"{kb}a", f"{kb}name", "Aude", "fr", lang_s, "lit"),
+        (f"{kb}b", f"{kb}name", "Bo", "", f"{xsd}string", "lit"),
+        (f"{kb}a", f"{kb}age", "36", "", f"{xsd}integer", "lit"),
+        (f"{kb}b", f"{kb}age", "7.5", "", f"{xsd}decimal", "lit"),
+        (f"{kb}a", f"{kb}knows", f"{kb}b", "", "", "iri"),
+    ]
+    vals = ", ".join(
+        "(" + ", ".join(_sql_quote(v) for v in r) + ")" for r in rows)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(sl, pl, lex, lg, dtl, knd)")
+
+
 def _tpch_term_triples(spark, sf_dir):
     """Full-schema (schemas.TRIPLES) micro-KG with language tags and
     datatypes — the term-mode twin of _tpch_triples: nation names are
@@ -4552,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_term_filters": _q_sparql_term_filters,
         "sparql_term_functions": _q_sparql_term_functions,
         "substring_dup_windows": _q_substring_dup_windows,
+        "sparql_term_parse": _q_sparql_term_parse,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6344,6 +6402,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cents AS VARCHAR) AS cents, 'integer' AS dtl "
             "FROM t WHERE cents >= 900000"
         ),
+        "sparql_term_parse": _golden_values_term_parse(),
         "substring_dup_windows": (
             "WITH toks AS (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
