@@ -854,6 +854,16 @@ def _q_substring_dup_windows(spark, sf_dir):
     return substring_dup_windows(_docs(spark, sf_dir), k=12)
 
 
+def _q_substring_dedup_clean(spark, sf_dir):
+    """ExactSubstr CLEANING (keep the global first occurrence of each
+    duplicated 12-token window, cut the rest) over the documents table.
+    The oracle reproduces keep-first with a doc*1e6+pos ordering key and
+    exact window strings; texts must match byte-for-byte."""
+    from parser_rdf_spark.textops import substring_dedup_clean
+
+    return substring_dedup_clean(_docs(spark, sf_dir), k=12)
+
+
 def _q_pii_redact(spark, sf_dir):
     """PII detect-and-redact (emails/SSNs/phones/IPv4) over a derivation
     of documents carrying deterministic doc_id-seeded PII spans. Pure
@@ -4610,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_term_functions": _q_sparql_term_functions,
         "substring_dup_windows": _q_substring_dup_windows,
         "sparql_term_parse": _q_sparql_term_parse,
+        "substring_dedup_clean": _q_substring_dedup_clean,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -6403,6 +6414,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE cents >= 900000"
         ),
         "sparql_term_parse": _golden_values_term_parse(),
+        "substring_dedup_clean": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, i, array_to_string(t[i+1:i+12], ' ') AS gram "
+            "FROM toks, unnest(range(len(t) - 11)) AS u(i) WHERE len(t) >= 12), "
+            "g AS (SELECT gram, min(doc_id) <> max(doc_id) AS isdup, "
+            "min(doc_id * 1000000 + i) AS first_key FROM w GROUP BY gram), "
+            "removed AS (SELECT w.doc_id, w.i FROM w JOIN g ON w.gram = g.gram "
+            "WHERE g.isdup AND (w.doc_id * 1000000 + w.i) <> g.first_key), "
+            "cov AS (SELECT DISTINCT doc_id, i + j AS tok_pos "
+            "FROM removed, unnest(range(12)) AS r(j)), "
+            "tokens AS (SELECT doc_id, j AS tok_pos, t[j+1] AS token "
+            "FROM toks, unnest(range(len(t))) AS r(j)), "
+            "kept AS (SELECT tk.doc_id, tk.tok_pos, tk.token FROM tokens tk "
+            "ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.tok_pos = c.tok_pos), "
+            "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(token, ' ' ORDER BY tok_pos) AS clean_text "
+            "FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) "
+            "SELECT tot.doc_id, n_tokens, "
+            "CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, "
+            "COALESCE(clean_text, '') AS clean_text "
+            "FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id"
+        ),
         "substring_dup_windows": (
             "WITH toks AS (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "

@@ -122,6 +122,89 @@ def substring_dup_windows(
     )
 
 
+def substring_dedup_clean(
+    documents: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CLEANING half of ExactSubstr dedup (Lee et al. 2022): remove
+    every k-token span that occurs verbatim elsewhere in the corpus,
+    keeping the GLOBAL FIRST occurrence — the earliest (doc_id, window
+    position) — of each duplicated window. Documents shorter than k
+    tokens pass through untouched.
+
+    Returns (doc_id, n_tokens, n_kept, clean_text): tokens covered by
+    any removed window are dropped and the survivors re-joined by a
+    single space in original order (tokenization is whitespace-
+    collapsing, so re-joining is the canonical form of what it keeps).
+
+    Scale shape: the window relation of :func:`substring_dup_windows`
+    (corpus-token weight), ONE min-struct groupBy per window hash
+    (keep-first exactly like webops.line_dedup's line rule — partial agg
+    collapses hot boilerplate), an equi-join back, then an explode of
+    the REMOVED windows' k positions (bounded by k × removed, not by
+    corpus size) anti-joined against the token relation, and one
+    groupBy(doc) to reassemble via sort_array — no window function over
+    any skewed key, no driver state."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    )
+    long_docs = toks.filter(F.size("t") >= k)
+    wins = long_docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("pos") + 1, k))).alias("h"),
+    )
+    first = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    removed = (
+        wins.join(first, "h")
+        # duplicated across ≥2 docs AND not the global first occurrence
+        .filter((F.col("lo") != F.col("hi"))
+                & (F.struct("doc_id", "pos") != F.col("first_occ")))
+        .select("doc_id", "pos")
+    )
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tok_pos"),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("tok_pos", "token"),
+    ).withColumn("tok_pos", F.col("tok_pos").cast("long"))
+    kept = tokens.join(covered, ["doc_id", "tok_pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tok_pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     candidates: DataFrame | None = None,

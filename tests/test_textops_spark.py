@@ -316,3 +316,40 @@ def test_substring_dup_windows_within_doc_repeat_not_flagged(spark):
     )
     # the repeat is inside ONE doc: cross-document semantics → no rows
     assert substring_dup_windows(docs, k=4).count() == 0
+
+
+def test_substring_dedup_clean_keeps_global_first(spark):
+    from parser_rdf_spark.textops import substring_dedup_clean
+
+    span = " ".join(f"w{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} a1 a2"),          # first occurrence (doc 1, pos 0)
+            (2, f"b1 {span} b2"),          # later occurrence → removed
+            (3, "unrelated words here x"), # untouched
+            (4, "tiny"),                   # < k: untouched, passes through
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_clean(docs, k=4).collect()}
+    assert out[1].clean_text == f"{span} a1 a2"          # keep-first
+    assert out[2].clean_text == "b1 b2"                  # span cut
+    assert out[2].n_tokens == 6 and out[2].n_kept == 2
+    assert out[3].clean_text == "unrelated words here x"
+    assert out[4].clean_text == "tiny" and out[4].n_kept == 1
+
+
+def test_substring_dedup_clean_overlapping_windows(spark):
+    from parser_rdf_spark.textops import substring_dedup_clean
+
+    # doc 2 shares a 5-token run → two overlapping 4-windows in doc 2;
+    # covered positions must union, not double-remove
+    run = "r0 r1 r2 r3 r4"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x y"), (2, f"p {run} q")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_clean(docs, k=4).collect()}
+    assert out[1].clean_text == f"{run} x y"
+    assert out[2].clean_text == "p q"
+    assert out[2].n_kept == 2
