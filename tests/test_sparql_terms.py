@@ -267,3 +267,48 @@ def test_term_mode_aggregates_by_value(enc):
          f'GROUP BY ?s HAVING (SUM(?a) > 20)')
     got = {r.s: r.tot for r in _q(enc, q).collect()}
     assert got == {f"<{EX}a>": 42.0}
+
+
+def test_encoding_roundtrip_adversarial_batch(spark):
+    # encode → STR must recover every literal EXACTLY, including values
+    # that mimic the encoding itself ('_:x', '<iri>', '"v"@en' as plain
+    # literal CONTENT), backslash runs, trailing backslashes, embedded
+    # quotes before @-like suffixes, and all five escaped characters
+    nasty = [
+        'plain', '', ' ', 'a b', '"', '\\', '\\\\', 'x\\', '\\x',
+        'a"b', 'a"@en', '"v"@en', '"v"^^<http://x>', '<http://iri>',
+        '_:label', '<<quoted>>', 'line1\nline2', 'tab\there', 'cr\rend',
+        'mix\\n\\t"q"\\', '\\"escaped-quote', 'unié中文',
+        'end-with-quote"', '@en', '^^<dt>', 'a\tb\nc\rd\\e"f',
+    ]
+    rows = [("d", None, f"http://e/s{i}", "http://e/p", "literal", v,
+             None, None, i) for i, v in enumerate(nasty)]
+    from parser_rdf_spark import schemas
+    from parser_rdf_spark.sparql import sparql_query
+
+    enc2 = terms_spo(spark.createDataFrame(rows, schema=schemas.TRIPLES))
+    q = ('SELECT ?s (STR(?o) AS ?lex) (isLiteral(?o) AS ?lit) '
+         'WHERE { ?s <http://e/p> ?o }')
+    got = {int(r.s[len("<http://e/s"):-1]): (r.lex, r.lit)
+           for r in sparql_query(enc2, q, term_mode=True).collect()}
+    assert len(got) == len(nasty)
+    for i, v in enumerate(nasty):
+        assert got[i] == (v, True), f"round-trip failed for {v!r}: {got[i]!r}"
+
+
+def test_term_mode_combinators(enc):
+    # OPTIONAL / UNION / VALUES / NOT EXISTS all compose with encoded
+    # constants and term builtins
+    q = (f'SELECT ?s ?hb WHERE {{ ?s <{EX}age> ?a . '
+         f'OPTIONAL {{ ?s <{EX}knows> ?hb }} }}')
+    got = {r.s: r.hb for r in _q(enc, q).collect()}
+    assert got[f"<{EX}a>"] == f"<{EX}b>" and got[f"<{EX}c>"] is None
+    q = (f'SELECT ?x WHERE {{ {{ ?x <{EX}knows> ?y }} UNION '
+         f'{{ ?x <{EX}note> ?y . FILTER(isBlank(?y)) }} }}')
+    assert _vals(enc, q) == sorted([f"<{EX}a>", f"<{EX}b>"])
+    q = (f'SELECT ?s WHERE {{ VALUES ?s {{ <{EX}a> <{EX}x> }} '
+         f'?s <{EX}name> ?n . FILTER(LANG(?n) = "fr") }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . '
+         f'FILTER NOT EXISTS {{ ?s <{EX}knows> ?o }} }}')
+    assert _vals(enc, q) == sorted([f"<{EX}b>", f"<{EX}c>"])
