@@ -96,6 +96,18 @@ def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None)
     lines.write.mode("overwrite").text(path)
 
 
+def encoded_spo_to_ntriples(spo: DataFrame) -> DataFrame:
+    """TERM-ENCODED (subj, pred, obj) relation (:func:`.bgp.terms_spo`
+    projections, term-mode CONSTRUCT output) → N-Triples ``line``
+    column. The encoding IS the N-Triples term syntax, so this is one
+    ``concat_ws`` — the cheapest export path in the engine (law pinned
+    by tests: parse(serialize(construct)) recovers the triples)."""
+    return spo.select(
+        F.concat(F.concat_ws(" ", "subj", "pred", "obj"),
+                 F.lit(" .")).alias("line")
+    )
+
+
 def nquads_line() -> Column:
     """The N-Quads rendering of one full-schema triples row: the
     N-Triples line plus a fourth graph term for named graphs. The

@@ -312,3 +312,25 @@ def test_term_mode_combinators(enc):
     q = (f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . '
          f'FILTER NOT EXISTS {{ ?s <{EX}knows> ?o }} }}')
     assert _vals(enc, q) == sorted([f"<{EX}b>", f"<{EX}c>"])
+
+
+def test_term_construct_serializes_directly(enc, spark):
+    # term-mode CONSTRUCT output is already N-Triples terms: one
+    # concat_ws away from valid lines; the strict parser recovers them
+    from parser_rdf_spark.ntriples import parse_document
+    from parser_rdf_spark.serialize import encoded_spo_to_ntriples
+    from parser_rdf_spark.sparql import sparql_query
+
+    out = sparql_query(enc, f"""
+        CONSTRUCT {{ ?s <{EX}tagged> ?n }}
+        WHERE {{ ?s <{EX}name> ?n . FILTER(LANG(?n) != "") }}
+    """, term_mode=True)
+    lines = sorted(r.line for r in encoded_spo_to_ntriples(out).collect())
+    assert lines == sorted([
+        f'<{EX}a> <{EX}tagged> "Alice"@en .',
+        f'<{EX}a> <{EX}tagged> "Alicia"@fr .',
+        f'<{EX}c> <{EX}tagged> "Cam"@en-GB .',
+    ])
+    reparsed = parse_document("\n".join(lines))
+    assert {(t.obj_value, t.obj_lang) for t in reparsed} == \
+        {("Alice", "en"), ("Alicia", "fr"), ("Cam", "en-GB")}
