@@ -1241,6 +1241,10 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                      stop_at_brace=subquery)
     if subquery:
         p._expect("}")
+    if p.term_mode:
+        # the flag must reach SUB-select specs too, or an inner ORDER BY
+        # would silently sort encoded terms lexically
+        spec["term_mode"] = True
     return spec
 
 

@@ -334,3 +334,14 @@ def test_term_construct_serializes_directly(enc, spark):
     reparsed = parse_document("\n".join(lines))
     assert {(t.obj_value, t.obj_lang) for t in reparsed} == \
         {("Alice", "en"), ("Alicia", "fr"), ("Cam", "en-GB")}
+
+
+def test_subselect_inherits_term_mode(enc):
+    # inner ORDER BY + LIMIT must use §15.1 VALUE order (17.5 before 42),
+    # not lexicographic order over the encoding ("17.5" > "42")
+    q = (f'SELECT ?s ?a WHERE {{ '
+         f'{{ SELECT ?s ?a WHERE {{ ?s <{EX}age> ?a . '
+         f'FILTER(isNumeric(?a)) }} ORDER BY ?a LIMIT 1 }} }}')
+    rows = _q(enc, q).collect()
+    assert [(r.s, r.a) for r in rows] == \
+        [(f"<{EX}b>", f'"17.5"^^<{XSD}decimal>')]
