@@ -244,3 +244,92 @@ def test_spec_17_4_langmatches_filter(spark):
                  FILTER(langMatches(LANG(?title), "FR")) }}
     """, term_mode=True).collect()
     assert [r.title for r in got] == ['"SPARQL (fr)"@fr']
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update recommendation worked examples
+# (https://www.w3.org/TR/sparql11-update/, section numbers below)
+# ---------------------------------------------------------------------------
+
+def test_update_spec_3_1_1_insert_data(spark):
+    # §3.1.1 Example 1: add a title triple to the book
+    from parser_rdf_spark.sparql import sparql_update
+
+    store = _spo(spark, [
+        ("http://example/book1", f"{DC}creator", "A.N.Other"),
+    ])
+    out = sparql_update(store, f"""
+        PREFIX dc: <{DC}>
+        INSERT DATA
+        {{ <http://example/book1> dc:title "A new book" }}
+    """)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("http://example/book1", f"{DC}creator", "A.N.Other"),
+        ("http://example/book1", f"{DC}title", "A new book"),
+    }
+
+
+def test_update_spec_3_1_2_delete_data(spark):
+    # §3.1.2 Example 2: remove the outdated title
+    from parser_rdf_spark.sparql import sparql_update
+
+    store = _spo(spark, [
+        ("http://example/book2", f"{DC}title", "David Copperfield"),
+        ("http://example/book2", f"{DC}creator", "Edmund Wells"),
+    ])
+    out = sparql_update(store, f"""
+        PREFIX dc: <{DC}>
+        DELETE DATA
+        {{ <http://example/book2> dc:title "David Copperfield" }}
+    """)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {("http://example/book2", f"{DC}creator", "Edmund Wells")}
+
+
+def test_update_spec_3_1_3_delete_insert_where(spark):
+    # §3.1.3 Example 3 shape: rename Bill to William wherever he appears
+    # as a foaf:givenName
+    from parser_rdf_spark.sparql import sparql_update
+
+    store = _spo(spark, [
+        ("http://example/president25", f"{FOAF}givenName", "Bill"),
+        ("http://example/president25", f"{FOAF}familyName", "McKinley"),
+        ("http://example/president27", f"{FOAF}givenName", "Bill"),
+        ("http://example/president27", f"{FOAF}familyName", "Taft"),
+        ("http://example/president42", f"{FOAF}givenName", "Bill"),
+        ("http://example/president42", f"{FOAF}familyName", "Clinton"),
+    ])
+    out = sparql_update(store, f"""
+        PREFIX foaf: <{FOAF}>
+        DELETE {{ ?person foaf:givenName "Bill" }}
+        INSERT {{ ?person foaf:givenName "William" }}
+        WHERE {{ ?person foaf:givenName "Bill" }}
+    """)
+    names = sorted((r.subj, r.obj) for r in out.collect()
+                   if r.pred == f"{FOAF}givenName")
+    assert names == [
+        ("http://example/president25", "William"),
+        ("http://example/president27", "William"),
+        ("http://example/president42", "William"),
+    ]
+
+
+def test_update_spec_3_1_3_delete_where_shorthand(spark):
+    # §3.1.3.1 DELETE WHERE: drop every statement about anyone whose
+    # givenName is Fred
+    from parser_rdf_spark.sparql import sparql_update
+
+    store = _spo(spark, [
+        ("http://example/william", f"{FOAF}givenName", "William"),
+        ("http://example/william", f"{FOAF}mbox", "mailto:bill@example"),
+        ("http://example/fred", f"{FOAF}givenName", "Fred"),
+        ("http://example/fred", f"{FOAF}mbox", "mailto:fred@example"),
+    ])
+    out = sparql_update(store, f"""
+        PREFIX foaf: <{FOAF}>
+        DELETE WHERE {{ ?person foaf:givenName "Fred" ;
+                                ?property ?value }}
+    """)
+    got = {r.subj for r in out.collect()}
+    assert got == {"http://example/william"}
