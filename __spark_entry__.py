@@ -4530,6 +4530,14 @@ _TPCH_DELTA_CTE = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROUND-5 ROTATION (do this first next round): the driver checks
+    # list(queries())[:50]. After the r04 run, exactly 36 entries have
+    # never been driver-checked — move them into the first 50 slots:
+    #   positions 51-81 of this dict (bgp_stats_ordered_query ...
+    #   sparql_star_annotation_block) plus the 5 round-4-late entries
+    #   (sparql_term_filters, sparql_term_functions,
+    #   substring_dup_windows, sparql_term_parse, substring_dedup_clean).
+    # ≤14 NEW queries may be added in round 5 or full coverage breaks.
     return {
         # --- round-4 driver window: the 56 queries never driver-oracled in
         # --- r01-r03 (the driver checks list(queries())[:50]); VERDICT r03 task 1.

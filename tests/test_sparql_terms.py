@@ -345,3 +345,16 @@ def test_subselect_inherits_term_mode(enc):
     rows = _q(enc, q).collect()
     assert [(r.s, r.a) for r in rows] == \
         [(f"<{EX}b>", f'"17.5"^^<{XSD}decimal>')]
+
+
+def test_term_mode_describe_and_group_by(enc):
+    # DESCRIBE with an encoded constant target returns that subject's
+    # encoded triples; GROUP BY keys group by term identity
+    q = f'DESCRIBE <{EX}b>'
+    got = {(r.subj, r.pred, r.obj) for r in _q(enc, q).collect()}
+    assert (f"<{EX}b>", f"<{EX}name>", '"Bob"') in got
+    assert (f"<{EX}b>", f"<{EX}note>", "_:n1") in got
+    q = (f'SELECT ?p (COUNT(?o) AS ?n) WHERE {{ <{EX}a> ?p ?o }} '
+         f'GROUP BY ?p ORDER BY ?p')
+    rows = [(r.p, r.n) for r in _q(enc, q).collect()]
+    assert (f"<{EX}name>", 2) in rows and (f"<{EX}knows>", 1) in rows
