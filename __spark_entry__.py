@@ -4530,17 +4530,63 @@ _TPCH_DELTA_CTE = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROUND-5 ROTATION (do this first next round): the driver checks
-    # list(queries())[:50]. After the r04 run, exactly 36 entries have
-    # never been driver-checked — move them into the first 50 slots:
-    #   positions 51-81 of this dict (bgp_stats_ordered_query ...
-    #   sparql_star_annotation_block) plus the 5 round-4-late entries
-    #   (sparql_term_filters, sparql_term_functions,
-    #   substring_dup_windows, sparql_term_parse, substring_dedup_clean).
-    # ≤14 NEW queries may be added in round 5 or full coverage breaks.
+    # ROUND-5 DRIVER WINDOW: the driver checks list(queries())[:50].
+    # First 44 slots = every entry that had never received a driver-green
+    # hash row before this round (the 36 at positions 50-85 of the r04
+    # dict PLUS the 8 ANN/multimodal/simhash entries whose only driver
+    # row was r01 err=no_oracle — VERDICT r04 finding 1). Slots 45-50 =
+    # the new round-5 contract queries. After the r05 run every registry
+    # entry has at least one driver-green row.
     return {
-        # --- round-4 driver window: the 56 queries never driver-oracled in
-        # --- r01-r03 (the driver checks list(queries())[:50]); VERDICT r03 task 1.
+        "bgp_stats_ordered_query": _q_bgp_stats_ordered,
+        "sparql_base_resolution": _q_sparql_base,
+        "sparql_from_dataset": _q_sparql_from_dataset,
+        "trig_named_graphs": _q_trig_named_graphs,
+        "trig_serialize_roundtrip": _q_trig_serialize_roundtrip,
+        "incremental_ontology_merge": _q_incremental_ontology_merge,
+        "normalize_literals": _q_normalize_literals,
+        "canonicalize_urls": _q_canonicalize_urls,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "ontology_diff": _q_ontology_diff,
+        "ann_sq8_recall": _q_ann_sq8_recall,
+        "stream_incremental_cc": _q_stream_incremental_cc,
+        "graph_canonical_dedup": _q_graph_canonical_dedup,
+        "graph_canonical_labels": _q_graph_canonical_labels,
+        "sparql_results_formats": _q_sparql_results_formats,
+        "shacl_deep_constraints": _q_shacl_deep_constraints,
+        "shacl_report_rdf": _q_shacl_report_rdf,
+        "sparql_entailed_query": _q_sparql_entailed_query,
+        "canonical_nquads_export": _q_canonical_nquads_export,
+        "property_graph_export": _q_property_graph_export,
+        "stream_canonical_dedup": _q_stream_canonical_dedup,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "owl_restriction_inference": _q_owl_restriction_inference,
+        "rdfstar_parse_annotations": _q_rdfstar_parse_annotations,
+        "rdfstar_unnest": _q_rdfstar_unnest,
+        "rdfstar_reification": _q_rdfstar_reification,
+        "rdfstar_reify_roundtrip": _q_rdfstar_reify_roundtrip,
+        "sparql_star_annotations": _q_sparql_star_annotations,
+        "turtle_star_annotations": _q_turtle_star_annotations,
+        "nquads_star_graphs": _q_nquads_star_graphs,
+        "sparql_star_annotation_block": _q_sparql_star_annotation_block,
+        "sparql_term_filters": _q_sparql_term_filters,
+        "sparql_term_functions": _q_sparql_term_functions,
+        "substring_dup_windows": _q_substring_dup_windows,
+        "sparql_term_parse": _q_sparql_term_parse,
+        "substring_dedup_clean": _q_substring_dedup_clean,
+        # --- the 8 entries whose only prior driver row was r01
+        # --- err=no_oracle (oracles added in round 3, never re-windowed).
+        "simhash_fingerprints": _q_simhash,
+        "simhash_near_dup_pairs": _q_simhash_near_dup,
+        "media_decode_dims": _q_media_decode,
+        "image_resize_4x4": _q_image_resize,
+        "media_embed_ann": _q_media_embed_ann,
+        "minhash_lsh_near_dup": _q_minhash_near_dup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        # --- slots 45-50: new round-5 contract queries (VERDICT r04
+        # --- tasks 2,3,5,6) are inserted here as they land.
+        # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_same_nation_join": _q_bgp_same_nation_join,
@@ -4591,44 +4637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_delta_merge": _q_triples_delta_merge,
         "triples_delta_stats": _q_triples_delta_stats,
         "snapshot_time_travel": _q_snapshot_time_travel,
-        # --- positions 51+: remaining never-driver-checked + round-4
-        # --- additions; front of the round-5 window.
-        "bgp_stats_ordered_query": _q_bgp_stats_ordered,
-        "sparql_base_resolution": _q_sparql_base,
-        "sparql_from_dataset": _q_sparql_from_dataset,
-        "trig_named_graphs": _q_trig_named_graphs,
-        "trig_serialize_roundtrip": _q_trig_serialize_roundtrip,
-        "incremental_ontology_merge": _q_incremental_ontology_merge,
-        "normalize_literals": _q_normalize_literals,
-        "canonicalize_urls": _q_canonicalize_urls,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "ontology_diff": _q_ontology_diff,
-        "ann_sq8_recall": _q_ann_sq8_recall,
-        "stream_incremental_cc": _q_stream_incremental_cc,
-        "graph_canonical_dedup": _q_graph_canonical_dedup,
-        "graph_canonical_labels": _q_graph_canonical_labels,
-        "sparql_results_formats": _q_sparql_results_formats,
-        "shacl_deep_constraints": _q_shacl_deep_constraints,
-        "shacl_report_rdf": _q_shacl_report_rdf,
-        "sparql_entailed_query": _q_sparql_entailed_query,
-        "canonical_nquads_export": _q_canonical_nquads_export,
-        "property_graph_export": _q_property_graph_export,
-        "stream_canonical_dedup": _q_stream_canonical_dedup,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "owl_restriction_inference": _q_owl_restriction_inference,
-        "rdfstar_parse_annotations": _q_rdfstar_parse_annotations,
-        "rdfstar_unnest": _q_rdfstar_unnest,
-        "rdfstar_reification": _q_rdfstar_reification,
-        "rdfstar_reify_roundtrip": _q_rdfstar_reify_roundtrip,
-        "sparql_star_annotations": _q_sparql_star_annotations,
-        "turtle_star_annotations": _q_turtle_star_annotations,
-        "nquads_star_graphs": _q_nquads_star_graphs,
-        "sparql_star_annotation_block": _q_sparql_star_annotation_block,
-        "sparql_term_filters": _q_sparql_term_filters,
-        "sparql_term_functions": _q_sparql_term_functions,
-        "substring_dup_windows": _q_substring_dup_windows,
-        "sparql_term_parse": _q_sparql_term_parse,
-        "substring_dedup_clean": _q_substring_dedup_clean,
         # --- driver-green in r01/r02/r03 (unchanged code), original order.
         "w3c_conformance_decisions": _q_w3c_decisions,
         "w3c_turtle_decisions": _q_w3c_turtle_decisions,
@@ -4691,14 +4699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "simhash_fingerprints": _q_simhash,
-        "simhash_near_dup_pairs": _q_simhash_near_dup,
-        "media_decode_dims": _q_media_decode,
-        "image_resize_4x4": _q_image_resize,
-        "media_embed_ann": _q_media_embed_ann,
-        "minhash_lsh_near_dup": _q_minhash_near_dup,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
