@@ -6429,9 +6429,9 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT doc_id, i, array_to_string(t[i+1:i+12], ' ') AS gram "
             "FROM toks, unnest(range(len(t) - 11)) AS u(i) WHERE len(t) >= 12), "
             "g AS (SELECT gram, min(doc_id) <> max(doc_id) AS isdup, "
-            "min(doc_id * 1000000 + i) AS first_key FROM w GROUP BY gram), "
+            "min(ROW(doc_id, i)) AS first_key FROM w GROUP BY gram), "
             "removed AS (SELECT w.doc_id, w.i FROM w JOIN g ON w.gram = g.gram "
-            "WHERE g.isdup AND (w.doc_id * 1000000 + w.i) <> g.first_key), "
+            "WHERE g.isdup AND ROW(w.doc_id, w.i) <> g.first_key), "
             "cov AS (SELECT DISTINCT doc_id, i + j AS tok_pos "
             "FROM removed, unnest(range(12)) AS r(j)), "
             "tokens AS (SELECT doc_id, j AS tok_pos, t[j+1] AS token "

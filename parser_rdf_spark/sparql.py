@@ -217,6 +217,26 @@ def _sql_lex(x: str) -> str:
             f"ELSE {x} END)")
 
 
+def _sql_nt_escape(x: str) -> str:
+    """SQL twin of :func:`_nt_escape` (serialize._escape_literal): apply
+    the five N-Triples escapes, backslash first, to a computed lexical
+    form. Needed when term mode re-encodes a plain string as a simple
+    literal — the relation stores ESCAPED lexical forms, so an unescaped
+    re-encoding of a value containing ``"``/``\\``/newline/tab would
+    never match any stored term. chr/||/replace keep it portable to the
+    DuckDB oracle dialect."""
+    return ("replace(replace(replace(replace(replace("
+            f"{x}, chr(92), chr(92)||chr(92)), "
+            "'\"', chr(92)||'\"'), chr(10), chr(92)||'n'), "
+            "chr(13), chr(92)||'r'), chr(9), chr(92)||'t')")
+
+
+def _sql_simple_literal(x: str) -> str:
+    """Encode a plain-string SQL expression as a simple-literal term in
+    the ``terms_spo`` canonical encoding (escape, then wrap in quotes)."""
+    return f"concat('\"', {_sql_nt_escape(x)}, '\"')"
+
+
 class _Parser:
     def __init__(self, text: str, term_mode: bool = False):
         self.toks = _tokenize(text)
@@ -547,7 +567,18 @@ class _Parser:
                     # its solution relation natural-joins the enclosing
                     # group on the shared (projected) variables
                     self._next()
+                    # plain_vars is scoped per SELECT: the subquery sees
+                    # none of the enclosing scope's markings (SPARQL
+                    # subqueries only see their own bindings), and only
+                    # its PROJECTED plain vars — the ones its natural
+                    # join exposes — propagate back out
+                    outer_plain = self.plain_vars
+                    self.plain_vars = set()
                     sub = _parse_select(self, subquery=True)
+                    inner_plain, self.plain_vars = self.plain_vars, outer_plain
+                    proj = sub.get("select")
+                    self.plain_vars |= (inner_plain if proj is None
+                                        else {v for v in inner_plain if v in proj})
                     sub.pop("form", None)
                     spec.setdefault("subselects", []).append(sub)
                     continue
@@ -828,9 +859,9 @@ class _ExprTranslator:
                 # it; a numeric side compares by VALUE (lex-cast the
                 # term side, SPARQL's numeric operator mapping)
                 if kind in ("var", "term") and rkind in ("str", "call"):
-                    rhs = f"concat('\"', {rhs}, '\"')"
+                    rhs = _sql_simple_literal(rhs)
                 elif rkind in ("var", "term") and kind in ("str", "call"):
-                    sql = f"concat('\"', {sql}, '\"')"
+                    sql = _sql_simple_literal(sql)
                 elif kind in ("var", "term") and rkind == "num":
                     sql = self._as_num(sql, kind)
                 elif rkind in ("var", "term") and kind == "num":
@@ -853,7 +884,7 @@ class _ExprTranslator:
         while not self._eat(")"):
             item, ikind = self._additive()
             if self.tm and lkind in ("var", "term") and ikind in ("str", "call"):
-                item = f"concat('\"', {item}, '\"')"  # simple-literal term
+                item = _sql_simple_literal(item)  # simple-literal term
             items.append(item)
             self._eat(",")
         op = "NOT IN" if negated else "IN"
@@ -1015,6 +1046,19 @@ class _ExprTranslator:
             # string itself (resolution against BASE happens at parse
             # time for constant terms)
             return f"CAST({args[0]} AS STRING)", "str"
+        if name in ("coalesce", "if"):
+            # §17.4.1.2-3: COALESCE/IF are TERM-returning. When every
+            # value branch is a var/term in term mode, pass the branches
+            # through UNCHANGED and propagate kind 'term', so downstream
+            # DATATYPE/isIRI/term-identity over the result stay correct.
+            # With any plain branch the result is a plain value: fall
+            # through to the lexical path (documented deviation, like
+            # the FILTER-before-BIND edge — mixing plain and term
+            # branches yields lexical forms).
+            value_kinds = kinds[1:] if name == "if" else kinds
+            if self.tm and value_kinds and \
+                    all(k in ("var", "term") for k in value_kinds):
+                return f"{_FUNC_MAP[name]}({', '.join(args)})", "term"
         if name in _FUNC_MAP:
             # string/numeric builtins operate on lexical forms: strip the
             # term encoding off var/term args in term mode (no-op otherwise)
@@ -1067,10 +1111,12 @@ class _ExprTranslator:
         if name == "sameterm":
             return f"({args[0]} = {args[1]})", "bool"
         if name == "strlang":
-            return (f"concat('\"', {lex(0)}, '\"@', "
+            # the stored encoding is ESCAPED: re-apply the serializer
+            # escapes to the raw lexical form before wrapping
+            return (f"concat('\"', {_sql_nt_escape(lex(0))}, '\"@', "
                     f"{self._lexed(args[1], kinds[1])})", "term")
         if name == "strdt":
-            return (f"concat('\"', {lex(0)}, '\"^^<', "
+            return (f"concat('\"', {_sql_nt_escape(lex(0))}, '\"^^<', "
                     f"{self._lexed(args[1], kinds[1])}, '>')", "term")
         raise SparqlError(f"unhandled term function {name}")  # pragma: no cover
 

@@ -176,6 +176,47 @@ def test_strlang_strdt_iri_constructors(enc):
     assert _vals(enc, q) == [f"<{EX}a>"]
 
 
+def test_equality_with_escaped_computed_string(enc):
+    # the =/IN re-encoding of a plain-string operand applies the
+    # serializer escapes — a computed value containing quote/backslash/
+    # tab must match the ESCAPED stored encoding, not silently miss
+    lit = '"say \\"hi\\"\\\\now\\tend"'  # SPARQL literal for: say "hi"\now<TAB>end
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}quote> ?o . '
+         f'FILTER(?o = CONCAT({lit})) }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}quote> ?o . '
+         f'FILTER(?o IN (CONCAT({lit}), "zzz")) }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+
+
+def test_strlang_escapes_lexical_form(enc):
+    # STRLANG/STRDT rebuild the encoding from an UNESCAPED lexical form:
+    # the serializer escapes must be re-applied or the result is a
+    # non-canonical term that never joins/compares equal
+    q = (f'SELECT (STRLANG(STR(?o), "en") AS ?t) '
+         f'WHERE {{ ?s <{EX}quote> ?o }}')
+    assert _vals(enc, q) == ['"say \\"hi\\"\\\\now\\tend"@en']
+    q = (f'SELECT (STRDT(STR(?o), <{XSD}string>) AS ?t) '
+         f'WHERE {{ ?s <{EX}quote> ?o }}')
+    assert _vals(enc, q) == [f'"say \\"hi\\"\\\\now\\tend"^^<{XSD}string>']
+
+
+def test_coalesce_if_preserve_terms(enc):
+    # COALESCE/IF are term-returning: with all-term value branches the
+    # encodings pass through unchanged, so term builtins over the result
+    # classify correctly (ADVICE r04)
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}age> ?a . '
+         f'FILTER(DATATYPE(IF(isLiteral(?a), ?a, ?s)) = <{XSD}integer>) }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}knows> ?o . '
+         f'FILTER(isIRI(COALESCE(?o, ?s))) }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+    # mixed plain/term branches stay on the lexical path (documented)
+    q = (f'SELECT ?s WHERE {{ ?s <{EX}name> ?n . '
+         f'FILTER(COALESCE(STR(?n), "x") = "Bob") }}')
+    assert _vals(enc, q) == [f"<{EX}b>"]
+
+
 def test_bind_of_term_builtin(enc):
     q = (f'SELECT ?s ?l WHERE {{ ?s <{EX}name> ?n . '
          f'BIND(LANG(?n) AS ?l) FILTER(?l != "") }}')
@@ -345,6 +386,27 @@ def test_subselect_inherits_term_mode(enc):
     rows = _q(enc, q).collect()
     assert [(r.s, r.a) for r in rows] == \
         [(f"<{EX}b>", f'"17.5"^^<{XSD}decimal>')]
+
+
+def test_subselect_plain_vars_scoped(enc):
+    # a sub-SELECT binding ?x to a PLAIN value must not mark the
+    # UNRELATED (non-projected) outer ?x as plain: the outer STR(?x)
+    # still lex-strips its encoded term (ADVICE r04 plain_vars leak)
+    q = (f'SELECT ?s WHERE {{ '
+         f'{{ SELECT ?s WHERE {{ ?s <{EX}name> ?nm . '
+         f'BIND(STRLEN(STR(?nm)) AS ?x) FILTER(?x > 5) }} }} '
+         f'?s <{EX}age> ?x . FILTER(STR(?x) = "42") }}')
+    assert _vals(enc, q) == [f"<{EX}a>"]
+
+
+def test_subselect_projected_plain_var_propagates(enc):
+    # the subquery's PROJECTED plain vars are visible (and plain) in the
+    # enclosing group after the natural join
+    q = (f'SELECT ?s ?n WHERE {{ '
+         f'{{ SELECT ?s (STRLEN(STR(?nm)) AS ?n) '
+         f'WHERE {{ ?s <{EX}name> ?nm }} }} FILTER(?n = 5) }}')
+    rows = _q(enc, q).collect()
+    assert {(r.s, r.n) for r in rows} == {(f"<{EX}a>", 5)}
 
 
 def test_term_mode_describe_and_group_by(enc):
