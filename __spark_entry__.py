@@ -4424,6 +4424,91 @@ def _golden_values_term_parse() -> str:
             "AS t(sl, pl, lex, lg, dtl, knd)")
 
 
+def _q_sparql_term_materialized(spark, sf_dir):
+    """VERDICT r05 task 2: term-mode SPARQL over the MATERIALIZED terms
+    table — GraphWriter's fifth output table stores bgp.terms_spo as
+    columns (Iceberg-style bucket(N, pred) partitioning on the ENCODED
+    predicate), so constant-predicate filters reach the parquet scan as
+    pushed predicates AND prune pred_bucket partition dirs outright —
+    impossible over the derived concat projection (Catalyst cannot
+    invert concat). The function RAISES unless the executed plan shows
+    both the partition filter and the pushed predicate, so a green
+    driver row attests the 100-TB plan shape, not just the values.
+    Corpus: the cross-format quartet through the full GraphWriter
+    pipeline. Oracle: golden VALUES."""
+    import re
+    import shutil
+    import tempfile
+
+    from parser_rdf_spark.materialize import GraphWriter
+    from parser_rdf_spark.sparql import sparql_query
+
+    out = tempfile.mkdtemp(prefix="terms_mat")
+    try:
+        pages = _fixture_pages(
+            spark,
+            {_QUARTET_URL.format(n): c for n, c in w3c.SAMPLES.items()})
+        writer = GraphWriter(out, url_buckets=2)
+        writer.run(spark, pages, "terms-mat")
+        q = sparql_query(writer.terms(spark), """
+            SELECT ?s ?typ ?label ?lg WHERE {
+              ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?typ .
+              ?s <http://www.w3.org/2000/01/rdf-schema#label> ?label .
+              BIND(LANG(?label) AS ?lg)
+            }
+        """, term_mode=True)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "extended")
+        if not re.search(r"PartitionFilters: \[isnotnull\(pred_bucket#\d+\),"
+                         r" \(pred_bucket#\d+ = \d+\)\]", plan):
+            raise AssertionError(
+                "constant-predicate pattern did not prune pred_bucket "
+                "partitions on the materialized terms table:\n" + plan)
+        if "PushedFilters: [IsNotNull(pred), EqualTo(pred," not in plan:
+            raise AssertionError(
+                "constant predicate not pushed to the parquet scan:\n" + plan)
+        rows = q.collect()  # materialize before the tempdir vanishes
+        return spark.createDataFrame(
+            rows, "s string, typ string, label string, lg string")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_TERM_MATERIALIZED_SQL = (
+    "SELECT * FROM (VALUES "
+    "('<http://example.org/Person>', "
+    "'<http://www.w3.org/2000/01/rdf-schema#Class>', "
+    "'\"Person\"@en', 'en'), "
+    "('<http://example.org/name>', "
+    "'<http://www.w3.org/1999/02/22-rdf-syntax-ns#Property>', "
+    "'\"name\"@en', 'en')"
+    ") AS t(s, typ, label, lg)"
+)
+
+
+def _q_sparql_stats_text(spark, sf_dir):
+    """VERDICT r05 task 3: cost-based join ordering reachable from the
+    SPARQL TEXT front-end (sparql_query(stats=...) → bgp_query(stats=)):
+    the same adversarial pattern order as bgp_stats_ordered_query (the
+    two mega-patterns written first, the selective region constant
+    last), but written as query text the way real users write it. The
+    greedy smallest-estimate order must change only the plan, never the
+    relation — the oracle is the same region join."""
+    from parser_rdf_spark.graphops import predicate_statistics
+    from parser_rdf_spark.sparql import sparql_query
+
+    triples = _tpch_triples(spark, sf_dir)
+    return sparql_query(triples, """
+        SELECT ?c ?nname WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:inNation ?n .
+          ?n ex:inRegion ?r .
+          ?n ex:name ?nname .
+          ?r ex:name "EUROPE" .
+        }
+    """, stats=predicate_statistics(triples))
+
+
 def _tpch_term_triples(spark, sf_dir):
     """Full-schema (schemas.TRIPLES) micro-KG with language tags and
     datatypes — the term-mode twin of _tpch_triples: nation names are
@@ -4586,6 +4671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         # --- slots 45-50: new round-5 contract queries (VERDICT r04
         # --- tasks 2,3,5,6) are inserted here as they land.
+        "sparql_term_materialized": _q_sparql_term_materialized,
+        "sparql_stats_text_query": _q_sparql_stats_text,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -4794,10 +4881,11 @@ _PIPELINE_E2E_ROWS = [
     ("vertices_with_component", 5),
     ("lineage_edges_accounted", 43),
     ("lineage_runs", 1),
-    # 4 bucket-append commits + 4 per-table compaction commits, expiry
-    # keeps only the last → 7 expired; row counts invariant across the
-    # compact+vacuum boundary
-    ("maintenance_expired_snapshots", 7),
+    # 4 bucket-append commits + 5 per-table compaction commits (terms —
+    # the materialized term-encoded relation — is the fifth table),
+    # expiry keeps only the last → 8 expired; row counts invariant
+    # across the compact+vacuum boundary
+    ("maintenance_expired_snapshots", 8),
     ("triples_rows_post_maintenance", 100),
     ("edges_rows_post_maintenance", 43),
 ]
@@ -6422,6 +6510,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM t WHERE cents >= 900000"
         ),
         "sparql_term_parse": _golden_values_term_parse(),
+        "sparql_term_materialized": _TERM_MATERIALIZED_SQL,
+        "sparql_stats_text_query": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname "
+            "FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'"
+        ),
         "substring_dedup_clean": (
             "WITH toks AS (SELECT doc_id, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "

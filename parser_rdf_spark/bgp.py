@@ -91,6 +91,31 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _pred_bucket_prune(scan: DataFrame, preds: list[str]) -> DataFrame:
+    """Partition pruning over the MATERIALIZED term relation
+    (materialize.GraphWriter table ``terms``): when the relation carries
+    a ``pred_bucket`` partition column (bucket count in the column
+    metadata, set by GraphWriter.terms), a constant-predicate pattern
+    additionally filters ``pred_bucket = pmod(xxhash64(pred), N)``. The
+    right-hand side is foldable, so Catalyst constant-folds it to a
+    literal and the file source prunes 1-1/N of the partition
+    directories BEFORE any IO (plan-pinned by
+    tests/test_materialized_terms.py). A no-op on relations without the
+    column or the metadata."""
+    if "pred_bucket" not in scan.columns:
+        return scan
+    meta = scan.schema["pred_bucket"].metadata or {}
+    n = meta.get("pred_buckets")
+    if not n:
+        return scan
+    cond = None
+    for p in preds:
+        eq = F.col("pred_bucket") == \
+            F.pmod(F.xxhash64(F.lit(p)), F.lit(int(n))).cast("int")
+        cond = eq if cond is None else (cond | eq)
+    return scan.filter(cond)
+
+
 def _var_name(term: str) -> str:
     name = term[1:]
     if not name:
@@ -142,9 +167,13 @@ def _path_edges(triples: DataFrame, elt) -> DataFrame:
         if elt[-1:] in ("+", "*", "?") and len(elt) > 1:
             raise ValueError(
                 "nested path modifiers under a closure are not supported")
-        return triples.filter(F.col("pred") == F.lit(elt)).select("subj", "obj")
+        return _pred_bucket_prune(
+            triples.filter(F.col("pred") == F.lit(elt)), [elt]
+        ).select("subj", "obj")
     if isinstance(elt, list):
-        return triples.filter(F.col("pred").isin(elt)).select("subj", "obj")
+        return _pred_bucket_prune(
+            triples.filter(F.col("pred").isin(elt)), elt
+        ).select("subj", "obj")
     if isinstance(elt, tuple) and len(elt) == 2 and elt[0] == "seq":
         cur = _path_edges(triples, elt[1][0])
         for part in elt[1][1:]:
@@ -273,7 +302,9 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         # with the reflexive pairs over every graph term — same
         # zero-length semantics as p*, without the closure
         base = p_term[:-1]
-        hop = triples.filter(F.col("pred") == F.lit(base)).select("subj", "obj")
+        hop = _pred_bucket_prune(
+            triples.filter(F.col("pred") == F.lit(base)), [base]
+        ).select("subj", "obj")
         scan = hop.unionByName(
             _graph_nodes(triples).select(
                 F.col("t").alias("subj"), F.col("t").alias("obj"))
@@ -305,7 +336,8 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         if pos == "pred" and isinstance(term, (list, tuple)):
             if any(_is_var(t) for t in term):
                 raise ValueError(f"alternation members must be constants: {term!r}")
-            scan = scan.filter(F.col(pos).isin(list(term)))
+            scan = _pred_bucket_prune(
+                scan.filter(F.col(pos).isin(list(term))), list(term))
             continue
         if isinstance(term, tuple) and term[:1] == ("quoted",):
             # RDF-star quoted-triple pattern << s p o >> in subject or
@@ -329,6 +361,8 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
                 cols[name] = F.col(pos)
         else:
             scan = scan.filter(F.col(pos) == F.lit(term))
+            if pos == "pred":
+                scan = _pred_bucket_prune(scan, [term])
     if dedup and (cols or quoted):
         # triple granularity for 3-term patterns (a quad store collapses
         # to its triple SET — the documented corpus-level semantics);

@@ -128,7 +128,7 @@ class RunResult:
 class GraphWriter:
     """Parquet-backed (Iceberg-layout) writer with bucket-level resume."""
 
-    TABLES = ("triples", "edges", "docmeta", "metrics")
+    TABLES = ("triples", "edges", "docmeta", "metrics", "terms")
 
     def __init__(self, root: str, url_buckets: int = 8, pred_buckets: int = DEFAULT_PRED_BUCKETS):
         from .snapshots import ManifestLog
@@ -348,6 +348,31 @@ class GraphWriter:
             )
             n = edges.count()
 
+            # term-encoded relation, MATERIALIZED (encode once, query
+            # many — bgp.terms_spo's scale note): over the derived
+            # projection a constant SPARQL pattern filter evaluates above
+            # the base scan because Catalyst cannot invert concat; stored
+            # as columns, every constant filter reaches the parquet scan
+            # as a pushed predicate, and the pred_bucket partitioning
+            # (Iceberg bucket(N, pred) over the ENCODED predicate) lets a
+            # constant-predicate query prune 1-1/N of the files outright.
+            # Derived from `written`, so no re-parse; (pred, subj) local
+            # sort gives row-group pruning inside each bucket.
+            from .bgp import terms_spo
+
+            terms = terms_spo(written).withColumn(
+                "pred_bucket",
+                F.pmod(F.xxhash64("pred"), F.lit(self.pred_buckets)).cast("int"),
+            )
+            (
+                terms.sortWithinPartitions("pred", "subj")
+                .withColumn("url_bucket", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("url_bucket", "pred_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(self.root, "terms"))
+            )
+
             # metrics partitioned+overwritten per url_bucket: a crash
             # between this write and _mark_processed re-runs the bucket,
             # and dynamic overwrite replaces (not duplicates) its rows
@@ -430,6 +455,21 @@ class GraphWriter:
 
     def docmeta(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "docmeta"))
+
+    def terms(self, spark: SparkSession) -> DataFrame:
+        """The MATERIALIZED term-encoded (subj, pred, obj) relation for
+        ``sparql_query(..., term_mode=True)`` — constant pattern filters
+        reach the parquet scan as pushed predicates (impossible over the
+        derived :func:`.bgp.terms_spo` projection). The retained
+        ``pred_bucket`` partition column carries the bucket count as
+        field metadata so the BGP compiler can add the matching
+        partition filter for constant predicates (file-level pruning)."""
+        df = spark.read.parquet(os.path.join(self.root, "terms"))
+        return df.select(
+            "subj", "pred", "obj",
+            F.col("pred_bucket").alias(
+                "pred_bucket", metadata={"pred_buckets": self.pred_buckets}),
+        )
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "metrics"))

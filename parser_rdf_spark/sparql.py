@@ -1565,7 +1565,19 @@ def _order_cols(df: DataFrame, order_by: list, term_mode: bool) -> list:
 def _exec_kwargs(spec: dict) -> dict:
     return {k: v for k, v in spec.items()
             if k in ("patterns", "optional", "filters", "values", "bind",
-                     "exists", "not_exists", "minus")}
+                     "exists", "not_exists", "minus", "stats")}
+
+
+def _inject_stats(spec: dict, smap: dict) -> None:
+    """Attach the predicate-statistics map to every pattern group of the
+    parsed query (the main group, each UNION branch, each sub-SELECT) so
+    every :func:`.bgp.bgp_query` call under this query plans with
+    cost-based pattern ordering. In-place; the map is shared, read-only."""
+    spec["stats"] = smap
+    for b in spec.get("union", ()):
+        _inject_stats(b, smap)
+    for s in spec.get("subselects", ()):
+        _inject_stats(s, smap)
 
 
 def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
@@ -1668,7 +1680,8 @@ def _union_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
 
 
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
-                 term_mode: bool = False) -> DataFrame:
+                 term_mode: bool = False,
+                 stats: dict | DataFrame | None = None) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
     SELECT returns one column per selected variable (names without the
@@ -1684,7 +1697,15 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
     isLiteral, isNumeric, sameTerm, STRLANG, STRDT, and lexical-form
     STR — become available in FILTER/BIND/SELECT expressions as pure
     string SQL (whole-stage codegen; no Python). Quoted-triple patterns
-    and GRAPH/quads relations are out of scope in this mode."""
+    and GRAPH/quads relations are out of scope in this mode.
+
+    ``stats`` (the :func:`.graphops.predicate_statistics` relation, or
+    its :func:`.bgp.predicate_stats_map` dict) switches every pattern
+    group in the query — main group, UNION branches, sub-SELECTs — to
+    cost-based join ordering (greedy smallest-estimated-cardinality
+    first, :func:`.bgp.bgp_query`'s ``stats=``). In ``term_mode`` bare
+    IRI keys are re-encoded to the relation's ``<iri>`` form, so the
+    stats table computed over the RAW relation works on both surfaces."""
     spec = parse_sparql(text, term_mode=term_mode)
     form = spec.pop("form")
     if term_mode and "graph" in triples.columns:
@@ -1693,6 +1714,14 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
             "(GRAPH/quads surfaces are not term-encoded)")
     triples = _apply_dataset_clauses(triples, spec)
     spec = _apply_graph_semantics(spec, "graph" in triples.columns)
+    if stats is not None:
+        from .bgp import predicate_stats_map
+
+        smap = predicate_stats_map(stats)
+        if term_mode:
+            smap = {(k if k[:1] in ("<", "_", '"') else f"<{k}>"): v
+                    for k, v in smap.items()}
+        _inject_stats(spec, smap)
     if form != "select" and _has_subselect(spec):
         raise SparqlError("sub-SELECT is only supported in SELECT queries")
     if form == "ask":

@@ -1024,3 +1024,81 @@ def test_hash_and_iri_functions(spark):
     assert rows[0].h == hashlib.md5(b"hello").hexdigest()
     assert rows[0].h2 == hashlib.sha256(b"hello").hexdigest()
     assert rows[0].u == "urn:x:hello"
+
+
+# ---------------------------------------------------------------------------
+# stats= through the TEXT front-end (round 5: users write text, not
+# pattern lists — cost-based join ordering must be reachable here too)
+# ---------------------------------------------------------------------------
+
+def _skewed_kg(spark):
+    rows_ = [(f"s{i % 20}", "common", f"o{i}") for i in range(200)]
+    rows_ += [("s1", "rare", "x"), ("s2", "rare", "y")]
+    return spark.createDataFrame(rows_, "subj string, pred string, obj string")
+
+
+def test_sparql_query_stats_reorders_adversarial_text(spark):
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    kg = _skewed_kg(spark)
+    # adversarial user order: the mega-predicate pattern written first
+    q = "SELECT ?s ?o ?x WHERE { ?s common ?o . ?s rare ?x }"
+    plain = sparql_query(kg, q)
+    costed = sparql_query(kg, q, stats=predicate_statistics(kg))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, costed.collect()))
+    plan = costed._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan.find("rare") < plan.find("common")
+    plan0 = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan0.find("common") < plan0.find("rare")
+
+
+def test_sparql_query_stats_reaches_union_and_subselect(spark):
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    kg = _skewed_kg(spark)
+    stats = predicate_statistics(kg)
+    # UNION: each branch independently cost-ordered
+    qu = ("SELECT ?s WHERE { { ?s common ?o . ?s rare ?x } "
+          "UNION { ?s rare ?y } }")
+    u0 = sparql_query(kg, qu)
+    u1 = sparql_query(kg, qu, stats=stats)
+    assert sorted(r.s for r in u0.collect()) == \
+        sorted(r.s for r in u1.collect())
+    plan = u1._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan.find("rare") < plan.find("common")
+    # sub-SELECT: the inner group is cost-ordered too
+    qs = ("SELECT ?s ?n WHERE { ?s common ?o . ?s rare ?z . "
+          "{ SELECT ?s (COUNT(?o2) AS ?n) WHERE "
+          "{ ?s common ?o2 . ?s rare ?x2 } GROUP BY ?s } }")
+    s0 = sparql_query(kg, qs)
+    s1 = sparql_query(kg, qs, stats=stats)
+    assert sorted(map(tuple, s0.collect())) == \
+        sorted(map(tuple, s1.collect()))
+
+
+def test_sparql_query_stats_term_mode_key_encoding(spark):
+    from pyspark.sql import functions as F
+
+    from parser_rdf_spark.bgp import terms_spo
+    from parser_rdf_spark.graphops import predicate_statistics
+
+    raw = spark.createDataFrame(
+        [("s%d" % (i % 20), "http://e/common", "o%d" % i) for i in range(60)]
+        + [("s1", "http://e/rare", "x")],
+        "subj string, pred string, obj_value string")
+    enc = terms_spo(raw.withColumn("obj_kind", F.lit("iri"))
+                    .withColumn("obj_lang", F.lit(None).cast("string"))
+                    .withColumn("obj_datatype", F.lit(None).cast("string"))
+                    .select("subj", "pred", "obj_value", "obj_kind",
+                            "obj_lang", "obj_datatype"))
+    # stats computed over the RAW relation (bare-IRI keys) must apply to
+    # the <iri>-encoded term relation
+    stats = predicate_statistics(
+        raw.select("subj", "pred", F.col("obj_value").alias("obj")))
+    q = ("SELECT ?s WHERE { ?s <http://e/common> ?o . "
+         "?s <http://e/rare> ?x }")
+    got = sparql_query(enc, q, term_mode=True, stats=stats)
+    assert {r.s for r in got.collect()} == {"<s1>"}
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert -1 < plan.find("rare") < plan.find("common")
