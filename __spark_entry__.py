@@ -2481,10 +2481,19 @@ def _canon_wl_ctes() -> str:
 
 
 def _canon_hash_oracle() -> str:
+    # ambiguous (round 5): any final color class with >1 bnode — the
+    # WL-tie flag isomorphic_duplicates verifies with exact canonical
+    # quads; recomputed here from the independent b2 colors
     return _canon_wl_ctes() + (
+        ", amb AS (SELECT doc, BOOL_OR(cnt > 1) AS ambiguous FROM "
+        "(SELECT doc, c, COUNT(*) AS cnt FROM b2 GROUP BY doc, c) "
+        "GROUP BY doc) "
+        "SELECT h.doc_url, h.graph_hash, h.n_triples, "
+        "COALESCE(a.ambiguous, false) AS ambiguous FROM ("
         "SELECT doc AS doc_url, "
         "md5(array_to_string(list_sort(list(subj_c || ' ' || p || ' ' || obj_c || ' ' || g)), chr(10))) AS graph_hash, "
-        "COUNT(*) AS n_triples FROM colored GROUP BY doc"
+        "COUNT(*) AS n_triples FROM colored GROUP BY doc) h "
+        "LEFT JOIN amb a ON a.doc = h.doc_url"
     )
 
 

@@ -27,11 +27,22 @@ Honest scope vs full RDFC-1.0: fixed-round WL-1 refinement
 distinguishes everything except pathological automorphic structures
 (e.g. unanchored symmetric cycles); RDFC-1.0 resolves those with
 recursive N-degree hashing, which is inherently sequential per graph.
-Ties here share a color — the canonical HASH is still correct
-(isomorphism-invariant; colliding non-isomorphic graphs require
-adversarial constructions), and label assignment breaks ties by the
-original label (documented, deterministic). ``rounds`` must reach the
-blank-node diameter of the graph for full discrimination.
+Ties here share a color — the canonical HASH is still
+isomorphism-INVARIANT (isomorphic graphs always hash identically), but
+for tied graphs it is not isomorphism-DISCRIMINATING: two
+NON-isomorphic docs whose WL color multisets coincide (the classic
+hexagon vs two-triangles pair) share a hash. Round 5 makes the dedup
+sound by construction: :func:`canonical_graph_hash` flags any document
+with a color class holding >1 blank node after refinement
+(``ambiguous`` column), and :func:`isomorphic_duplicates` groups
+ambiguous docs by WL hash AND exact canonical-quads text — a
+hash-colliding non-isomorphic pair serializes differently and never
+dedups. Conservative direction: an ambiguous TRUE duplicate pair whose
+label tie-break (original label within a color) crosses automorphism
+orbits asymmetrically can be missed — never falsely merged. Label
+assignment breaks ties by the original label (documented,
+deterministic). ``rounds`` must reach the blank-node diameter of the
+graph for full discrimination.
 
 Scale shape: each round is two key-partitioned equi-joins on
 ``(doc_url, bnode)`` plus one groupBy — blank-node scope is per
@@ -253,11 +264,28 @@ def _with_colored_terms(triples: DataFrame, colors: DataFrame) -> DataFrame:
 
 def canonical_graph_hash(triples: DataFrame, rounds: int = 2) -> DataFrame:
     """One isomorphism-invariant hash per document:
-    ``(doc_url, graph_hash, n_triples)``. The hash is md5 over the
-    sorted canonical triple encodings (bnodes → final color), so two
-    documents whose graphs differ only in blank-node names hash
-    identically, and ground-term differences always change it."""
-    colored = _with_colored_terms(triples, bnode_colors(triples, rounds))
+    ``(doc_url, graph_hash, n_triples, ambiguous)``. The hash is md5
+    over the sorted canonical triple encodings (bnodes → final color),
+    so two documents whose graphs differ only in blank-node names hash
+    identically, and ground-term differences always change it.
+
+    ``ambiguous`` is true when ANY final color class still holds >1
+    blank node — WL-1 could not fully discriminate (automorphic or
+    adversarially symmetric structure), so equal hashes between two
+    AMBIGUOUS docs do not alone prove isomorphism.
+    :func:`isomorphic_duplicates` uses the flag to verify those groups
+    by exact canonical-quads comparison; docs without blank nodes are
+    never ambiguous (their encoding is ground and exact)."""
+    colors = bnode_colors(triples, rounds)
+    colored = _with_colored_terms(triples, colors)
+    # a color class with >1 member = WL tie; one groupBy over the
+    # (per-doc, checkpointed) color relation — bnode-count sized
+    amb = (
+        colors.groupBy("doc_url", "color")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_url")
+        .agg(F.max(F.col("n") > 1).alias("ambiguous"))
+    )
     enc = F.concat(
         F.col("subj_c"),
         F.lit(" "),
@@ -276,6 +304,8 @@ def canonical_graph_hash(triples: DataFrame, rounds: int = 2) -> DataFrame:
             ).alias("graph_hash"),
             F.count(F.lit(1)).alias("n_triples"),
         )
+        .join(amb, "doc_url", "left")
+        .withColumn("ambiguous", F.coalesce(F.col("ambiguous"), F.lit(False)))
     )
 
 
@@ -331,9 +361,24 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
     with >1 member: ``(graph_hash, n_docs, doc_urls)`` (members
     sorted). This is the dedup text/shingle methods cannot do: a
     Turtle and an RDF/XML rendering of the same graph with different
-    ``_:genid`` labels land in one group."""
-    return (
-        canonical_graph_hash(triples, rounds)
+    ``_:genid`` labels land in one group.
+
+    Sound under WL ties (round 5): unambiguous docs group by WL hash
+    alone (refinement separated every bnode, so the hash is an exact
+    canonical form). AMBIGUOUS docs — any color class with >1 bnode —
+    additionally group by the md5 of their exact canonical N-Quads
+    text, so a WL-hash collision between NON-isomorphic symmetric
+    structures (hexagon vs two triangles) never merges; an automorphic
+    TRUE duplicate still groups because every labeling of a full
+    automorphism orbit serializes identically. Conservative failure
+    mode is a MISSED duplicate, never a false merge.
+
+    Scale shape: the second check runs only on the ambiguous subset
+    (semi-join pruned), which in web corpora is a sliver — label-
+    anchored graphs almost always refine fully in 2 rounds."""
+    h = canonical_graph_hash(triples, rounds)
+    groups_u = (
+        h.where(~F.col("ambiguous"))
         .groupBy("graph_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -341,6 +386,29 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+    amb = h.where(F.col("ambiguous"))
+    amb_triples = triples.join(
+        amb.select("doc_url"), "doc_url", "left_semi")
+    text_hash = (
+        to_canonical_nquads(amb_triples, rounds)
+        .groupBy("doc_url")
+        .agg(
+            F.md5(
+                F.concat_ws("\n", F.sort_array(F.collect_list("line")))
+            ).alias("text_hash")
+        )
+    )
+    groups_a = (
+        amb.join(text_hash, "doc_url")
+        .groupBy("graph_hash", "text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_url")).alias("doc_urls"),
+        )
+        .where(F.col("n_docs") > 1)
+        .drop("text_hash")
+    )
+    return groups_u.unionByName(groups_a)
 
 
 def to_canonical_nquads(triples: DataFrame, rounds: int = 2) -> DataFrame:

@@ -157,3 +157,65 @@ def test_canonical_nquads_identical_for_isomorphic_docs(fixture_triples, spark):
     doc = "\n".join(by_doc["d1"])
     t2 = triples_of(parse_pages(pages_df(spark, {"https://canon/d1": doc})))
     assert t2.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# round 5: soundness under WL ties (ambiguity flag + exact-quads verify)
+# ---------------------------------------------------------------------------
+
+def _cycle(doc, labels):
+    """Unanchored bnode cycle(s) over pred n: label[i] -> label[i+1],
+    closing each group of 3/6 — WL-1 gives every node the same color."""
+    rows = []
+    for i, (a, b) in enumerate(labels):
+        rows.append((doc, None, a, "http://e/n", "bnode", b, None, None, i))
+    return rows
+
+
+def _hexagon(doc, pre):
+    lbl = [f"_:{pre}{i}" for i in range(6)]
+    return _cycle(doc, [(lbl[i], lbl[(i + 1) % 6]) for i in range(6)])
+
+
+def _two_triangles(doc, pre):
+    lbl = [f"_:{pre}{i}" for i in range(6)]
+    pairs = [(lbl[0], lbl[1]), (lbl[1], lbl[2]), (lbl[2], lbl[0]),
+             (lbl[3], lbl[4]), (lbl[4], lbl[5]), (lbl[5], lbl[3])]
+    return _cycle(doc, pairs)
+
+
+def test_ambiguous_flag_on_wl_ties(spark, fixture_triples):
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _two_triangles("tt", "t"), TRIPLES)
+    h = {r.doc_url: r for r in canonical_graph_hash(t, rounds=2).collect()}
+    # WL-1 genuinely cannot split these: hashes COLLIDE, flag is up
+    assert h["hx"].graph_hash == h["tt"].graph_hash
+    assert h["hx"].ambiguous and h["tt"].ambiguous
+    # fully-refined docs are not flagged
+    g = {r.doc_url: r.ambiguous
+         for r in canonical_graph_hash(fixture_triples, rounds=2).collect()}
+    assert g["d1"] is False and g["d2"] is False
+    # the automorphic pair IS flagged (colors tie) — and still dedups
+    # below because every labeling serializes identically
+    assert g["d4"] is True and g["d5"] is True
+
+
+def test_nonisomorphic_wl_collision_not_deduped(spark):
+    # hexagon vs two triangles: same WL hash, NOT isomorphic — the
+    # round-5 exact-canonical-quads verification must keep them apart,
+    # while a genuine hexagon copy under renamed labels still groups
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _two_triangles("tt", "t")
+        + _hexagon("hx2", "z"), TRIPLES)
+    groups = {tuple(r.doc_urls)
+              for r in isomorphic_duplicates(t, rounds=2).collect()}
+    assert groups == {("hx", "hx2")}
+
+
+def test_automorphic_true_duplicates_still_group(fixture_triples):
+    # regression guard: the conservative path must not lose the d4/d5
+    # automorphic TRUE duplicates (full-orbit symmetry: any labeling
+    # serializes identically)
+    groups = {tuple(r.doc_urls)
+              for r in isomorphic_duplicates(fixture_triples, rounds=2).collect()}
+    assert ("d4", "d5") in groups
