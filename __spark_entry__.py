@@ -854,6 +854,49 @@ def _q_substring_dup_windows(spark, sf_dir):
     return substring_dup_windows(_docs(spark, sf_dir), k=12)
 
 
+# shared DuckDB CTEs for the ExactSubstr surfaces (k=12): exact window
+# strings, cross-doc dup windows, and the per-doc maximal-span merge
+# (LAG gap flag + running-sum span ids — the engine's _merge_spans in
+# SQL, independently recomputed over the exact grams, not hashes)
+_SUBSTR_SPAN_CTES = (
+    "WITH toks AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents), "
+    "sized AS (SELECT doc_id, t FROM toks WHERE len(t) >= 12), "
+    "w AS (SELECT doc_id, i, array_to_string(t[i+1:i+12], ' ') AS gram "
+    "FROM sized, unnest(range(len(t) - 11)) AS u(i)), "
+    "d AS (SELECT gram FROM w GROUP BY gram "
+    "HAVING min(doc_id) <> max(doc_id)), "
+    "dupw AS (SELECT doc_id, i FROM w "
+    "WHERE gram IN (SELECT gram FROM d)), "
+    "flg AS (SELECT doc_id, i, CASE WHEN "
+    "LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL "
+    "OR i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 12 "
+    "THEN 1 ELSE 0 END AS f FROM dupw), "
+    "sp AS (SELECT doc_id, i, "
+    "SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS sid FROM flg), "
+    "spans AS (SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 11 AS e, "
+    "COUNT(*) AS nw FROM sp GROUP BY doc_id, sid), "
+)
+
+
+def _q_substring_dup_spans(spark, sf_dir):
+    """VERDICT r05 task 5: maximal duplicated spans (ExactSubstr true
+    extents) at 12-token granularity over the documents table —
+    overlapping/adjacent duplicated windows merged per doc, inclusive
+    token bounds AND the span text sliced back out byte-exact. The
+    oracle re-runs the gap merge in SQL over exact window strings."""
+    from parser_rdf_spark.textops import substring_dup_spans
+
+    return substring_dup_spans(_docs(spark, sf_dir), k=12).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        "span_text",
+    )
+
+
 def _q_substring_dedup_clean(spark, sf_dir):
     """ExactSubstr CLEANING (keep the global first occurrence of each
     duplicated 12-token window, cut the rest) over the documents table.
@@ -1948,6 +1991,97 @@ def _q_rdfs_inference(spark, sf_dir):
                "subprop": "rdfs:subPropertyOf", "domain": "rdfs:domain",
                "range": "rdfs:range"},
     )
+
+
+def _q_incremental_entailment(spark, sf_dir):
+    """VERDICT r05 task 6: delta-driven RDFS maintenance
+    (inference.rdfs_entailment_delta) — an append-only crawl batch
+    (all suppliers + a schema extension: Supplier⊑Agent, Agent⊑Entity,
+    inRegion⊑locatedIn, inNation domain Resident) lands on a
+    customers-only KG whose consequences are already materialized; the
+    engine computes ONLY the consequence delta (semi-naive: delta
+    instances × merged broadcast closures, old instances × the
+    ontology-sized closure DELTA — skipped per-relation when empty) and
+    the function RAISES unless prev ∪ delta is bit-identical to a full
+    re-materialization of the merged KG, so a green driver row attests
+    the maintenance law itself. Returns the ADDED rows; the oracle
+    enumerates them rule-by-rule from the base tables."""
+    from parser_rdf_spark.inference import rdfs_entailment, rdfs_entailment_delta
+
+    v = {"type": "rdf:type", "subclass": "rdfs:subClassOf",
+         "subprop": "rdfs:subPropertyOf", "domain": "rdfs:domain",
+         "range": "rdfs:range"}
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def iri(prefix, col):
+        return F.concat(F.lit(f"urn:{prefix}:"), F.col(col).cast("string"))
+
+    def spo(df, s, p, o):
+        return df.select(s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"))
+
+    onto_v1 = spark.createDataFrame(
+        [("ex:Customer", "rdfs:subClassOf", "ex:Agent"),
+         ("ex:inNation", "rdfs:subPropertyOf", "ex:locatedIn"),
+         ("ex:locatedIn", "rdfs:range", "ex:Place")],
+        "subj string, pred string, obj string")
+    old = (
+        spo(customer, iri("cust", "c_custkey"), "rdf:type", F.lit("ex:Customer"))
+        .unionByName(spo(customer, iri("cust", "c_custkey"), "ex:inNation",
+                         iri("nation", "c_nationkey")))
+        .unionByName(spo(nation, iri("nation", "n_nationkey"), "ex:inRegion",
+                         iri("region", "n_regionkey")))
+        .unionByName(onto_v1)
+    )
+    onto_delta = spark.createDataFrame(
+        [("ex:Supplier", "rdfs:subClassOf", "ex:Agent"),
+         ("ex:Agent", "rdfs:subClassOf", "ex:Entity"),
+         ("ex:inRegion", "rdfs:subPropertyOf", "ex:locatedIn"),
+         ("ex:inNation", "rdfs:domain", "ex:Resident")],
+        "subj string, pred string, obj string")
+    delta = (
+        spo(supplier, iri("supp", "s_suppkey"), "rdf:type", F.lit("ex:Supplier"))
+        .unionByName(spo(supplier, iri("supp", "s_suppkey"), "ex:inNation",
+                         iri("nation", "s_nationkey")))
+        .unionByName(onto_delta)
+    )
+    prev = rdfs_entailment(old, vocab=v)
+    added = rdfs_entailment_delta(old, delta, prev_inferred=prev, vocab=v)
+    # the maintenance law, asserted in-query: prev ∪ added == full(merged)
+    full = rdfs_entailment(old.unionByName(delta), vocab=v)
+    incr = prev.unionByName(added)
+    if (not incr.exceptAll(full).isEmpty()
+            or not full.exceptAll(incr).isEmpty()):
+        raise AssertionError(
+            "delta-driven entailment diverged from full re-materialization")
+    return added
+
+
+_INCR_ENTAIL_SQL = (
+    "SELECT 'urn:cust:' || c_custkey AS subj, 'rdf:type' AS pred, "
+    "'ex:Entity' AS obj FROM customer "
+    "UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type', 'ex:Resident' "
+    "FROM customer "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type', v.c "
+    "FROM supplier, (VALUES ('ex:Agent'), ('ex:Entity'), ('ex:Resident')) v(c) "
+    "UNION ALL SELECT 'urn:supp:' || s_suppkey, 'ex:locatedIn', "
+    "'urn:nation:' || s_nationkey FROM supplier "
+    # supplier-referenced nations become Places only if no customer
+    # already placed them (those rows are in prev, not in the delta)
+    "UNION ALL SELECT DISTINCT 'urn:nation:' || s_nationkey, 'rdf:type', "
+    "'ex:Place' FROM supplier WHERE s_nationkey NOT IN "
+    "(SELECT c_nationkey FROM customer) "
+    # inRegion newly ⊑ locatedIn: every nation's region edge inherits,
+    "UNION ALL SELECT 'urn:nation:' || n_nationkey, 'ex:locatedIn', "
+    "'urn:region:' || n_regionkey FROM nation "
+    # ... and its object becomes a Place via the (old) range axiom
+    "UNION ALL SELECT DISTINCT 'urn:region:' || n_regionkey, 'rdf:type', "
+    "'ex:Place' FROM nation "
+    # chained schema-closure delta rows (asserted delta edges excluded)
+    "UNION ALL SELECT v.s, 'rdfs:subClassOf', 'ex:Entity' "
+    "FROM (VALUES ('ex:Customer'), ('ex:Supplier')) v(s)"
+)
 
 
 def _q_sparql_entailed_query(spark, sf_dir):
@@ -4682,6 +4816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tasks 2,3,5,6) are inserted here as they land.
         "sparql_term_materialized": _q_sparql_term_materialized,
         "sparql_stats_text_query": _q_sparql_stats_text,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "incremental_entailment": _q_incremental_entailment,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6493,6 +6629,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_deep_constraints": _SHACL_DEEP_CONSTRAINTS_SQL,
         "shacl_report_rdf": _SHACL_REPORT_SQL,
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
+        "incremental_entailment": _INCR_ENTAIL_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
         "stream_canonical_dedup": _STREAM_CANON_SQL,
@@ -6553,21 +6690,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id"
         ),
         "substring_dup_windows": (
-            "WITH toks AS (SELECT doc_id, "
-            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t "
-            "FROM documents), "
-            "sized AS (SELECT doc_id, t FROM toks WHERE len(t) >= 12), "
-            "w AS (SELECT doc_id, i, array_to_string(t[i+1:i+12], ' ') AS gram "
-            "FROM sized, unnest(range(len(t) - 11)) AS u(i)), "
-            "d AS (SELECT gram FROM w GROUP BY gram "
-            "HAVING min(doc_id) <> max(doc_id)), "
+            _SUBSTR_SPAN_CTES +
             "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows, "
             "CAST(min(i) AS BIGINT) AS first_dup_pos "
-            "FROM w WHERE gram IN (SELECT gram FROM d) GROUP BY doc_id), "
+            "FROM dupw GROUP BY doc_id), "
+            "spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens "
+            "FROM spans GROUP BY doc_id), "
             "tot AS (SELECT doc_id, CAST(len(t) - 11 AS BIGINT) AS n_windows "
             "FROM sized) "
-            "SELECT tot.doc_id, n_windows, dup_windows, first_dup_pos "
-            "FROM tot JOIN per ON tot.doc_id = per.doc_id"
+            "SELECT tot.doc_id, n_windows, dup_windows, first_dup_pos, "
+            "n_spans, dup_tokens "
+            "FROM tot JOIN per ON tot.doc_id = per.doc_id "
+            "JOIN spd ON tot.doc_id = spd.doc_id"
+        ),
+        "substring_dup_spans": (
+            _SUBSTR_SPAN_CTES +
+            "sel AS (SELECT spans.doc_id, "
+            "CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end, "
+            "CAST(nw AS BIGINT) AS n_windows, "
+            "array_to_string(t[s+1:e+1], ' ') AS span_text "
+            "FROM spans JOIN sized ON sized.doc_id = spans.doc_id) "
+            "SELECT * FROM sel"
         ),
         "triples_delta_merge": (
             f"WITH {_TPCH_DELTA_CTE} "

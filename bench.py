@@ -235,6 +235,31 @@ def main() -> None:
 
     queries["graph_canonicalize"] = _best_of(_q_canonical)
 
+    # q3f: term-mode SPARQL over the term-encoded relation of the full
+    # parsed corpus (round-5 first-class row; r04 measured it ad hoc at
+    # 3.96 s / 2.77 s): constant-predicate pattern + term builtins
+    # (LANG filter, DATATYPE projection) compiled to pure string SQL.
+    # Derived (in-memory) encoding here — the materialized-table path
+    # additionally gets parquet pushdown + pred_bucket pruning and is
+    # plan-pinned by the sparql_term_materialized contract query.
+    from parser_rdf_spark.bgp import terms_spo
+    from parser_rdf_spark.sparql import sparql_query
+
+    enc = terms_spo(triples_full)
+
+    def _q_term_mode():
+        out = sparql_query(enc, """
+            SELECT ?e ?label (DATATYPE(?label) AS ?dt) WHERE {
+              ?e <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+                 <http://www.w3.org/2000/01/rdf-schema#Class> .
+              ?e <http://www.w3.org/2000/01/rdf-schema#label> ?label .
+              FILTER(isLiteral(?label) && LANG(?label) = "")
+            }
+        """, term_mode=True)
+        _ = out.count()
+
+    queries["term_mode_query"] = _best_of(_q_term_mode)
+
     parsed.unpersist()
 
     # q4-q6: training-data ops on the sf tables. The sf tables are single
@@ -260,6 +285,15 @@ def main() -> None:
         _ = textops.lang_id(docs).count()
 
     queries["text_analysis"] = _best_of(_q_text)
+
+    # q5b: ExactSubstr dedup (round-5 first-class row; r04 measured it
+    # ad hoc): the corpus-token window scan + ONE map-combinable
+    # groupBy, maximal-span merge, and the keep-first clean reassembly
+    def _q_substring():
+        _ = textops.substring_dup_spans(docs, k=12).count()
+        _ = textops.substring_dedup_clean(docs, k=12).count()
+
+    queries["substring_dedup"] = _best_of(_q_substring)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).persist()
     emb.count()

@@ -198,6 +198,149 @@ def rdfs_entailment(
     return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
 
 
+def rdfs_entailment_delta(
+    old: DataFrame,
+    delta: DataFrame,
+    prev_inferred: DataFrame | None = None,
+    include_schema_closure: bool = True,
+    vocab: dict[str, str] | None = None,
+) -> DataFrame:
+    """Delta-driven RDFS maintenance (round 5): the rows to ADD to a
+    previous :func:`rdfs_entailment` materialization when an
+    APPEND-ONLY ``delta`` batch joins ``old`` — semi-naive evaluation,
+    never a from-scratch recompute over the merged corpus.
+
+    Law (pinned in pytest and the ``incremental_entailment`` contract
+    query): ``prev_inferred ∪ result`` equals
+    ``rdfs_entailment(old ∪ delta)`` as a set, where ``prev_inferred =
+    rdfs_entailment(old)`` (passed in from the previous run; computed
+    here when None, for convenience only).
+
+    Append-only means no row of ``old`` was retracted by the merge; a
+    replace-by-document merge that DROPS schema or instance rows can
+    invalidate previous consequences, and incremental deletion (DRed)
+    is out of scope — re-materialize from scratch after a retracting
+    merge.
+
+    Scale shape — work proportional to the delta, not the corpus:
+
+    * schema closures are ontology-sized; both the old and the merged
+      closure are recomputed (trivial) and their ROW DELTA drives the
+      old-corpus side;
+    * every delta-instance rule application joins the DELTA against a
+      broadcast of the MERGED closure (delta-sized);
+    * the only old-corpus scans are broadcast joins against the schema
+      closure DELTA, and each is SKIPPED outright (driver-side
+      ontology-sized emptiness check, same discipline as the IVF
+      centroid collect) when that schema relation didn't change — the
+      common instance-only crawl batch touches ``old`` zero times;
+    * previously-derived assertions/types are read from
+      ``prev_inferred`` (inherited rows are its non-type subset, typing
+      rows its type subset), never re-derived.
+    """
+    v = {**_DEFAULT_VOCAB, **(vocab or {})}
+    RT, SC, SP = v["type"], v["subclass"], v["subprop"]
+    if prev_inferred is None:
+        prev_inferred = rdfs_entailment(
+            old, include_schema_closure=include_schema_closure, vocab=vocab)
+
+    merged = old.select("subj", "pred", "obj").unionByName(
+        delta.select("subj", "pred", "obj"))
+
+    def closures(t):
+        sub_c = transitive_closure(
+            _schema(t, SC).unionByName(_sym_pairs(_schema(t, v["equiv_class"]))))
+        sub_p = transitive_closure(
+            _schema(t, SP).unionByName(_sym_pairs(_schema(t, v["equiv_prop"]))))
+        return sub_c, sub_p
+
+    subclass_old, subprop_old = closures(old)
+    subclass_new, subprop_new = closures(merged)
+    subclass_d = subclass_new.join(subclass_old, ["src", "dst"], "left_anti") \
+        .persist()
+    subprop_d = subprop_new.join(subprop_old, ["src", "dst"], "left_anti") \
+        .persist()
+    domain_new, rng_new = _schema(merged, v["domain"]), _schema(merged, v["range"])
+    domain_d = domain_new.join(_schema(old, v["domain"]), ["src", "dst"],
+                               "left_anti").persist()
+    rng_d = rng_new.join(_schema(old, v["range"]), ["src", "dst"],
+                         "left_anti").persist()
+
+    delta_inst = delta.select("subj", "pred", "obj")
+    old_inst = old.select("subj", "pred", "obj")
+
+    # rdfs7: delta instances × merged closure, plus (only when the
+    # subproperty closure actually changed) old instances × closure delta
+    inherited = delta_inst.join(
+        F.broadcast(subprop_new), delta_inst.pred == subprop_new.src
+    ).select("subj", F.col("dst").alias("pred"), "obj")
+    if not subprop_d.isEmpty():
+        inherited = inherited.unionByName(
+            old_inst.join(F.broadcast(subprop_d),
+                          old_inst.pred == subprop_d.src)
+            .select("subj", F.col("dst").alias("pred"), "obj"))
+
+    # assertion deltas feed rdfs2/3; previously-standing assertions are
+    # the old non-type instances plus prev_inferred's inherited rows
+    assertions_d = delta_inst.filter(F.col("pred") != RT).unionByName(inherited)
+    dom_types = assertions_d.join(
+        F.broadcast(domain_new), assertions_d.pred == domain_new.src
+    ).select("subj", F.lit(RT).alias("pred"), F.col("dst").alias("obj"))
+    rng_types = assertions_d.join(
+        F.broadcast(rng_new), assertions_d.pred == rng_new.src
+    ).select(F.col("obj").alias("subj"), F.lit(RT).alias("pred"),
+             F.col("dst").alias("obj"))
+    if not domain_d.isEmpty() or not rng_d.isEmpty():
+        assertions_prev = old_inst.filter(F.col("pred") != RT).unionByName(
+            prev_inferred.filter(F.col("pred") != RT))
+        if not domain_d.isEmpty():
+            dom_types = dom_types.unionByName(
+                assertions_prev.join(F.broadcast(domain_d),
+                                     assertions_prev.pred == domain_d.src)
+                .select("subj", F.lit(RT).alias("pred"),
+                        F.col("dst").alias("obj")))
+        if not rng_d.isEmpty():
+            rng_types = rng_types.unionByName(
+                assertions_prev.join(F.broadcast(rng_d),
+                                     assertions_prev.pred == rng_d.src)
+                .select(F.col("obj").alias("subj"), F.lit(RT).alias("pred"),
+                        F.col("dst").alias("obj")))
+
+    # rdfs9: type deltas × merged closure, plus previously-standing
+    # types × closure delta (prev types ⊇ dom/rng-derived: extra rows
+    # re-derived through the transitive closure are already in
+    # prev_inferred and vanish in the final anti-join)
+    types_d = delta_inst.filter(F.col("pred") == RT) \
+        .unionByName(dom_types).unionByName(rng_types)
+    super_types = types_d.join(
+        F.broadcast(subclass_new), types_d.obj == subclass_new.src
+    ).select("subj", F.lit(RT).alias("pred"), F.col("dst").alias("obj"))
+    if not subclass_d.isEmpty():
+        types_prev = old_inst.filter(F.col("pred") == RT).unionByName(
+            prev_inferred.filter(F.col("pred") == RT))
+        super_types = super_types.unionByName(
+            types_prev.join(F.broadcast(subclass_d),
+                            types_prev.obj == subclass_d.src)
+            .select("subj", F.lit(RT).alias("pred"),
+                    F.col("dst").alias("obj")))
+
+    added = inherited.unionByName(dom_types).unionByName(rng_types) \
+        .unionByName(super_types)
+    if include_schema_closure:
+        added = added.unionByName(
+            subclass_d.select("src", F.lit(SC).alias("pred"), "dst")
+            .toDF("subj", "pred", "obj")
+        ).unionByName(
+            subprop_d.select("src", F.lit(SP).alias("pred"), "dst")
+            .toDF("subj", "pred", "obj"))
+    return (
+        added.distinct()
+        .join(merged, ["subj", "pred", "obj"], "left_anti")
+        .join(prev_inferred.select("subj", "pred", "obj"),
+              ["subj", "pred", "obj"], "left_anti")
+    )
+
+
 OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
 OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
 OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"

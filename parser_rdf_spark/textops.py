@@ -106,19 +106,117 @@ def substring_dup_windows(
         .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
-    per_doc = (
-        wins.join(shared, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("dup_windows"),
-            F.min("pos").alias("first_dup_pos"),
-        )
+    dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
+    per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.min("pos").alias("first_dup_pos"),
+    )
+    # true span extents (round 5): maximal spans from the same dup
+    # relation — n_spans + total covered tokens per doc
+    span_doc = _merge_spans(dup, k).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
     )
     totals = toks.select(
         "doc_id", (F.size("t") - k + 1).cast("long").alias("n_windows")
     )
-    return totals.join(per_doc, "doc_id").select(
-        "doc_id", "n_windows", "dup_windows", "first_dup_pos"
+    return (
+        totals.join(per_doc, "doc_id").join(span_doc, "doc_id")
+        .select("doc_id", "n_windows", "dup_windows", "first_dup_pos",
+                "n_spans", "dup_tokens")
+    )
+
+
+def _merge_spans(dup_positions: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated k-window start positions into MAXIMAL spans per
+    document (sequence-gap grouping over sorted positions — the
+    sessionize discipline): window at ``pos`` covers tokens
+    ``[pos, pos+k-1]``, and two windows chain into one span iff the gap
+    between starts is ≤ k (overlapping or exactly adjacent coverage).
+    Returns (doc_id, span_start, span_end, n_windows) with INCLUSIVE
+    token bounds.
+
+    Scale shape: the only window function partitions by doc_id — per-doc
+    work is bounded by that document's token count, never corpus-sized,
+    so skew is capped by the longest single document (the same bound the
+    parse stage already carries)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup_positions
+        .withColumn(
+            "new_span",
+            F.coalesce(
+                (F.col("pos") - F.lag("pos").over(w)) > k, F.lit(True)
+            ).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("span_id")
+    )
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans (round 5 ExactSubstr refinement):
+    :func:`substring_dup_windows` reports window COUNTS; this reports
+    the true extents Lee et al.'s suffix-array method would — every
+    run of overlapping/adjacent cross-document duplicated k-windows
+    merged into one maximal span, with its exact text sliced back out
+    of the token array (byte-exact against the oracle).
+
+    Returns (doc_id, span_start, span_end, n_windows, span_text):
+    inclusive 0-based token bounds, the number of k-windows merged into
+    the span, and the span's text (tokens joined by single spaces).
+
+    Scale shape: the window-hash dup relation of
+    :func:`substring_dup_windows` (ONE map-combinable groupBy on
+    xxhash64), then :func:`_merge_spans`' per-doc gap merge and one
+    equi-join back to the token arrays to slice the text — output-sized
+    beyond the shared window scan."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("t"),
+    ).filter(F.size("t") >= k)
+    wins = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - k)).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("pos") + 1, k))).alias("h"),
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dup = wins.join(shared, "h", "left_semi").select("doc_id", "pos")
+    spans = _merge_spans(dup, k)
+    return spans.join(toks, "doc_id").select(
+        "doc_id", "span_start", "span_end", "n_windows",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t",
+                F.col("span_start") + 1,
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+        ).alias("span_text"),
     )
 
 

@@ -35,3 +35,88 @@ def test_owl_restriction_entailment(spark):
     assert ("g", T, "R4") in inf
     # asserted triples are never re-emitted
     assert ("e", T, "R3") not in inf
+
+
+# ---------------------------------------------------------------------------
+# round 5: delta-driven entailment maintenance (VERDICT task 6)
+# ---------------------------------------------------------------------------
+
+def _spo(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _entail_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_rdfs_delta_instance_only_batch_bit_identical(spark):
+    from parser_rdf_spark.inference import rdfs_entailment, rdfs_entailment_delta
+
+    v = {"type": "a", "subclass": "sc", "subprop": "sp",
+         "domain": "dom", "range": "rng"}
+    old = _spo(spark, [
+        ("Cust", "sc", "Agent"), ("Agent", "sc", "Entity"),
+        ("inNation", "sp", "locatedIn"), ("locatedIn", "rng", "Place"),
+        ("c1", "a", "Cust"), ("c1", "inNation", "n1"),
+    ])
+    delta = _spo(spark, [
+        ("c2", "a", "Cust"), ("c2", "inNation", "n2"),
+    ])
+    prev = rdfs_entailment(old, vocab=v)
+    added = rdfs_entailment_delta(old, delta, prev_inferred=prev, vocab=v)
+    full = rdfs_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(prev) | _entail_sets(added) == _entail_sets(full)
+    # delta rows are genuinely new
+    assert _entail_sets(added) & _entail_sets(prev) == set()
+    assert ("c2", "a", "Agent") in _entail_sets(added)
+    assert ("n2", "a", "Place") in _entail_sets(added)
+
+
+def test_rdfs_delta_schema_batch_reaches_old_instances(spark):
+    from parser_rdf_spark.inference import rdfs_entailment, rdfs_entailment_delta
+
+    v = {"type": "a", "subclass": "sc", "subprop": "sp",
+         "domain": "dom", "range": "rng"}
+    old = _spo(spark, [
+        ("Cust", "sc", "Agent"),
+        ("c1", "a", "Cust"), ("c1", "inNation", "n1"),
+        ("c9", "knows", "c1"),
+    ])
+    # schema-extending delta: a new superclass link, a new subproperty
+    # edge over an OLD predicate, and a domain axiom over an OLD pred —
+    # consequences must reach the old instances
+    delta = _spo(spark, [
+        ("Agent", "sc", "Entity"),
+        ("inNation", "sp", "locatedIn"),
+        ("locatedIn", "rng", "Place"),
+        ("knows", "dom", "Person"),
+        ("c2", "a", "Cust"),
+    ])
+    prev = rdfs_entailment(old, vocab=v)
+    added = rdfs_entailment_delta(old, delta, prev_inferred=prev, vocab=v)
+    full = rdfs_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(prev) | _entail_sets(added) == _entail_sets(full)
+    a = _entail_sets(added)
+    assert ("c1", "a", "Entity") in a          # old type × new closure edge
+    assert ("c1", "locatedIn", "n1") in a      # old assertion × new subprop
+    assert ("n1", "a", "Place") in a           # chained rdfs7 -> rdfs3
+    assert ("c9", "a", "Person") in a          # old assertion × new domain
+    assert ("c2", "a", "Entity") in a          # delta instance × new closure
+
+
+def test_rdfs_delta_chained_subclass_through_delta_edge(spark):
+    from parser_rdf_spark.inference import rdfs_entailment, rdfs_entailment_delta
+
+    v = {"type": "a", "subclass": "sc", "subprop": "sp",
+         "domain": "dom", "range": "rng"}
+    # closure DELTA must include the chained pair (Cust,Top) even though
+    # neither closure edge is asserted directly by the delta alone
+    old = _spo(spark, [("Cust", "sc", "Mid"), ("x", "a", "Cust")])
+    delta = _spo(spark, [("Mid", "sc", "Top")])
+    prev = rdfs_entailment(old, vocab=v)
+    added = rdfs_entailment_delta(old, delta, prev_inferred=prev, vocab=v)
+    full = rdfs_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(prev) | _entail_sets(added) == _entail_sets(full)
+    a = _entail_sets(added)
+    assert ("x", "a", "Top") in a
+    assert ("Cust", "sc", "Top") in a          # schema-closure delta row

@@ -353,3 +353,91 @@ def test_substring_dedup_clean_overlapping_windows(spark):
     assert out[1].clean_text == f"{run} x y"
     assert out[2].clean_text == "p q"
     assert out[2].n_kept == 2
+
+
+def test_substring_dup_spans_merges_maximal(spark):
+    """Round 5 (VERDICT task 5): overlapping/adjacent duplicated windows
+    merge into ONE maximal span with byte-exact bounds + text; disjoint
+    duplicated regions stay separate spans."""
+    from parser_rdf_spark.textops import substring_dup_spans
+
+    run = " ".join(f"w{i}" for i in range(8))   # 8-token shared run
+    tail = " ".join(f"z{i}" for i in range(6))  # second, disjoint 6-run
+    docs = spark.createDataFrame(
+        [
+            # doc 1: filler(4) + run(8) + filler(5) + tail(6)
+            (1, "a b c d " + run + " p q r s t " + tail),
+            (2, run + " other tokens here only"),
+            (3, "unrelated start here " + tail),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {(r.doc_id, r.span_start, r.span_end): r
+             for r in substring_dup_spans(docs, k=4).collect()}
+    # doc 1: run occupies tokens 4..11 → 5 overlapping 4-windows
+    # (starts 4..8) merged into ONE span; tail occupies 17..22 →
+    # 3 windows (17..19) merged into a SECOND span
+    assert set(spans) == {(1, 4, 11), (1, 17, 22),
+                          (2, 0, 7), (3, 3, 8)}
+    assert spans[(1, 4, 11)].n_windows == 5
+    assert spans[(1, 4, 11)].span_text == run
+    assert spans[(1, 17, 22)].span_text == tail
+    assert spans[(2, 0, 7)].span_text == run
+    assert spans[(3, 3, 8)].span_text == tail
+
+
+def test_substring_dup_windows_span_rollup(spark):
+    """n_spans / dup_tokens agree with the maximal-span merge."""
+    from pyspark.sql import functions as F
+
+    from parser_rdf_spark.textops import (substring_dup_spans,
+                                          substring_dup_windows)
+
+    run = " ".join(f"w{i}" for i in range(8))
+    tail = " ".join(f"z{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d " + run + " p q r s t " + tail),
+            (2, run + " other tokens here only"),
+            (3, "unrelated start here " + tail),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r for r in substring_dup_windows(docs, k=4).collect()}
+    assert w[1].n_spans == 2 and w[1].dup_tokens == (11 - 4 + 1) + (22 - 17 + 1)
+    assert w[2].n_spans == 1 and w[2].dup_tokens == 8
+    assert w[3].n_spans == 1 and w[3].dup_tokens == 6
+    # rollup law vs the span relation itself
+    sp = substring_dup_spans(docs, k=4).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("tok")).collect()
+    for r in sp:
+        assert w[r.doc_id].n_spans == r.n
+        assert w[r.doc_id].dup_tokens == r.tok
+
+
+def test_substring_clean_cuts_exactly_the_maximal_spans(spark):
+    """Clean-op law re-pin (round 5): for a document holding NO global-
+    first occurrence, the removed token set is EXACTLY the union of its
+    maximal duplicated spans — span-shaped cuts, not window-rounded."""
+    from parser_rdf_spark.textops import (substring_dedup_clean,
+                                          substring_dup_spans)
+
+    run = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, run + " early unique suffix tokens"),        # global first
+            (2, "late doc prefix " + run + " trailing bits"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_clean(docs, k=4).collect()}
+    spans = [r for r in substring_dup_spans(docs, k=4).collect()
+             if r.doc_id == 2]
+    assert len(spans) == 1 and (spans[0].span_start, spans[0].span_end) == (3, 10)
+    toks = ("late doc prefix " + run + " trailing bits").split()
+    expect = [t for i, t in enumerate(toks) if not 3 <= i <= 10]
+    assert out[2].clean_text == " ".join(expect)
+    assert out[2].n_kept == len(expect)
+    # the global-first doc is untouched
+    assert out[1].n_kept == out[1].n_tokens
