@@ -1993,6 +1993,61 @@ def _q_rdfs_inference(spark, sf_dir):
     )
 
 
+_WL_TIE_URL = "https://crawl.example.org/wl/{}"
+
+
+def _q_isomorphic_wl_ties(spark, sf_dir):
+    """VERDICT r05 task 4 end-to-end: graph-level dedup through the FULL
+    parse path stays sound under WL automorphism ties. Six Turtle docs:
+    a 6-cycle of blank nodes, the SAME 6-cycle re-crawled under renamed
+    labels, and two disjoint 3-cycles (NON-isomorphic but WL-hash-
+    colliding with the 6-cycle — the classic hexagon/two-triangles
+    pair), plus a bnode-chain doc, its renamed re-crawl, and a ground-
+    different chain. isomorphic_duplicates must group exactly the two
+    true re-crawl pairs — the WL collision must NOT merge. Oracle:
+    golden VALUES (the grouping IS the contract; hashes are internal)."""
+    from parser_rdf_spark.canonical import isomorphic_duplicates
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    def cycle_ttl(pairs):
+        lines = ["@prefix ex: <http://e/> ."]
+        lines += [f"_:{a} ex:n _:{b} ." for a, b in pairs]
+        return "\n".join(lines)
+
+    def hexa(p):
+        return cycle_ttl([(f"{p}{i}", f"{p}{(i + 1) % 6}") for i in range(6)])
+
+    tris = cycle_ttl([("t0", "t1"), ("t1", "t2"), ("t2", "t0"),
+                      ("t3", "t4"), ("t4", "t5"), ("t5", "t3")])
+    chain = ('@prefix ex: <http://e/> .\n'
+             'ex:x ex:knows _:{a} .\n'
+             '_:{a} ex:name "Ann" ; ex:friend _:{b} .\n'
+             '_:{b} ex:name "{bob}" .')
+    pages = _fixture_pages(spark, {
+        _WL_TIE_URL.format("hex1"): hexa("h"),
+        _WL_TIE_URL.format("hex2"): hexa("z"),
+        _WL_TIE_URL.format("tris"): tris,
+        _WL_TIE_URL.format("chain1"): chain.format(a="a", b="b", bob="Bob"),
+        _WL_TIE_URL.format("chain2"): chain.format(a="g1", b="g2", bob="Bob"),
+        _WL_TIE_URL.format("chain3"): chain.format(a="a", b="b", bob="Carol"),
+    })
+    dups = isomorphic_duplicates(triples_of(parse_pages(pages)), rounds=2)
+    return dups.select(
+        F.concat_ws("|", "doc_urls").alias("members"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+_WL_TIES_SQL = (
+    "SELECT * FROM (VALUES "
+    f"('{_WL_TIE_URL.format('chain1')}|{_WL_TIE_URL.format('chain2')}', "
+    "CAST(2 AS BIGINT)), "
+    f"('{_WL_TIE_URL.format('hex1')}|{_WL_TIE_URL.format('hex2')}', "
+    "CAST(2 AS BIGINT))"
+    ") AS t(members, n_docs)"
+)
+
+
 def _q_incremental_entailment(spark, sf_dir):
     """VERDICT r05 task 6: delta-driven RDFS maintenance
     (inference.rdfs_entailment_delta) — an append-only crawl batch
@@ -4818,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_stats_text_query": _q_sparql_stats_text,
         "substring_dup_spans": _q_substring_dup_spans,
         "incremental_entailment": _q_incremental_entailment,
+        "isomorphic_dup_wl_ties": _q_isomorphic_wl_ties,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6630,6 +6686,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_report_rdf": _SHACL_REPORT_SQL,
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "incremental_entailment": _INCR_ENTAIL_SQL,
+        "isomorphic_dup_wl_ties": _WL_TIES_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
         "stream_canonical_dedup": _STREAM_CANON_SQL,

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bnode_colors",
+    "canonical_dedup_keys",
     "canonicalize_bnodes",
     "canonical_graph_hash",
     "isomorphic_duplicates",
@@ -376,16 +377,36 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
     Scale shape: the second check runs only on the ambiguous subset
     (semi-join pruned), which in web corpora is a sliver — label-
     anchored graphs almost always refine fully in 2 rounds."""
-    h = canonical_graph_hash(triples, rounds)
-    groups_u = (
-        h.where(~F.col("ambiguous"))
-        .groupBy("graph_hash")
+    keys = canonical_dedup_keys(triples, rounds)
+    return (
+        keys.groupBy("dedup_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sort_array(F.collect_list("doc_url")).alias("doc_urls"),
         )
         .where(F.col("n_docs") > 1)
+        .select(
+            F.element_at(F.split("dedup_key", ":"), 1).alias("graph_hash"),
+            "n_docs", "doc_urls",
+        )
     )
+
+
+def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """The SOUND per-document graph-identity key shared by
+    :func:`isomorphic_duplicates` and the streaming dedup registry
+    (:func:`~.streaming.canonical_dedup_maintenance`):
+    ``(doc_url, dedup_key, ambiguous)`` where ``dedup_key`` is the WL
+    ``graph_hash`` for fully-refined docs and
+    ``graph_hash:md5(canonical N-Quads text)`` for ambiguous ones
+    (md5 is hex, so ``:`` cannot collide). Two docs share a key iff the
+    batch dedup would group them — so a registry keyed on it never
+    merges a WL-colliding non-isomorphic pair, in streaming either.
+    Deterministic per document content (the canonical text's tie-break
+    is the doc's own labels), hence stable across micro-batches."""
+    h = canonical_graph_hash(triples, rounds)
+    un = h.where(~F.col("ambiguous")).select(
+        "doc_url", F.col("graph_hash").alias("dedup_key"), "ambiguous")
     amb = h.where(F.col("ambiguous"))
     amb_triples = triples.join(
         amb.select("doc_url"), "doc_url", "left_semi")
@@ -398,17 +419,12 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
             ).alias("text_hash")
         )
     )
-    groups_a = (
-        amb.join(text_hash, "doc_url")
-        .groupBy("graph_hash", "text_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_url")).alias("doc_urls"),
-        )
-        .where(F.col("n_docs") > 1)
-        .drop("text_hash")
+    keyed_amb = amb.join(text_hash, "doc_url").select(
+        "doc_url",
+        F.concat_ws(":", "graph_hash", "text_hash").alias("dedup_key"),
+        "ambiguous",
     )
-    return groups_u.unionByName(groups_a)
+    return un.unionByName(keyed_amb)
 
 
 def to_canonical_nquads(triples: DataFrame, rounds: int = 2) -> DataFrame:

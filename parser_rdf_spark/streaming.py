@@ -286,8 +286,16 @@ def canonical_dedup_maintenance(
     docs the registry write would be a hash-prefix-partitioned MERGE
     instead of the overwrite commit used here (same trade
     :func:`component_maintenance` documents for its labelling).
+
+    Sound under WL ties (round 5): the registry key is
+    :func:`~.canonical.canonical_dedup_keys`' ``dedup_key`` — the WL
+    hash alone for fully-refined docs, WL hash + exact canonical-quads
+    md5 for ambiguous ones — so a WL-colliding NON-isomorphic pair
+    (hexagon vs two triangles) never shares a registry row, matching
+    the batch :func:`~.canonical.isomorphic_duplicates` exactly; the
+    key is deterministic per document content, hence replay-stable.
     Returns the StreamingQuery (availableNow drain)."""
-    from .canonical import canonical_graph_hash
+    from .canonical import canonical_dedup_keys
     from .snapshots import SnapshotTable
 
     table = SnapshotTable(registry_root)
@@ -296,8 +304,8 @@ def canonical_dedup_maintenance(
         if batch_df.isEmpty():
             return
         t = triples_of(parse_pages(batch_df))
-        pairs = canonical_graph_hash(t, rounds=rounds).select(
-            "graph_hash", "doc_url"
+        pairs = canonical_dedup_keys(t, rounds=rounds).select(
+            F.col("dedup_key").alias("graph_hash"), "doc_url"
         )
         if table.current_id() is not None:
             pairs = table.read(batch_df.sparkSession).unionByName(pairs)

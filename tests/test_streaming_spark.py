@@ -242,3 +242,48 @@ _:{b} ex:name "{bob}" ."""
     drain()
     assert len(SnapshotTable(reg).history()) == n_snaps
     assert SnapshotTable(reg).read(spark).count() == 3
+
+
+def test_canonical_dedup_stream_sound_under_wl_ties(spark, dirs):
+    """Round 5: the streaming registry keys by canonical_dedup_keys, so
+    a WL-hash collision between NON-isomorphic symmetric graphs
+    (hexagon vs two triangles) lands as TWO registry keys — never a
+    false merge — while a renamed re-crawl of the hexagon still joins
+    the existing key."""
+    from parser_rdf_spark.snapshots import SnapshotTable
+
+    pages_dir, _, ckpt = dirs
+    reg = ckpt + "_registry_wl"
+
+    def cycle_ttl(pairs):
+        lines = ["@prefix ex: <http://e/> ."]
+        lines += [f"_:{a} ex:n _:{b} ." for a, b in pairs]
+        return "\n".join(lines)
+
+    hexa = lambda p: cycle_ttl(  # noqa: E731
+        [(f"{p}{i}", f"{p}{(i + 1) % 6}") for i in range(6)])
+    tris = cycle_ttl([("t0", "t1"), ("t1", "t2"), ("t2", "t0"),
+                      ("t3", "t4"), ("t4", "t5"), ("t5", "t3")])
+
+    def drain():
+        stream = spark.readStream.schema(PAGES).parquet(pages_dir)
+        q = st.canonical_dedup_maintenance(stream, reg, ckpt)
+        assert q.awaitTermination(240), "availableNow drain did not finish"
+
+    _write_pages(spark, pages_dir, {"https://c/hex1": hexa("h")})
+    drain()
+    _write_pages(spark, pages_dir, {
+        "https://c/tris": tris,            # WL-collides with the hexagon
+        "https://c/hex2": hexa("z"),       # true re-crawl, renamed labels
+    })
+    drain()
+
+    rows = SnapshotTable(reg).read(spark).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.graph_hash, set()).add(r.doc_url)
+    assert len(rows) == 3 and len(by_key) == 2
+    assert {"https://c/hex1", "https://c/hex2"} in by_key.values()
+    assert {"https://c/tris"} in by_key.values()
+    # ambiguous docs carry the composite wlhash:texthash key
+    assert all(":" in k for k in by_key)
