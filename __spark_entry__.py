@@ -2139,6 +2139,57 @@ _INCR_ENTAIL_SQL = (
 )
 
 
+def _q_incremental_owl_entailment(spark, sf_dir):
+    """VERDICT r05 task 6, OWL half (owl_property_entailment_delta): an
+    axiom-only append batch (ex:next becomes transitive, ex:prev its
+    inverse) lands on a chain KG over the 25 nation keys whose OWL
+    consequences are already materialized (empty — no axioms yet). The
+    engine re-runs the transitive closure ONLY for the touched
+    predicate and derives inverse rows for the old edges via the
+    broadcast AXIOM DELTA; RAISES unless prev ∪ delta is bit-identical
+    to full re-materialization. Oracle: the chain closure is all
+    (i, j > i+1) pairs — enumerable with one self-join, no recursion."""
+    from parser_rdf_spark.inference import (owl_property_entailment,
+                                            owl_property_entailment_delta)
+
+    v = {"type": "rdf:type", "inverse": "owl:inverseOf",
+         "symmetric": "owl:Symmetric", "transitive": "owl:Transitive"}
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = nation.select(F.col("n_nationkey").cast("long").alias("i"))
+    edges = (
+        k.alias("a").join(k.alias("b"), F.col("b.i") == F.col("a.i") + 1)
+        .select(F.concat(F.lit("urn:n:"), F.col("a.i")).alias("subj"),
+                F.lit("ex:next").alias("pred"),
+                F.concat(F.lit("urn:n:"), F.col("b.i")).alias("obj"))
+    )
+    delta = spark.createDataFrame(
+        [("ex:next", "rdf:type", "owl:Transitive"),
+         ("ex:prev", "owl:inverseOf", "ex:next")],
+        "subj string, pred string, obj string")
+    prev = owl_property_entailment(edges, vocab=v)
+    added = owl_property_entailment_delta(edges, delta, prev_inferred=prev,
+                                          vocab=v)
+    full = owl_property_entailment(edges.unionByName(delta), vocab=v)
+    incr = prev.unionByName(added)
+    if (not incr.exceptAll(full).isEmpty()
+            or not full.exceptAll(incr).isEmpty()):
+        raise AssertionError(
+            "delta-driven OWL entailment diverged from full re-materialization")
+    return added
+
+
+_INCR_OWL_SQL = (
+    "WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation) "
+    # transitive closure of the chain = every forward pair; the adjacent
+    # ones are asserted and therefore subtracted
+    "SELECT 'urn:n:' || a.i AS subj, 'ex:next' AS pred, "
+    "'urn:n:' || b.i AS obj FROM k a, k b WHERE b.i > a.i + 1 "
+    # inverse of each asserted edge
+    "UNION ALL SELECT 'urn:n:' || (i + 1), 'ex:prev', 'urn:n:' || i "
+    "FROM k WHERE i + 1 <= (SELECT max(i) FROM k)"
+)
+
+
 def _q_sparql_entailed_query(spark, sf_dir):
     """SPARQL under the RDFS entailment regime (sparql_query_entailed,
     materialization strategy): the BGP matches rdf:type rows that exist
@@ -4874,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_dup_spans,
         "incremental_entailment": _q_incremental_entailment,
         "isomorphic_dup_wl_ties": _q_isomorphic_wl_ties,
+        "incremental_owl_entailment": _q_incremental_owl_entailment,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6687,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "incremental_entailment": _INCR_ENTAIL_SQL,
         "isomorphic_dup_wl_ties": _WL_TIES_SQL,
+        "incremental_owl_entailment": _INCR_OWL_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
         "stream_canonical_dedup": _STREAM_CANON_SQL,

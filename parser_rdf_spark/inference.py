@@ -420,7 +420,17 @@ def owl_property_entailment(
         .select("subj", "pred", "obj")
         .distinct()
     )
-    # closure is PER PREDICATE: one doubling loop with pred in the join key
+    cur = _pred_closure(base, max_iters)
+
+    inferred = inv_inferred.unionByName(sym_inferred).unionByName(cur)
+    return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+
+def _pred_closure(base: DataFrame, max_iters: int) -> DataFrame:
+    """Per-predicate transitive closure of a (subj, pred, obj) edge
+    relation — one path-doubling loop with pred in the join key, each
+    round localCheckpointed (shared by :func:`owl_property_entailment`
+    and its delta form so the two can never drift)."""
     cur = base.localCheckpoint(eager=True)
     n = cur.count()
     for _ in range(max_iters):
@@ -444,9 +454,121 @@ def owl_property_entailment(
         if n2 == n:
             break
         n = n2
+    return cur
 
-    inferred = inv_inferred.unionByName(sym_inferred).unionByName(cur)
-    return inferred.distinct().join(inst, ["subj", "pred", "obj"], "left_anti")
+
+def owl_property_entailment_delta(
+    old: DataFrame,
+    delta: DataFrame,
+    prev_inferred: DataFrame | None = None,
+    vocab: dict[str, str] | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Delta-driven OWL property-axiom maintenance (round 5), the OWL
+    twin of :func:`rdfs_entailment_delta`: the rows an APPEND-ONLY
+    ``delta`` batch adds to a previous :func:`owl_property_entailment`
+    materialization. Same law (``prev ∪ result == full(old ∪ delta)``
+    as sets, pinned in pytest and the ``incremental_owl_entailment``
+    contract query) and the same append-only caveat (retraction ⇒
+    re-materialize).
+
+    Scale shape:
+
+    * inverse/symmetric: delta instances × broadcast MERGED axiom maps;
+      the old corpus is scanned only against the AXIOM DELTA (skipped
+      when no inverse/symmetric axiom changed);
+    * transitive: the closure re-runs ONLY for TOUCHED predicates —
+      those newly declared transitive, or receiving any new base edge
+      (delta-asserted or newly derived inverse/symmetric). The re-run
+      reads just those predicates' edge sets (pushed ``isin`` over the
+      ontology-sized collected touched list); an untouched transitive
+      predicate's closure is already in ``prev_inferred`` and its base
+      cannot have changed, so it contributes nothing.
+    """
+    v = {**_OWL_VOCAB, **(vocab or {})}
+    if prev_inferred is None:
+        prev_inferred = owl_property_entailment(old, vocab=vocab,
+                                                max_iters=max_iters)
+    old_inst = old.select("subj", "pred", "obj")
+    delta_inst = delta.select("subj", "pred", "obj")
+    merged = old_inst.unionByName(delta_inst)
+
+    def inv_both(t):
+        inv = _schema(t, v["inverse"])
+        return inv.unionByName(
+            inv.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def decl_preds(t, cls):
+        return (
+            t.filter((F.col("pred") == v["type"]) & (F.col("obj") == cls))
+            .select(F.col("subj").alias("p")).distinct()
+        )
+
+    inv_new = inv_both(merged)
+    inv_d = inv_new.join(inv_both(old), ["src", "dst"], "left_anti").persist()
+    sym_new = decl_preds(merged, v["symmetric"])
+    sym_d = sym_new.join(decl_preds(old, v["symmetric"]), ["p"],
+                         "left_anti").persist()
+    trans_new = decl_preds(merged, v["transitive"])
+    trans_d = trans_new.join(decl_preds(old, v["transitive"]), ["p"],
+                             "left_anti")
+
+    inv_rows = delta_inst.join(
+        F.broadcast(inv_new), delta_inst.pred == inv_new.src
+    ).select(F.col("obj").alias("subj"), F.col("dst").alias("pred"),
+             F.col("subj").alias("obj"))
+    if not inv_d.isEmpty():
+        inv_rows = inv_rows.unionByName(
+            old_inst.join(F.broadcast(inv_d), old_inst.pred == inv_d.src)
+            .select(F.col("obj").alias("subj"), F.col("dst").alias("pred"),
+                    F.col("subj").alias("obj")))
+    sym_rows = delta_inst.join(
+        F.broadcast(sym_new), delta_inst.pred == sym_new.p
+    ).select(F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"))
+    if not sym_d.isEmpty():
+        sym_rows = sym_rows.unionByName(
+            old_inst.join(F.broadcast(sym_d), old_inst.pred == sym_d.p)
+            .select(F.col("obj").alias("subj"), "pred",
+                    F.col("subj").alias("obj")))
+
+    # touched transitive predicates: newly declared, or gaining any new
+    # base edge; the list is ontology-sized (driver collect, the IVF-
+    # centroid discipline) and becomes a pushed isin filter
+    new_edges = delta_inst.unionByName(inv_rows).unionByName(sym_rows)
+    touched = (
+        new_edges.join(F.broadcast(trans_new), new_edges.pred == trans_new.p)
+        .select("p")
+        .unionByName(trans_d.select("p"))
+        .distinct()
+    )
+    touched_list = [r.p for r in touched.collect()]
+    added = inv_rows.unionByName(sym_rows)
+    if touched_list:
+        inv_touch = inv_new.filter(F.col("dst").isin(touched_list))
+        sym_touch = sym_new.filter(F.col("p").isin(touched_list))
+        base = (
+            merged.filter(F.col("pred").isin(touched_list))
+            .unionByName(
+                merged.join(F.broadcast(inv_touch),
+                            merged.pred == inv_touch.src)
+                .select(F.col("obj").alias("subj"),
+                        F.col("dst").alias("pred"),
+                        F.col("subj").alias("obj")))
+            .unionByName(
+                merged.join(F.broadcast(sym_touch),
+                            merged.pred == sym_touch.p)
+                .select(F.col("obj").alias("subj"), "pred",
+                        F.col("subj").alias("obj")))
+            .distinct()
+        )
+        added = added.unionByName(_pred_closure(base, max_iters))
+    return (
+        added.distinct()
+        .join(merged, ["subj", "pred", "obj"], "left_anti")
+        .join(prev_inferred.select("subj", "pred", "obj"),
+              ["subj", "pred", "obj"], "left_anti")
+    )
 
 
 OWL_PROP_CHAIN = "http://www.w3.org/2002/07/owl#propertyChainAxiom"

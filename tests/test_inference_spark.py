@@ -120,3 +120,81 @@ def test_rdfs_delta_chained_subclass_through_delta_edge(spark):
     a = _entail_sets(added)
     assert ("x", "a", "Top") in a
     assert ("Cust", "sc", "Top") in a          # schema-closure delta row
+
+
+def test_owl_delta_instance_batch_bit_identical(spark):
+    from parser_rdf_spark.inference import (owl_property_entailment,
+                                            owl_property_entailment_delta)
+
+    v = {"type": "a", "inverse": "inv", "symmetric": "Sym",
+         "transitive": "Trans"}
+    old = _spo(spark, [
+        ("partOf", "a", "Trans"), ("touches", "a", "Sym"),
+        ("contains", "inv", "partOf"),
+        ("x", "partOf", "y"), ("y", "partOf", "z"),
+        ("p", "touches", "q"),
+    ])
+    # instance-only batch extends the transitive chain and adds a
+    # symmetric edge — partOf's closure must be re-run, touches' rows
+    # are delta-local, inverse rows derive for the new edges
+    delta = _spo(spark, [
+        ("z", "partOf", "w"), ("q", "touches", "r"),
+    ])
+    prev = owl_property_entailment(old, vocab=v)
+    added = owl_property_entailment_delta(old, delta, prev_inferred=prev,
+                                          vocab=v)
+    full = owl_property_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(prev) | _entail_sets(added) == _entail_sets(full)
+    a = _entail_sets(added)
+    assert ("x", "partOf", "w") in a       # closure through the new edge
+    assert ("w", "contains", "z") in a     # inverse of the new edge
+    assert ("r", "touches", "q") in a      # symmetry of the new edge
+    assert _entail_sets(added) & _entail_sets(prev) == set()
+
+
+def test_owl_delta_axiom_batch_touches_old_edges(spark):
+    from parser_rdf_spark.inference import (owl_property_entailment,
+                                            owl_property_entailment_delta)
+
+    v = {"type": "a", "inverse": "inv", "symmetric": "Sym",
+         "transitive": "Trans"}
+    old = _spo(spark, [
+        ("x", "next", "y"), ("y", "next", "z"), ("z", "next", "w"),
+        ("m", "near", "n"),
+    ])
+    # axiom-only batch: next becomes transitive (old edges must close),
+    # near becomes symmetric, prev becomes next's inverse
+    delta = _spo(spark, [
+        ("next", "a", "Trans"), ("near", "a", "Sym"),
+        ("prev", "inv", "next"),
+    ])
+    prev = owl_property_entailment(old, vocab=v)
+    assert _entail_sets(prev) == set()     # no axioms → nothing inferred
+    added = owl_property_entailment_delta(old, delta, prev_inferred=prev,
+                                          vocab=v)
+    full = owl_property_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(added) == _entail_sets(full)
+    a = _entail_sets(added)
+    assert ("x", "next", "w") in a         # closure over OLD edges
+    assert ("y", "prev", "x") in a         # inverse over OLD edges
+    assert ("n", "near", "m") in a         # symmetry over OLD edges
+
+
+def test_owl_delta_untouched_transitive_pred_skipped(spark):
+    from parser_rdf_spark.inference import (owl_property_entailment,
+                                            owl_property_entailment_delta)
+
+    v = {"type": "a", "inverse": "inv", "symmetric": "Sym",
+         "transitive": "Trans"}
+    old = _spo(spark, [
+        ("partOf", "a", "Trans"),
+        ("x", "partOf", "y"), ("y", "partOf", "z"),
+    ])
+    # the delta never touches partOf: its closure must not resurface
+    delta = _spo(spark, [("a1", "other", "b1")])
+    prev = owl_property_entailment(old, vocab=v)
+    added = owl_property_entailment_delta(old, delta, prev_inferred=prev,
+                                          vocab=v)
+    full = owl_property_entailment(old.unionByName(delta), vocab=v)
+    assert _entail_sets(prev) | _entail_sets(added) == _entail_sets(full)
+    assert _entail_sets(added) == set()
