@@ -263,7 +263,8 @@ def _with_colored_terms(triples: DataFrame, colors: DataFrame) -> DataFrame:
     )
 
 
-def canonical_graph_hash(triples: DataFrame, rounds: int = 2) -> DataFrame:
+def canonical_graph_hash(triples: DataFrame, rounds: int = 2,
+                         colors: DataFrame | None = None) -> DataFrame:
     """One isomorphism-invariant hash per document:
     ``(doc_url, graph_hash, n_triples, ambiguous)``. The hash is md5
     over the sorted canonical triple encodings (bnodes → final color),
@@ -276,8 +277,13 @@ def canonical_graph_hash(triples: DataFrame, rounds: int = 2) -> DataFrame:
     AMBIGUOUS docs do not alone prove isomorphism.
     :func:`isomorphic_duplicates` uses the flag to verify those groups
     by exact canonical-quads comparison; docs without blank nodes are
-    never ambiguous (their encoding is ground and exact)."""
-    colors = bnode_colors(triples, rounds)
+    never ambiguous (their encoding is ground and exact).
+
+    ``colors`` short-circuits the refinement with a precomputed
+    :func:`bnode_colors` relation (refine once, reuse everywhere — the
+    canonical_dedup_keys discipline)."""
+    if colors is None:
+        colors = bnode_colors(triples, rounds)
     colored = _with_colored_terms(triples, colors)
     # a color class with >1 member = WL tie; one groupBy over the
     # (per-doc, checkpointed) color relation — bnode-count sized
@@ -310,12 +316,15 @@ def canonical_graph_hash(triples: DataFrame, rounds: int = 2) -> DataFrame:
     )
 
 
-def canonicalize_bnodes(triples: DataFrame, rounds: int = 2) -> DataFrame:
+def canonicalize_bnodes(triples: DataFrame, rounds: int = 2,
+                        colors: DataFrame | None = None) -> DataFrame:
     """Rewrite blank-node labels to canonical ``_:c<rank>`` (rank =
     row_number over (color, original label) per document — original
     label only as the tie-break within a shared color, see module
-    docstring). Output schema = input schema; ground terms untouched."""
-    colors = bnode_colors(triples, rounds)
+    docstring). Output schema = input schema; ground terms untouched.
+    ``colors``: optional precomputed :func:`bnode_colors` relation."""
+    if colors is None:
+        colors = bnode_colors(triples, rounds)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_url").orderBy("color", "bnode")
@@ -403,15 +412,27 @@ def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
     batch dedup would group them — so a registry keyed on it never
     merges a WL-colliding non-isomorphic pair, in streaming either.
     Deterministic per document content (the canonical text's tie-break
-    is the doc's own labels), hence stable across micro-batches."""
-    h = canonical_graph_hash(triples, rounds)
+    is the doc's own labels), hence stable across micro-batches.
+
+    Cost discipline: the WL refinement runs ONCE (colors shared by the
+    hash and, when needed, the relabel); the per-doc hash relation is
+    localCheckpointed so the three consumers below never re-execute its
+    lineage; and when NO document is ambiguous — the overwhelmingly
+    common corpus — the exact-text branch is skipped entirely
+    (driver-side emptiness check on the doc-count-sized relation), so
+    the sound path costs the same as the old unsound one."""
+    colors = bnode_colors(triples, rounds)
+    h = canonical_graph_hash(triples, rounds, colors=colors) \
+        .localCheckpoint(eager=True)
     un = h.where(~F.col("ambiguous")).select(
         "doc_url", F.col("graph_hash").alias("dedup_key"), "ambiguous")
     amb = h.where(F.col("ambiguous"))
+    if amb.isEmpty():
+        return un
     amb_triples = triples.join(
         amb.select("doc_url"), "doc_url", "left_semi")
     text_hash = (
-        to_canonical_nquads(amb_triples, rounds)
+        to_canonical_nquads(amb_triples, rounds, colors=colors)
         .groupBy("doc_url")
         .agg(
             F.md5(
@@ -427,13 +448,15 @@ def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
     return un.unionByName(keyed_amb)
 
 
-def to_canonical_nquads(triples: DataFrame, rounds: int = 2) -> DataFrame:
+def to_canonical_nquads(triples: DataFrame, rounds: int = 2,
+                        colors: DataFrame | None = None) -> DataFrame:
     """Canonical N-Quads: relabel blank nodes to their canonical
     ``_:c<rank>`` (:func:`canonicalize_bnodes`) and render N-Quads
     lines — the W3C RDFC-1.0 deliverable shape: two isomorphic
     documents serialize to the IDENTICAL line set, so a plain text-hash
     downstream (or the exact-dedup operator) recognizes them. Returns
-    ``(doc_url, line)``; map-only on top of the relabel joins."""
+    ``(doc_url, line)``; map-only on top of the relabel joins.
+    ``colors``: optional precomputed :func:`bnode_colors` relation."""
     from .serialize import to_nquads
 
-    return to_nquads(canonicalize_bnodes(triples, rounds))
+    return to_nquads(canonicalize_bnodes(triples, rounds, colors=colors))
