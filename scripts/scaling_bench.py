@@ -211,7 +211,17 @@ Two scale-relevant lessons recorded this pass:
         prev_min = min(prev.get("eff_2_8", -1.0), prev.get("eff_8_32", -1.0))
     improved = min(eff2, efficiency) > prev_min
     if improved or "--force-write" in sys.argv:
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # preserve per-round history: everything from the first "## Round"
+        # section onward is hand-written narrative the regenerated
+        # template must not wipe (it did once — recovered from git)
+        md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if os.path.exists(md_path):
+            with open(md_path) as f:
+                cur = f.read()
+            i = cur.find("\n## Round")
+            if i != -1:
+                md = md.rstrip() + "\n" + cur[i:]
+        with open(md_path, "w") as f:
             f.write(md)
         with open(best_path, "w") as f:
             json.dump({"eff_2_8": eff2, "eff_8_32": efficiency,
