@@ -2048,6 +2048,57 @@ _WL_TIES_SQL = (
 )
 
 
+def _q_isomorphic_dup_orbit_relabel(spark, sf_dir):
+    """Round-5 exactness law through the FULL parse path: graph-level
+    dedup is COMPLETE under WL automorphism ties, not merely sound. A
+    directed 6-cycle of blank nodes is re-crawled with an
+    orbit-CROSSING relabel (label order walks the cycle backwards —
+    the i -> -i isomorphism), which the pre-exact original-label
+    tie-break serialized differently and therefore MISSED; the
+    individualization-refinement key (canonical.exact_canonical_hashes)
+    must group it, while the WL-colliding two-triangles decoy stays
+    apart and an unambiguous ground-anchored pair still groups via the
+    plain WL hash. Oracle: golden VALUES (the grouping IS the
+    contract)."""
+    from parser_rdf_spark.canonical import isomorphic_duplicates
+    from parser_rdf_spark.parse import parse_pages, triples_of
+
+    def cycle_ttl(pairs):
+        lines = ["@prefix ex: <http://e/> ."]
+        lines += [f"_:{a} ex:n _:{b} ." for a, b in pairs]
+        return "\n".join(lines)
+
+    hexa = cycle_ttl([(f"h{i}", f"h{(i + 1) % 6}") for i in range(6)])
+    hexa_rev = cycle_ttl([(f"r{(i + 1) % 6}", f"r{i}") for i in range(6)])
+    tris = cycle_ttl([("t0", "t1"), ("t1", "t2"), ("t2", "t0"),
+                      ("t3", "t4"), ("t4", "t5"), ("t5", "t3")])
+    anchored = ('@prefix ex: <http://e/> .\n'
+                'ex:x ex:knows _:{a} .\n'
+                '_:{a} ex:name "Ann" .')
+    pages = _fixture_pages(spark, {
+        _WL_TIE_URL.format("ohex1"): hexa,
+        _WL_TIE_URL.format("ohex2"): hexa_rev,
+        _WL_TIE_URL.format("otris"): tris,
+        _WL_TIE_URL.format("oanc1"): anchored.format(a="a"),
+        _WL_TIE_URL.format("oanc2"): anchored.format(a="b9"),
+    })
+    dups = isomorphic_duplicates(triples_of(parse_pages(pages)), rounds=2)
+    return dups.select(
+        F.concat_ws("|", "doc_urls").alias("members"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+_ORBIT_RELABEL_SQL = (
+    "SELECT * FROM (VALUES "
+    f"('{_WL_TIE_URL.format('oanc1')}|{_WL_TIE_URL.format('oanc2')}', "
+    "CAST(2 AS BIGINT)), "
+    f"('{_WL_TIE_URL.format('ohex1')}|{_WL_TIE_URL.format('ohex2')}', "
+    "CAST(2 AS BIGINT))"
+    ") AS t(members, n_docs)"
+)
+
+
 def _q_incremental_entailment(spark, sf_dir):
     """VERDICT r05 task 6: delta-driven RDFS maintenance
     (inference.rdfs_entailment_delta) — an append-only crawl batch
@@ -4926,6 +4977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_entailment": _q_incremental_entailment,
         "isomorphic_dup_wl_ties": _q_isomorphic_wl_ties,
         "incremental_owl_entailment": _q_incremental_owl_entailment,
+        # --- post-window round-5 additions (position >50: pytest +
+        # local-mirror evidence; the 50-wide driver window above is
+        # exactly the never-driver-green backlog + the 6 new queries).
+        "isomorphic_dup_orbit_relabel": _q_isomorphic_dup_orbit_relabel,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6739,6 +6794,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_entailed_query": _SPARQL_ENTAILED_SQL,
         "incremental_entailment": _INCR_ENTAIL_SQL,
         "isomorphic_dup_wl_ties": _WL_TIES_SQL,
+        "isomorphic_dup_orbit_relabel": _ORBIT_RELABEL_SQL,
         "incremental_owl_entailment": _INCR_OWL_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,

@@ -31,18 +31,29 @@ Ties here share a color — the canonical HASH is still
 isomorphism-INVARIANT (isomorphic graphs always hash identically), but
 for tied graphs it is not isomorphism-DISCRIMINATING: two
 NON-isomorphic docs whose WL color multisets coincide (the classic
-hexagon vs two-triangles pair) share a hash. Round 5 makes the dedup
-sound by construction: :func:`canonical_graph_hash` flags any document
-with a color class holding >1 blank node after refinement
-(``ambiguous`` column), and :func:`isomorphic_duplicates` groups
-ambiguous docs by WL hash AND exact canonical-quads text — a
-hash-colliding non-isomorphic pair serializes differently and never
-dedups. Conservative direction: an ambiguous TRUE duplicate pair whose
-label tie-break (original label within a color) crosses automorphism
-orbits asymmetrically can be missed — never falsely merged. Label
-assignment breaks ties by the original label (documented,
-deterministic). ``rounds`` must reach the blank-node diameter of the
-graph for full discrimination.
+hexagon vs two-triangles pair) share a hash. Round 5 closes the gap in
+two steps. First, soundness by construction:
+:func:`canonical_graph_hash` flags any document with a color class
+holding >1 blank node after refinement (``ambiguous`` column), so a
+hash shared by two AMBIGUOUS docs is never trusted alone. Second,
+COMPLETENESS on the ambiguous sliver: :func:`exact_canonical_hashes`
+runs a true canonical labeling (individualization-refinement — the
+standard exact graph-canonization scheme RDFC-1.0's recursive N-degree
+hashing instantiates) per ambiguous document inside ``applyInPandas``:
+WL-refine to a stable partition in pure Python, branch on every member
+of the FIRST (lowest-color — an isomorphism-invariant target cell)
+non-singleton class, recurse, and keep the lexicographically smallest
+full serialization. Isomorphic docs now key identically even when the
+automorphism orbit is entered through differently-ranked original
+labels; non-isomorphic docs never do (the key is a full labeled
+serialization, so equality implies graph identity). The search is
+exponential only in the size of the largest unbroken symmetric
+structure; a deterministic ``branch_cap`` bounds it, falling back to
+the original-label tie-break serialization (sound, possibly
+incomplete) with ``exact = false``. Label assignment in
+:func:`canonicalize_bnodes` keeps the documented original-label
+tie-break (cheap, column-only); ``rounds`` must reach the blank-node
+diameter of the graph for full discrimination.
 
 Scale shape: each round is two key-partitioned equi-joins on
 ``(doc_url, bnode)`` plus one groupBy — blank-node scope is per
@@ -60,6 +71,7 @@ __all__ = [
     "canonical_dedup_keys",
     "canonicalize_bnodes",
     "canonical_graph_hash",
+    "exact_canonical_hashes",
     "isomorphic_duplicates",
 ]
 
@@ -317,12 +329,22 @@ def canonical_graph_hash(triples: DataFrame, rounds: int = 2,
 
 
 def canonicalize_bnodes(triples: DataFrame, rounds: int = 2,
-                        colors: DataFrame | None = None) -> DataFrame:
+                        colors: DataFrame | None = None,
+                        exact: bool = False,
+                        branch_cap: int = 4096) -> DataFrame:
     """Rewrite blank-node labels to canonical ``_:c<rank>`` (rank =
     row_number over (color, original label) per document — original
     label only as the tie-break within a shared color, see module
     docstring). Output schema = input schema; ground terms untouched.
-    ``colors``: optional precomputed :func:`bnode_colors` relation."""
+    ``colors``: optional precomputed :func:`bnode_colors` relation.
+
+    ``exact=True`` routes WL-AMBIGUOUS documents (any color class with
+    >1 bnode) through :func:`exact_canonical_labels` instead of the
+    label tie-break, so the relabeled output is a TRUE canonical form:
+    isomorphic docs produce identical triple sets no matter how a
+    re-crawl renamed labels around an automorphism orbit. Unambiguous
+    docs keep the cheap column-only path; the exact search touches only
+    the semi-join-pruned sliver."""
     if colors is None:
         colors = bnode_colors(triples, rounds)
     from pyspark.sql import Window
@@ -333,6 +355,23 @@ def canonicalize_bnodes(triples: DataFrame, rounds: int = 2,
         "bnode",
         F.concat(F.lit("_:c"), (F.row_number().over(w) - 1)).alias("canon"),
     )
+    if exact:
+        amb_docs = (
+            colors.groupBy("doc_url", "color")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .select("doc_url")
+            .distinct()
+        )
+        exact_rel = exact_canonical_labels(
+            triples.join(amb_docs, "doc_url", "left_semi"), branch_cap
+        ).select(
+            "doc_url",
+            "bnode",
+            F.concat(F.lit("_:c"), F.col("canon_rank")).alias("canon"),
+        )
+        relabel = relabel.join(amb_docs, "doc_url", "left_anti") \
+            .unionByName(exact_rel)
     cols = triples.columns
     s_m = relabel.select(
         F.col("doc_url").alias("s_doc"),
@@ -373,15 +412,17 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
     Turtle and an RDF/XML rendering of the same graph with different
     ``_:genid`` labels land in one group.
 
-    Sound under WL ties (round 5): unambiguous docs group by WL hash
-    alone (refinement separated every bnode, so the hash is an exact
-    canonical form). AMBIGUOUS docs — any color class with >1 bnode —
-    additionally group by the md5 of their exact canonical N-Quads
-    text, so a WL-hash collision between NON-isomorphic symmetric
-    structures (hexagon vs two triangles) never merges; an automorphic
-    TRUE duplicate still groups because every labeling of a full
-    automorphism orbit serializes identically. Conservative failure
-    mode is a MISSED duplicate, never a false merge.
+    Sound AND complete under WL ties (round 5): unambiguous docs group
+    by WL hash alone (refinement separated every bnode, so the hash is
+    an exact canonical form). AMBIGUOUS docs — any color class with >1
+    bnode — additionally group by the md5 of their EXACT canonical text
+    (:func:`exact_canonical_hashes`, individualization-refinement), so
+    a WL-hash collision between NON-isomorphic symmetric structures
+    (hexagon vs two triangles) never merges, and an automorphic TRUE
+    duplicate always groups no matter how the re-crawl renamed its
+    labels around the orbit. The only residual miss is a graph whose
+    unbroken symmetric structure exceeds the deterministic branch cap —
+    then the key degrades to the sound original-label tie-break.
 
     Scale shape: the second check runs only on the ambiguous subset
     (semi-join pruned), which in web corpora is a sliver — label-
@@ -401,26 +442,228 @@ def isomorphic_duplicates(triples: DataFrame, rounds: int = 2) -> DataFrame:
     )
 
 
+def _canon_label_doc(quads, bnodes, branch_cap):
+    """Exact canonical serialization of ONE document graph (pure
+    Python, runs inside the Arrow batch of :func:`exact_canonical_hashes`).
+
+    ``quads``: list of ``(g, s, p, o)`` where ``s``/``o`` are either
+    ``("b", label)`` or ``("g", ground_encoding)``. Returns
+    ``(canonical_text, labels, exact)`` where ``labels`` maps each
+    blank-node label to its canonical rank — individualization-
+    refinement keeps the lexicographically smallest full serialization
+    over all branch leaves (and the labeling that produced it); if the
+    leaf count would exceed ``branch_cap`` the search aborts and the
+    original-label tie-break serialization/labeling is returned with
+    ``exact=False`` (sound: any full labeled serialization equality
+    still implies graph identity; only completeness is lost)."""
+    # adjacency: per bnode, the invariant part of each incident edge
+    # plus the other end (bnode label to be colored, or ground enc)
+    adj = {b: [] for b in bnodes}
+    for g, s, p, o in quads:
+        if s[0] == "b":
+            other = (0, o[1]) if o[0] == "b" else (1, o[1])
+            adj[s[1]].append(("o", p, g, other))
+        if o[0] == "b":
+            other = (0, s[1]) if s[0] == "b" else (1, s[1])
+            adj[o[1]].append(("i", p, g, other))
+
+    def refine(colors):
+        # iterate (old_color, sorted items) → rank until the partition
+        # is stable; ranks derive from sorted signature content only,
+        # so the partition is isomorphism-invariant
+        while True:
+            sigs = {}
+            for b in bnodes:
+                items = []
+                for d, p, g, (kind, key) in adj[b]:
+                    items.append(
+                        (d, p, g, kind, colors[key] if kind == 0 else key)
+                    )
+                items.sort()
+                sigs[b] = (colors[b], tuple(items))
+            rank = {v: i for i, v in enumerate(sorted(set(sigs.values())))}
+            new = {b: rank[sigs[b]] for b in bnodes}
+            if new == colors:
+                return colors
+            colors = new
+
+    def serialize(labels):
+        lines = []
+        for g, s, p, o in quads:
+            se = "_:c%d" % labels[s[1]] if s[0] == "b" else s[1]
+            oe = "_:c%d" % labels[o[1]] if o[0] == "b" else o[1]
+            lines.append("%s %s %s %s" % (se, p, oe, g))
+        lines.sort()
+        return "\n".join(lines)
+
+    state = {"leaves": 0, "best": None, "best_labels": None, "exact": True}
+
+    def search(colors):
+        if not state["exact"]:
+            return
+        colors = refine(colors)
+        classes = {}
+        for b in bnodes:
+            classes.setdefault(colors[b], []).append(b)
+        tied = [c for c, ms in classes.items() if len(ms) > 1]
+        if not tied:
+            state["leaves"] += 1
+            if state["leaves"] > branch_cap:
+                state["exact"] = False
+                return
+            # discrete partition: colors are already ranks 0..n-1
+            text = serialize(colors)
+            if state["best"] is None or text < state["best"]:
+                state["best"], state["best_labels"] = text, colors
+            return
+        # invariant target cell: the lowest tied color class
+        for b in sorted(classes[min(tied)]):
+            # individualize b below its classmates, keep global order
+            search({c: colors[c] * 2 + (0 if c == b else 1)
+                    for c in bnodes})
+
+    seed = {b: 0 for b in bnodes}
+    try:
+        search(seed)
+    except RecursionError:
+        # one individualization level per recursion frame: a graph with
+        # thousands of tied bnodes exhausts the stack before the leaf
+        # cap bites — same remedy, sound fallback
+        state["exact"] = False
+    if state["exact"] and state["best"] is not None:
+        return state["best"], state["best_labels"], True
+    # fallback: sound deterministic labeling by (color, original label)
+    colors = refine(seed)
+    order = sorted(bnodes, key=lambda b: (colors[b], b))
+    labels = {b: i for i, b in enumerate(order)}
+    return serialize(labels), labels, False
+
+
+def exact_canonical_hashes(triples: DataFrame,
+                           branch_cap: int = 4096) -> DataFrame:
+    """Exact (isomorphism-DISCRIMINATING) canonical text hash per
+    document: ``(doc_url, text_hash, exact)``. Two documents get equal
+    hashes with ``exact=true`` iff their graphs are isomorphic —
+    individualization-refinement canonical labeling, run per document.
+
+    Spark shape: ``applyInPandas`` grouped by ``doc_url`` — intended
+    for the WL-AMBIGUOUS sliver only (callers semi-join first, see
+    :func:`canonical_dedup_keys`), where per-doc sequential search is
+    the honest cost of exactness (RDFC-1.0's N-degree hashing is the
+    same shape). Skew is bounded by the largest single document; the
+    Arrow boundary ships only the sliver. ``branch_cap`` bounds the
+    search deterministically (stable across batches and replays); a
+    capped doc falls back to the WL + original-label serialization with
+    ``exact=false`` — never a false merge, possibly a missed duplicate
+    (the pre-round-5 behavior, now confined to adversarial graphs whose
+    unbroken symmetric structure exceeds the cap)."""
+    import hashlib
+
+    import pandas as pd
+
+    def one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        quads, bnodes = _doc_quads(pdf)
+        text, _, exact = _canon_label_doc(quads, bnodes, branch_cap)
+        return pd.DataFrame(
+            {
+                "doc_url": [pdf["doc_url"].iloc[0]],
+                "text_hash": [hashlib.md5(text.encode("utf-8")).hexdigest()],
+                "exact": [exact],
+            }
+        )
+
+    return _amb_slim(triples).groupBy("doc_url").applyInPandas(
+        one_doc, "doc_url string, text_hash string, exact boolean"
+    )
+
+
+def exact_canonical_labels(triples: DataFrame,
+                           branch_cap: int = 4096) -> DataFrame:
+    """Exact canonical blank-node ranks per document:
+    ``(doc_url, bnode, canon_rank, exact)`` — the labeling behind
+    :func:`exact_canonical_hashes` (same individualization-refinement
+    search, same ``applyInPandas``-per-doc shape, same deterministic
+    ``branch_cap`` fallback). Feed it to
+    :func:`to_canonical_nquads(exact=True) <to_canonical_nquads>` for a
+    serialization where ISOMORPHIC docs always emit identical line sets
+    even under WL automorphism ties."""
+    import pandas as pd
+
+    def one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        quads, bnodes = _doc_quads(pdf)
+        _, labels, exact = _canon_label_doc(quads, bnodes, branch_cap)
+        return pd.DataFrame(
+            {
+                "doc_url": pdf["doc_url"].iloc[0],
+                "bnode": bnodes,
+                "canon_rank": [labels[b] for b in bnodes],
+                "exact": exact,
+            }
+        )
+
+    return _amb_slim(triples).groupBy("doc_url").applyInPandas(
+        one_doc,
+        "doc_url string, bnode string, canon_rank bigint, exact boolean",
+    )
+
+
+def _amb_slim(triples: DataFrame) -> DataFrame:
+    """The per-doc quad projection both exact-canonical ops group on."""
+    if "graph" not in triples.columns:
+        triples = triples.withColumn("graph", F.lit(None).cast("string"))
+    return triples.select(
+        "doc_url",
+        _graph_enc().alias("g"),
+        "subj",
+        "pred",
+        F.col("obj_kind"),
+        F.col("obj_value"),
+        _ground_obj().alias("o_ground"),
+    )
+
+
+def _doc_quads(pdf):
+    """One Arrow batch group → ``(quads, sorted bnode labels)`` in the
+    ``_canon_label_doc`` input shape."""
+    quads, bnodes = [], set()
+    for g, s, p, ok, ov, og in zip(
+        pdf["g"], pdf["subj"], pdf["pred"], pdf["obj_kind"],
+        pdf["obj_value"], pdf["o_ground"],
+    ):
+        st = ("b", s) if s.startswith("_:") else ("g", "I:" + s)
+        ot = ("b", ov) if ok == "bnode" else ("g", og)
+        if st[0] == "b":
+            bnodes.add(s)
+        if ot[0] == "b":
+            bnodes.add(ov)
+        quads.append((g, st, p, ot))
+    return quads, sorted(bnodes)
+
+
 def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
     """The SOUND per-document graph-identity key shared by
     :func:`isomorphic_duplicates` and the streaming dedup registry
     (:func:`~.streaming.canonical_dedup_maintenance`):
     ``(doc_url, dedup_key, ambiguous)`` where ``dedup_key`` is the WL
     ``graph_hash`` for fully-refined docs and
-    ``graph_hash:md5(canonical N-Quads text)`` for ambiguous ones
-    (md5 is hex, so ``:`` cannot collide). Two docs share a key iff the
-    batch dedup would group them — so a registry keyed on it never
-    merges a WL-colliding non-isomorphic pair, in streaming either.
-    Deterministic per document content (the canonical text's tie-break
-    is the doc's own labels), hence stable across micro-batches.
+    ``graph_hash:md5(exact canonical text)`` for ambiguous ones — the
+    :func:`exact_canonical_hashes` individualization-refinement
+    labeling (md5 is hex, so ``:`` cannot collide). Two docs share a
+    key iff the batch dedup would group them — so a registry keyed on
+    it never merges a WL-colliding non-isomorphic pair, in streaming
+    either; and since the exact labeling is canonical, two ISOMORPHIC
+    ambiguous docs always share a key regardless of how their original
+    labels enter the automorphism orbits (complete, up to the
+    documented branch cap). Deterministic per document content, hence
+    stable across micro-batches.
 
     Cost discipline: the WL refinement runs ONCE (colors shared by the
-    hash and, when needed, the relabel); the per-doc hash relation is
-    localCheckpointed so the three consumers below never re-execute its
+    hash and the ambiguity flag); the per-doc hash relation is
+    localCheckpointed so the consumers below never re-execute its
     lineage; and when NO document is ambiguous — the overwhelmingly
-    common corpus — the exact-text branch is skipped entirely
-    (driver-side emptiness check on the doc-count-sized relation), so
-    the sound path costs the same as the old unsound one."""
+    common corpus — the exact branch is skipped entirely (driver-side
+    emptiness check on the doc-count-sized relation), so the sound path
+    costs the same as plain WL hashing."""
     colors = bnode_colors(triples, rounds)
     h = canonical_graph_hash(triples, rounds, colors=colors) \
         .localCheckpoint(eager=True)
@@ -431,15 +674,7 @@ def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
         return un
     amb_triples = triples.join(
         amb.select("doc_url"), "doc_url", "left_semi")
-    text_hash = (
-        to_canonical_nquads(amb_triples, rounds, colors=colors)
-        .groupBy("doc_url")
-        .agg(
-            F.md5(
-                F.concat_ws("\n", F.sort_array(F.collect_list("line")))
-            ).alias("text_hash")
-        )
-    )
+    text_hash = exact_canonical_hashes(amb_triples)
     keyed_amb = amb.join(text_hash, "doc_url").select(
         "doc_url",
         F.concat_ws(":", "graph_hash", "text_hash").alias("dedup_key"),
@@ -449,14 +684,20 @@ def canonical_dedup_keys(triples: DataFrame, rounds: int = 2) -> DataFrame:
 
 
 def to_canonical_nquads(triples: DataFrame, rounds: int = 2,
-                        colors: DataFrame | None = None) -> DataFrame:
+                        colors: DataFrame | None = None,
+                        exact: bool = False) -> DataFrame:
     """Canonical N-Quads: relabel blank nodes to their canonical
     ``_:c<rank>`` (:func:`canonicalize_bnodes`) and render N-Quads
     lines — the W3C RDFC-1.0 deliverable shape: two isomorphic
     documents serialize to the IDENTICAL line set, so a plain text-hash
     downstream (or the exact-dedup operator) recognizes them. Returns
     ``(doc_url, line)``; map-only on top of the relabel joins.
-    ``colors``: optional precomputed :func:`bnode_colors` relation."""
+    ``colors``: optional precomputed :func:`bnode_colors` relation.
+    ``exact=True`` makes the guarantee unconditional under WL
+    automorphism ties (the RDFC-1.0 parity mode): ambiguous docs are
+    relabeled by the individualization-refinement search instead of the
+    original-label tie-break — see :func:`canonicalize_bnodes`."""
     from .serialize import to_nquads
 
-    return to_nquads(canonicalize_bnodes(triples, rounds, colors=colors))
+    return to_nquads(
+        canonicalize_bnodes(triples, rounds, colors=colors, exact=exact))

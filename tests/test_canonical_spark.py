@@ -219,3 +219,92 @@ def test_automorphic_true_duplicates_still_group(fixture_triples):
     groups = {tuple(r.doc_urls)
               for r in isomorphic_duplicates(fixture_triples, rounds=2).collect()}
     assert ("d4", "d5") in groups
+
+
+def _reversed_hexagon(doc, pre):
+    # the SAME directed 6-cycle entered through an orbit-crossing
+    # relabel: label order walks the cycle BACKWARDS, so the
+    # (color, original label) tie-break serializes it differently from
+    # _hexagon even though the graphs are isomorphic (map i -> -i)
+    lbl = [f"_:{pre}{i}" for i in range(6)]
+    return _cycle(doc, [(lbl[(i + 1) % 6], lbl[i]) for i in range(6)])
+
+
+def test_orbit_crossing_relabel_still_groups(spark):
+    # pre-round-5-exact behavior MISSED this pair (sound but
+    # incomplete); individualization-refinement must group it while
+    # keeping the two-triangles collision apart
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _reversed_hexagon("hr", "r")
+        + _two_triangles("tt", "t"), TRIPLES)
+    groups = {tuple(r.doc_urls)
+              for r in isomorphic_duplicates(t, rounds=2).collect()}
+    assert groups == {("hr", "hx")}
+
+
+def test_exact_canonical_hashes_law(spark):
+    from parser_rdf_spark.canonical import exact_canonical_hashes
+
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _reversed_hexagon("hr", "r")
+        + _two_triangles("tt", "t") + _two_triangles("tt2", "w"), TRIPLES)
+    rows = {r.doc_url: r for r in exact_canonical_hashes(t).collect()}
+    assert all(r.exact for r in rows.values())
+    assert rows["hx"].text_hash == rows["hr"].text_hash
+    assert rows["tt"].text_hash == rows["tt2"].text_hash
+    assert rows["hx"].text_hash != rows["tt"].text_hash
+
+
+def test_exact_branch_cap_fallback_is_sound(spark):
+    from parser_rdf_spark.canonical import exact_canonical_hashes
+
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _two_triangles("tt", "t"), TRIPLES)
+    rows = {r.doc_url: r
+            for r in exact_canonical_hashes(t, branch_cap=1).collect()}
+    # cap forces the fallback labeling: flagged, and still never a
+    # false merge (full serializations of non-isomorphic graphs differ)
+    assert not rows["hx"].exact and not rows["tt"].exact
+    assert rows["hx"].text_hash != rows["tt"].text_hash
+
+
+def test_exact_canonical_nquads_identical_under_orbit_relabel(spark):
+    from parser_rdf_spark.canonical import to_canonical_nquads
+
+    t = spark.createDataFrame(
+        _hexagon("hx", "h") + _reversed_hexagon("hr", "r")
+        + _two_triangles("tt", "t"), TRIPLES)
+    lines = to_canonical_nquads(t, rounds=2, exact=True)
+    by_doc = {
+        d: sorted(r.line for r in lines.where(lines.doc_url == d).collect())
+        for d in ("hx", "hr", "tt")
+    }
+    # RDFC-1.0 parity mode: the orbit-crossing re-crawl emits the
+    # IDENTICAL canonical line set; the non-isomorphic decoy does not
+    assert by_doc["hx"] == by_doc["hr"]
+    assert by_doc["hx"] != by_doc["tt"]
+    # the default (column-only tie-break) path honestly misses this
+    # pair — pinned so the exact flag stays meaningful
+    plain = to_canonical_nquads(t, rounds=2, exact=False)
+    pb = {
+        d: sorted(r.line for r in plain.where(plain.doc_url == d).collect())
+        for d in ("hx", "hr")
+    }
+    assert pb["hx"] != pb["hr"]
+
+
+def test_exact_relabel_keeps_unambiguous_path_and_schema(fixture_triples):
+    from parser_rdf_spark.canonical import canonicalize_bnodes
+
+    plain = canonicalize_bnodes(fixture_triples, rounds=2)
+    ex = canonicalize_bnodes(fixture_triples, rounds=2, exact=True)
+    assert ex.schema == fixture_triples.schema
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    # d1/d2/d3 are unambiguous: identical rows either way; the d4/d5
+    # automorphic pair may permute labels but stays isomorphic-equal
+    for d in ("d1", "d2", "d3"):
+        assert sorted(map(key, ex.where(ex.doc_url == d).collect())) == \
+            sorted(map(key, plain.where(plain.doc_url == d).collect()))
+    k2 = lambda r: (r.subj, r.pred, r.obj_kind, r.obj_value)  # noqa: E731
+    assert sorted(map(k2, ex.where("doc_url = 'd4'").collect())) == \
+        sorted(map(k2, ex.where("doc_url = 'd5'").collect()))
