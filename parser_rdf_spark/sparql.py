@@ -29,10 +29,14 @@ Supported subset (everything the underlying compiler can plan):
   ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
   ``FILTER(expr)``, ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS
   { … }`` (semi-/anti-join on the shared variables), ``MINUS { … }``,
-  ``BIND(expr AS ?v)``, ``VALUES``, a top-level
-  ``{ … } UNION { … }``, sub-SELECT (``{ SELECT … }`` executed
-  recursively and natural-joined with the enclosing group on its
-  projected variables; outer FILTERs may reference sub-projected
+  ``BIND(expr AS ?v)``, ``VALUES``,
+  ``{ … } UNION { … }`` (anywhere in a group — nested unions, several
+  union expressions per group, and unions mixed with sibling patterns
+  all compile; the pieces natural-join on shared variables and group
+  FILTERs run over the joined relation), sub-SELECT (``{ SELECT … }``
+  executed recursively and natural-joined with the enclosing group on
+  its projected variables, in every query form and inside UNION
+  branches; outer FILTERs may reference sub-projected
   variables), ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses over a
   quads relation (the default graph becomes the set-union of the FROM
   graphs; the named-graph set becomes exactly the FROM NAMED list),
@@ -56,8 +60,9 @@ Supported subset (everything the underlying compiler can plan):
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
 (never silently mis-answer): ``SERVICE``, nested path closures,
 closures over negated sets, nested GRAPH, kleene paths over a quads
-relation, sub-SELECT inside UNION branches / non-SELECT forms,
-federated forms.
+relation, EXISTS/NOT EXISTS/MINUS as siblings of a UNION expression
+(their anti-join would see only the sibling patterns' variables — move
+them inside every branch), federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -89,7 +94,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import bgp_ask, bgp_query, bgp_union, seq_path
+from .bgp import bgp_ask, bgp_query, seq_path
 from .iri import is_absolute_iri, resolve_iri
 
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -554,9 +559,12 @@ class _Parser:
     # ----- group graph pattern ------------------------------------------
     def _group(self) -> dict:
         """Parse the body of ``{ … }`` (opening brace already consumed).
-        Returns a bgp_query kwargs dict, or {'union': [branch, …]}."""
+        Returns a bgp_query kwargs dict; UNION expressions land under
+        ``spec['unions']`` — a list of branch-lists, one per ``{…} UNION
+        {…} [UNION {…}…]`` block in the group, each branch itself a full
+        group spec (so unions nest to any depth and branches may carry
+        sub-SELECTs)."""
         spec: dict = {"patterns": []}
-        union_branches = None
         while not self._eat("}"):
             if self._peek()[0] == "EOF":
                 raise SparqlError("unterminated group: missing '}'")
@@ -589,12 +597,12 @@ class _Parser:
                     branches.append(self._group())
                 if len(branches) == 1:
                     raise SparqlError("nested groups are only supported as UNION branches")
-                union_branches = branches
+                spec.setdefault("unions", []).append(branches)
                 continue
             if self._eat_kw("optional"):
                 self._expect("{")
                 sub = self._group()
-                if set(sub) - {"patterns"} or "union" in sub:
+                if set(sub) - {"patterns"}:
                     raise SparqlError(
                         "OPTIONAL groups support triple patterns only"
                     )
@@ -669,13 +677,6 @@ class _Parser:
             if self._at_kw("service"):
                 raise SparqlError("SERVICE is not supported")
             self._triples_block(spec["patterns"])
-        if union_branches is not None:
-            if spec["patterns"] or set(spec) - {"patterns"}:
-                raise SparqlError(
-                    "UNION mixed with other group elements is not supported; "
-                    "put the shared patterns inside every branch"
-                )
-            return {"union": union_branches}
         return spec
 
     def _values_clause(self):
@@ -1188,7 +1189,7 @@ def _parse_form(p: _Parser) -> dict:
                         or any(isinstance(term, tuple) for term in t):
                     raise SparqlError(
                         "CONSTRUCT WHERE takes plain triple patterns only")
-            if any(spec.get(k) for k in ("optional", "filters", "union",
+            if any(spec.get(k) for k in ("optional", "filters", "unions",
                                          "values", "bind", "not_exists",
                                          "minus", "subselects", "exists",
                                          "graph_vars")):
@@ -1574,8 +1575,9 @@ def _inject_stats(spec: dict, smap: dict) -> None:
     every :func:`.bgp.bgp_query` call under this query plans with
     cost-based pattern ordering. In-place; the map is shared, read-only."""
     spec["stats"] = smap
-    for b in spec.get("union", ()):
-        _inject_stats(b, smap)
+    for branches in spec.get("unions", ()):
+        for b in branches:
+            _inject_stats(b, smap)
     for s in spec.get("subselects", ()):
         _inject_stats(s, smap)
 
@@ -1604,10 +1606,10 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
         return ("_:default",) + tuple(p)
 
     spec = dict(spec)
-    if "union" in spec:
-        spec["union"] = [_apply_graph_semantics(b, has_graph_col)
-                         for b in spec["union"]]
-        return spec
+    if spec.get("unions"):
+        spec["unions"] = [[_apply_graph_semantics(b, has_graph_col)
+                           for b in branches]
+                          for branches in spec["unions"]]
     if "patterns" in spec:
         spec["patterns"] = [conv(p) for p in spec["patterns"]]
     if spec.get("optional"):
@@ -1663,20 +1665,70 @@ def _apply_dataset_clauses(quads: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
-def _union_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
-    """The unioned solution relation of a pure-UNION WHERE group (the
-    parser guarantees no sibling elements) — shared by the ASK and
-    CONSTRUCT forms; SELECT's path adds aggregates/modifiers on top."""
-    branches = []
-    for b in spec["union"]:
-        if "union" in b:
-            raise SparqlError("nested UNION is not supported")
-        if b.get("subselects"):
-            raise SparqlError(
-                "sub-SELECT inside UNION branches is not supported"
-            )
-        branches.append(_exec_kwargs(b))
-    return bgp_union(triples, branches, dedup=dedup)
+def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
+    """Solution relation of one group graph pattern — the general
+    executor behind every query form whenever the group is more than a
+    single BGP: UNION expressions (nested to any depth), sub-SELECTs
+    (including inside UNION branches), and their combination with
+    sibling triple patterns.
+
+    Algebra (spec §18.2): the group's own patterns compile through one
+    :func:`.bgp.bgp_query` (OPTIONAL / BIND / VALUES attach there —
+    they scope to the sibling patterns), each UNION expression becomes
+    the plan-level concatenation of its recursively-evaluated branch
+    solutions (``unionByName``; a variable unbound in some branch is
+    NULL there, per SPARQL), each sub-SELECT runs recursively, and the
+    pieces natural-join on their shared variables (Join is commutative
+    and associative over multisets, so sibling-patterns-first is a
+    valid order). Group-level FILTERs run after the joins so they may
+    reference variables bound by any piece; Catalyst pushes each
+    conjunct back to the earliest plan node that binds its columns, so
+    this costs nothing at scale. EXISTS / NOT EXISTS / MINUS as
+    SIBLINGS of a UNION expression raise — their semi/anti-join would
+    see only the sibling patterns' variables, and a silently narrower
+    scope is worse than an error (move them inside every branch);
+    inside a branch they work as usual."""
+    union_dfs = []
+    for branches in spec.get("unions", ()):
+        acc = None
+        for b in branches:
+            sols = _group_solutions(triples, b, dedup)
+            acc = sols if acc is None else acc.unionByName(
+                sols, allowMissingColumns=True)
+        union_dfs.append(acc)
+    subs = [_run_select(triples, dict(s), dedup)
+            for s in spec.get("subselects", ())]
+    if not union_dfs and not subs:
+        kwargs = _exec_kwargs(spec)
+        return bgp_query(triples, kwargs.pop("patterns"), dedup=dedup,
+                         **kwargs)
+    kwargs = _exec_kwargs(spec)
+    filters = kwargs.pop("filters", None)
+    patterns = kwargs.pop("patterns")
+    if union_dfs and any(kwargs.get(k)
+                         for k in ("exists", "not_exists", "minus")):
+        raise SparqlError(
+            "EXISTS/NOT EXISTS/MINUS as siblings of a UNION expression "
+            "are not supported — move them inside every branch")
+    if patterns:
+        df = bgp_query(triples, patterns, dedup=dedup, **kwargs)
+    elif any(kwargs.get(k) for k in ("optional", "values", "bind",
+                                     "exists", "not_exists", "minus")):
+        raise SparqlError(
+            "a pattern-less group around UNION/sub-SELECT supports "
+            "FILTER only")
+    else:
+        df = None
+    for piece in subs + union_dfs:
+        if df is None:
+            df = piece
+            continue
+        shared = sorted(set(df.columns) & set(piece.columns))
+        df = (df.join(piece, on=shared, how="inner") if shared
+              else df.crossJoin(piece))
+    for f in filters or []:
+        df = df.filter(F.expr(f))
+    return df
 
 
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
@@ -1722,13 +1774,11 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
             smap = {(k if k[:1] in ("<", "_", '"') else f"<{k}>"): v
                     for k, v in smap.items()}
         _inject_stats(spec, smap)
-    if form != "select" and _has_subselect(spec):
-        raise SparqlError("sub-SELECT is only supported in SELECT queries")
     if form == "ask":
-        if "union" in spec:
-            # ≥1 solution in ANY branch; limit(1) on the unioned relation
-            # still early-stops each branch scan
-            sols = _union_solutions(triples, spec, dedup).limit(1)
+        if spec.get("unions") or spec.get("subselects"):
+            # ≥1 solution in the group relation; limit(1) on top still
+            # early-stops each branch scan
+            sols = _group_solutions(triples, spec, dedup).limit(1)
             return sols.agg((F.count(F.lit(1)) > 0).alias("ask"))
         kwargs = _exec_kwargs(spec)
         patterns = kwargs.pop("patterns")
@@ -1744,8 +1794,8 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
         # fully-ground triples).
         from .bgp import construct_from_solutions
 
-        if "union" in spec:
-            sols = _union_solutions(triples, spec, dedup)
+        if spec.get("unions") or spec.get("subselects"):
+            sols = _group_solutions(triples, spec, dedup)
         else:
             kwargs = _exec_kwargs(spec)
             patterns = kwargs.pop("patterns")
@@ -1760,12 +1810,6 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
     if form == "describe":
         return _run_describe(triples, spec, dedup)
     return _run_select(triples, spec, dedup)
-
-
-def _has_subselect(spec: dict) -> bool:
-    if spec.get("subselects"):
-        return True
-    return any(_has_subselect(b) for b in spec.get("union", ()))
 
 
 def _finish_select(df: DataFrame, select, distinct, aggregates, group_by,
@@ -1813,56 +1857,13 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     inner_select, inner_distinct = \
         (None, False) if proj_exprs else (select, distinct)
 
-    if "union" in spec:
-        branches = []
-        for b in spec["union"]:
-            if "union" in b:
-                raise SparqlError("nested UNION is not supported")
-            if b.get("subselects"):
-                raise SparqlError(
-                    "sub-SELECT inside UNION branches is not supported"
-                )
-            branches.append(_exec_kwargs(b))
-        if aggregates:
-            # aggregate over the unioned solution relation: the union is
-            # plan-level concatenation, the aggregate one hash agg on top
-            df = _finish_select(bgp_union(triples, branches, dedup=dedup),
-                                inner_select, inner_distinct, aggregates,
-                                group_by, having)
-        elif group_by or having:
-            raise SparqlError("GROUP BY/HAVING require aggregates")
-        else:
-            df = bgp_union(triples, branches, select=inner_select,
-                           distinct=inner_distinct, dedup=dedup)
-    elif spec.get("subselects"):
-        # each sub-SELECT is executed recursively to its own solution
-        # relation, then natural-joined (inner, on the shared projected
-        # variables) with the enclosing group's solutions; the outer
-        # FILTERs run after the join so they may reference sub-projected
-        # variables, and the outer aggregate runs on the joined relation
-        subs = [_run_select(triples, s, dedup)
-                for s in spec.pop("subselects")]
-        kwargs = _exec_kwargs(spec)
-        kwargs.pop("filters", None)
-        patterns = kwargs.pop("patterns")
-        if patterns:
-            df = bgp_query(triples, patterns, dedup=dedup, **kwargs)
-        elif any(v for v in kwargs.values()):
-            raise SparqlError(
-                "a pattern-less group around a sub-SELECT supports "
-                "FILTER only"
-            )
-        else:
-            df = None
-        for sdf in subs:
-            if df is None:
-                df = sdf
-                continue
-            shared = sorted(set(df.columns) & set(sdf.columns))
-            df = (df.join(sdf, on=shared, how="inner") if shared
-                  else df.crossJoin(sdf))
-        for f in spec.get("filters") or []:
-            df = df.filter(F.expr(f))
+    if spec.get("unions") or spec.get("subselects"):
+        # the general group executor: sibling patterns ⋈ sub-SELECT
+        # solutions ⋈ UNION solutions (nested to any depth), group
+        # FILTERs after the joins; the aggregate/projection tail runs on
+        # the joined relation — the union is plan-level concatenation,
+        # an aggregate one hash agg on top
+        df = _group_solutions(triples, spec, dedup)
         df = _finish_select(df, inner_select, inner_distinct, aggregates,
                             group_by, having)
     else:
@@ -1913,8 +1914,8 @@ def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     if consts:
         parts.append(spark.createDataFrame([(c,) for c in consts], "r string"))
     if var_names:
-        if "union" in spec:
-            sols = _union_solutions(triples, spec, dedup)
+        if spec.get("unions") or spec.get("subselects"):
+            sols = _group_solutions(triples, spec, dedup)
         elif not spec.get("patterns"):
             raise SparqlError("DESCRIBE with variables needs a WHERE clause")
         else:
@@ -2081,7 +2082,7 @@ def _modify(p: _Parser, delete, insert) -> dict:
     p._expect_kw("where")
     p._expect("{")
     sub = p._group()
-    if "union" in sub:
+    if sub.get("unions"):
         raise SparqlError("UNION in an update WHERE clause is not supported")
     return {"op": "modify", "delete": delete, "insert": insert, "where": sub}
 

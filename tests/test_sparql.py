@@ -259,14 +259,84 @@ def test_unsupported_constructs_raise(kg, query, msg):
         sparql_query(kg, query).collect()
 
 
-def test_union_mixed_with_triples_raises(kg):
-    with pytest.raises(SparqlError, match="UNION mixed"):
+def test_union_mixed_with_triples(kg):
+    # sibling patterns ⋈ union solutions: Join is commutative over
+    # multisets, so {P . {A} UNION {B}} ≡ Join(P, Union(A, B))
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person .
+          { ?s knows b } UNION { ?s knows c }
+        }
+    """)
+    assert rows(out) == [("a",), ("a",), ("b",)]
+
+
+def test_union_nested(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { { ?s knows b } UNION { ?s knows c } } UNION { ?s type Robot }
+        }
+    """)
+    assert rows(out) == [("a",), ("a",), ("b",), ("r",)]
+
+
+def test_union_two_expressions_one_group(kg):
+    # each UNION expression is one solution relation; the group joins them
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { ?s type Person } UNION { ?s type Robot }
+          { ?s knows c } UNION { ?s age 30 }
+        }
+    """)
+    assert rows(out) == [("a",), ("a",), ("b",)]
+
+
+def test_union_group_filter_references_union_var(kg):
+    # group FILTERs run over the joined relation, so they may reference
+    # variables bound on either side of the union join
+    out = sparql_query(kg, """
+        SELECT ?s ?n WHERE {
+          ?s name ?n .
+          { ?s knows b } UNION { ?s knows c }
+          FILTER(?n = "Alice")
+        }
+    """)
+    assert rows(out) == [("a", "Alice"), ("a", "Alice")]
+
+
+def test_subselect_inside_union_branch(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { { SELECT ?s WHERE { ?s knows c } } } UNION { ?s type Robot }
+        }
+    """)
+    assert rows(out) == [("a",), ("b",), ("r",)]
+
+
+def test_union_sibling_not_exists_raises(kg):
+    # NOT EXISTS as a SIBLING of a union would anti-join on the sibling
+    # patterns' variables only — raise rather than silently narrow scope
+    with pytest.raises(SparqlError, match="siblings of a UNION"):
         sparql_query(kg, """
             SELECT ?s WHERE {
               ?s type Person .
               { ?s knows b } UNION { ?s knows c }
+              FILTER NOT EXISTS { ?s age ?a }
             }
         """).collect()
+
+
+def test_subselect_in_ask_and_construct(kg):
+    ask = sparql_query(kg, """
+        ASK WHERE { { SELECT ?s WHERE { ?s knows c } } ?s type Person }
+    """)
+    assert [tuple(r) for r in ask.collect()] == [(True,)]
+    built = sparql_query(kg, """
+        CONSTRUCT { ?s a Known } WHERE {
+          ?s type Person . { ?s knows b } UNION { ?s knows c }
+        }
+    """)
+    assert sorted(r.subj for r in built.collect()) == ["a", "b"]
 
 
 def test_parse_spec_shape():
@@ -577,19 +647,21 @@ def test_subselect_outer_aggregate(kg):
     assert rows(out) == [(3.0,)]
 
 
-def test_subselect_rejected_outside_select(kg):
-    with pytest.raises(SparqlError, match="sub-SELECT"):
-        sparql_query(kg, """
-            ASK { { SELECT ?s WHERE { ?s type Person } } }
-        """).collect()
-    with pytest.raises(SparqlError, match="UNION"):
-        sparql_query(kg, """
-            SELECT ?s WHERE {
-              { { SELECT ?s WHERE { ?s type Person } } }
-              UNION
-              { ?s type Robot }
-            }
-        """).collect()
+def test_subselect_in_non_select_forms(kg):
+    # sub-SELECTs run in every query form (spec §8 allows subqueries in
+    # any group graph pattern)
+    ask = sparql_query(kg, """
+        ASK { { SELECT ?s WHERE { ?s type Person } } }
+    """)
+    assert [tuple(r) for r in ask.collect()] == [(True,)]
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { { SELECT ?s WHERE { ?s type Person } } }
+          UNION
+          { ?s type Robot }
+        }
+    """)
+    assert rows(out) == [("a",), ("b",), ("c",), ("r",)]
 
 
 def test_filter_exists_positive(kg):
