@@ -449,6 +449,105 @@ def _join_patterns(
     return joined, bound | scan_vars
 
 
+def _conditioned_join(
+    acc: DataFrame,
+    bound: set[str],
+    scan: DataFrame,
+    scan_vars: set[str],
+    filters: list[str],
+    how: str,
+) -> DataFrame:
+    """Join ``acc`` with ``scan`` on (shared-variable equality AND the
+    ``filters`` expressions) — the SPARQL §18.2 conditioned forms:
+    ``LeftJoin(Ω1, Ω2, expr)`` (OPTIONAL with an inner FILTER, spec
+    §6.1/§18.2.1 simplification), and the correlated EXISTS / NOT EXISTS
+    semi/anti joins whose inner FILTER may reference outer variables
+    (spec §8.1.1: EXISTS is evaluated under the outer binding).
+
+    The filter expressions resolve names across BOTH sides: scan's
+    shared columns are renamed away first, so an outer-or-shared
+    variable resolves to ``acc``'s column and an inner-only variable to
+    ``scan``'s — exactly the merged-solution scope the spec evaluates
+    the expression over (on matched rows the shared columns are equal,
+    so either side is the spec's value). Catalyst pushes any conjunct
+    that references only the scan side below the join (safe for
+    left/semi/anti), so an inner-only FILTER still prunes before the
+    shuffle; a conjunct over both sides runs as the join condition,
+    which is the only place its semantics CAN run."""
+    shared = sorted(bound & scan_vars)
+    for v in shared:
+        scan = scan.withColumnRenamed(v, f"__r_{v}")
+    # after the rename every column name is unique across the join, so
+    # name-based resolution is unambiguous even though both sides derive
+    # from the same triples lineage
+    cond = None
+    for v in shared:
+        eq = F.col(f"`{v}`") == F.col(f"`__r_{v}`")
+        cond = eq if cond is None else cond & eq
+    for f in filters:
+        e = F.expr(f)
+        cond = e if cond is None else cond & e
+    assert cond is not None
+    joined = acc.join(scan, on=cond, how=how)
+    if how.startswith("left_"):
+        return joined  # semi/anti: only acc's columns survive
+    return joined.drop(*[f"__r_{v}" for v in shared])
+
+
+def _compile_optional_entry(
+    triples: DataFrame,
+    ent,
+    dedup: bool,
+    stats: dict | None,
+) -> tuple[DataFrame, set[str], list[str]]:
+    """Compile one ``optional=`` entry to (relation, vars, join_filters).
+
+    Accepted forms: a single pattern tuple; a LIST of patterns (one
+    inner-joined group); or a DICT group ``{"patterns": […],
+    "filters": […], "bind": {…}, "optional": […]}`` — the general
+    SPARQL OPTIONAL body. Inside a dict group, BIND extends the group's
+    own solutions (spec scoping: the expression sees the group's
+    variables only — an outer reference is an unresolved column, which
+    is the spec's unbound-variable error), nested OPTIONALs left-join
+    recursively, and FILTERs are RETURNED rather than applied: the
+    caller must evaluate them as the left-join condition, because a
+    filter referencing an outer variable cannot be decided before the
+    join (LeftJoin(Ω1, Ω2, expr))."""
+    if isinstance(ent, dict):
+        extra = set(ent) - {"patterns", "filters", "bind", "optional"}
+        if extra:
+            raise ValueError(
+                f"OPTIONAL group supports patterns/filters/bind/nested "
+                f"optional only, got: {sorted(extra)}")
+        if not ent.get("patterns"):
+            raise ValueError("OPTIONAL group needs at least one pattern")
+        scan, scan_vars = _compile_group(triples, list(ent["patterns"]),
+                                         dedup, stats=stats)
+        for nested in ent.get("optional") or []:
+            n_scan, n_vars, n_filters = _compile_optional_entry(
+                triples, nested, dedup, stats)
+            if n_filters:
+                scan = _conditioned_join(scan, scan_vars, n_scan, n_vars,
+                                         n_filters, "left")
+            else:
+                scan, _ = _join_patterns(scan, scan_vars, n_scan, n_vars,
+                                         "left")
+            scan_vars |= n_vars
+        for name, expr in (ent.get("bind") or {}).items():
+            name = _var_name(name) if _is_var(name) else name
+            scan = scan.withColumn(name, F.expr(expr))
+            scan_vars.add(name)
+        return scan, scan_vars, list(ent.get("filters") or [])
+    if ent and isinstance(ent[0], (list, tuple)):
+        # OPTIONAL group: inner-join the group's patterns first, then
+        # left-join the whole group (all-or-nothing binding)
+        scan, scan_vars = _compile_group(triples, list(ent), dedup,
+                                         stats=stats)
+        return scan, scan_vars, []
+    scan, scan_vars = _pattern_scan(triples, ent, dedup=dedup)
+    return scan, scan_vars, []
+
+
 def predicate_stats_map(stats) -> dict[str, tuple[int, int, int]]:
     """Normalize :func:`.graphops.predicate_statistics` output (or any
     relation/mapping with pred → n_triples, ndv_subj, ndv_obj) to the
@@ -561,6 +660,32 @@ def _compile_group(
     return acc, bound
 
 
+def _compile_negation_group(
+    triples: DataFrame,
+    group,
+    dedup: bool,
+    stats: dict | None,
+    kind: str,
+) -> tuple[DataFrame, set[str], list[str]]:
+    """Compile one EXISTS / NOT EXISTS / MINUS group to (relation, vars,
+    filters). A group is a pattern LIST (existing form) or a DICT
+    ``{"patterns": […], "filters": […]}``; filters are returned for the
+    caller to place per the construct's correlation semantics."""
+    if isinstance(group, dict):
+        extra = set(group) - {"patterns", "filters"}
+        if extra:
+            raise ValueError(
+                f"{kind} group supports patterns/filters only, "
+                f"got: {sorted(extra)}")
+        if not group.get("patterns"):
+            raise ValueError(f"{kind} group needs at least one pattern")
+        df, gvars = _compile_group(triples, list(group["patterns"]),
+                                   dedup, stats=stats)
+        return df, gvars, list(group.get("filters") or [])
+    df, gvars = _compile_group(triples, group, dedup, stats=stats)
+    return df, gvars, []
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -588,13 +713,19 @@ def bgp_query(
 
     ``patterns`` are required (inner-joined); ``optional`` entries are
     left-joined after all required ones (unbound → NULL, SPARQL
-    OPTIONAL) — an entry is either a single pattern or a LIST of
-    patterns, which is compiled as one inner-joined group and
-    left-joined as a whole (SPARQL ``OPTIONAL { p1 . p2 }`` semantics:
-    all-or-nothing binding, unlike two separate OPTIONALs); ``filters``
-    are SQL boolean expressions over variable names (SPARQL FILTER);
-    ``select`` projects a subset of variables (``?``-prefixed or bare
-    names accepted).
+    OPTIONAL) — an entry is a single pattern, a LIST of patterns
+    (compiled as one inner-joined group and left-joined as a whole:
+    SPARQL ``OPTIONAL { p1 . p2 }`` all-or-nothing binding, unlike two
+    separate OPTIONALs), or a DICT group ``{"patterns": […],
+    "filters": […], "bind": {…}, "optional": […]}`` — the general
+    OPTIONAL body: its FILTERs become the left-JOIN CONDITION
+    (``LeftJoin(Ω1, Ω2, expr)``, spec §18.2.1 — they may reference
+    outer variables; a failing row keeps the left solution with the
+    group's variables NULL), its BINDs extend the group's own solutions
+    before the join, and nested optionals left-join recursively;
+    ``filters`` are SQL boolean expressions over variable names (SPARQL
+    FILTER); ``select`` projects a subset of variables (``?``-prefixed
+    or bare names accepted).
 
     Join order: required patterns are joined most-constant-first (a
     cheap selectivity proxy — every constant is a pushed-down equality
@@ -627,8 +758,16 @@ def bgp_query(
     * ``not_exists`` — pattern GROUPS removed via left-anti join on the
       shared variables (SPARQL FILTER NOT EXISTS). Each group must share
       ≥1 variable with the required patterns;
+    * ``exists``/``not_exists`` groups may also be DICTs ``{"patterns":
+      […], "filters": […]}`` — the filters run as the semi/anti-join
+      CONDITION (correlated EXISTS, spec §8.1.1: they may reference
+      outer variables; inner-only conjuncts are pushed below the join
+      by Catalyst);
     * ``minus`` — SPARQL MINUS: like ``not_exists`` but a group sharing
-      NO variable removes nothing (per spec, incompatible domains);
+      NO variable removes nothing (per spec, incompatible domains); a
+      DICT group's filters apply to the MINUS relation BEFORE the
+      anti-join (spec §8.3: MINUS evaluates its pattern independently,
+      so an outer-variable reference is an unresolved-column error);
     * ``group_by`` + ``aggregates`` ({out_name: SQL aggregate expr}) +
       ``having`` — one hash aggregate; partial (map-side) aggregation is
       Catalyst-automatic, so a mega-group shuffles combiner output, not
@@ -663,21 +802,22 @@ def bgp_query(
         bound |= set(names)
 
     for pat in optional or []:
-        if pat and isinstance(pat[0], (list, tuple)):
-            # OPTIONAL group: inner-join the group's patterns first, then
-            # left-join the whole group (all-or-nothing binding)
-            scan, scan_vars = _compile_group(triples, list(pat), dedup,
-                                             stats=stats)
-        else:
-            scan, scan_vars = _pattern_scan(triples, pat, dedup=dedup)
-        new_vars = scan_vars - bound
-        if not (scan_vars & bound):
+        scan, scan_vars, jfilters = _compile_optional_entry(
+            triples, pat, dedup, stats)
+        if not (scan_vars & bound) and not jfilters:
             raise ValueError(
                 f"OPTIONAL pattern {pat!r} shares no variable with the "
                 "required patterns; its left join would be a cross product"
             )
-        acc, bound = _join_patterns(acc, bound, scan, scan_vars, "left")
-        bound |= new_vars
+        if jfilters:
+            # LeftJoin(Ω1, Ω2, expr): the group's FILTERs are the join
+            # condition — a non-matching (or filter-failing) row keeps
+            # the left solution with the group's variables NULL
+            acc = _conditioned_join(acc, bound, scan, scan_vars,
+                                    jfilters, "left")
+        else:
+            acc, _ = _join_patterns(acc, bound, scan, scan_vars, "left")
+        bound |= scan_vars
 
     assert acc is not None
     for name, expr in (bind or {}).items():
@@ -691,9 +831,16 @@ def bgp_query(
         acc = acc.filter(F.expr(expr))
 
     for group in exists or []:
-        pos, pos_vars = _compile_group(triples, group, dedup, stats=stats)
+        pos, pos_vars, gfilters = _compile_negation_group(
+            triples, group, dedup, stats, "EXISTS")
         shared = sorted(bound & pos_vars)
-        if shared:
+        if gfilters:
+            # correlated EXISTS (spec §8.1.1): the inner FILTER may
+            # reference outer variables, so it must run as the semi-join
+            # condition; inner-only conjuncts still push below the join
+            acc = _conditioned_join(acc, bound, pos, pos_vars,
+                                    gfilters, "left_semi")
+        elif shared:
             acc = acc.join(pos.select(*shared).distinct(), on=shared,
                            how="left_semi")
         else:
@@ -703,8 +850,26 @@ def bgp_query(
 
     for kind, groups in (("not_exists", not_exists), ("minus", minus)):
         for group in groups or []:
-            neg, neg_vars = _compile_group(triples, group, dedup, stats=stats)
+            neg, neg_vars, gfilters = _compile_negation_group(
+                triples, group, dedup, stats,
+                "MINUS" if kind == "minus" else "NOT EXISTS")
+            if kind == "minus" and gfilters:
+                # MINUS evaluates its pattern INDEPENDENTLY (spec §8.3):
+                # the filter sees only the group's own variables — an
+                # outer reference is unresolved, the spec's unbound error
+                try:
+                    for f in gfilters:
+                        neg = neg.filter(F.expr(f))
+                except Exception as e:
+                    raise ValueError(
+                        "MINUS filters see only the MINUS group's own "
+                        f"variables (spec §8.3): {e}") from e
+                gfilters = []
             shared = sorted(bound & neg_vars)
+            if kind == "not_exists" and gfilters:
+                acc = _conditioned_join(acc, bound, neg, neg_vars,
+                                        gfilters, "left_anti")
+                continue
             if not shared:
                 if kind == "minus":
                     continue  # SPARQL MINUS: disjoint domains remove nothing

@@ -26,9 +26,14 @@ Supported subset (everything the underlying compiler can plan):
   patterns doubling as the template), ``DESCRIBE`` (description = all
   triples whose subject is in the resource set — one semi-join);
 * group graph pattern: triple blocks with ``;`` / ``,`` continuations,
-  ``OPTIONAL { … }`` (compiled as an all-or-nothing GROUP),
-  ``FILTER(expr)``, ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS
-  { … }`` (semi-/anti-join on the shared variables), ``MINUS { … }``,
+  ``OPTIONAL { … }`` (an all-or-nothing GROUP that may contain FILTER,
+  BIND and nested OPTIONALs — inner FILTERs compile to the left-join
+  CONDITION, ``LeftJoin(Ω1, Ω2, expr)`` per §18.2.1, so they may
+  reference outer variables), ``FILTER(expr)``, ``FILTER EXISTS { … }``
+  / ``FILTER NOT EXISTS { … }`` (semi-/anti-join on the shared
+  variables; group FILTERs inside become the correlated join condition
+  per §8.1.1), ``MINUS { … }`` (inner FILTERs see only the group's own
+  variables, §8.3),
   ``BIND(expr AS ?v)``, ``VALUES``,
   ``{ … } UNION { … }`` (anywhere in a group — nested unions, several
   union expressions per group, and unions mixed with sibling patterns
@@ -602,37 +607,40 @@ class _Parser:
             if self._eat_kw("optional"):
                 self._expect("{")
                 sub = self._group()
-                if set(sub) - {"patterns"}:
+                if set(sub) - {"patterns", "filters", "bind", "optional"}:
                     raise SparqlError(
-                        "OPTIONAL groups support triple patterns only"
+                        "OPTIONAL groups support triple patterns, FILTER, "
+                        "BIND and nested OPTIONAL only"
                     )
-                spec.setdefault("optional", []).append(sub["patterns"])
+                if not sub["patterns"]:
+                    raise SparqlError(
+                        "OPTIONAL groups need at least one triple pattern"
+                    )
+                # plain pattern-list form when the group is a pure BGP;
+                # dict form carries FILTER (→ the left-join condition,
+                # LeftJoin(Ω1, Ω2, expr)), BIND, and nested OPTIONALs
+                spec.setdefault("optional", []).append(
+                    sub["patterns"] if set(sub) == {"patterns"} else sub)
                 continue
             if self._eat_kw("filter"):
                 if self._at_kw("not"):
                     self._next()
                     self._expect_kw("exists")
                     self._expect("{")
-                    sub = self._group()
-                    if set(sub) - {"patterns"}:
-                        raise SparqlError("NOT EXISTS groups support triple patterns only")
-                    spec.setdefault("not_exists", []).append(sub["patterns"])
+                    sub = self._negation_group("NOT EXISTS")
+                    spec.setdefault("not_exists", []).append(sub)
                     continue
                 if self._eat_kw("exists"):
                     self._expect("{")
-                    sub = self._group()
-                    if set(sub) - {"patterns"}:
-                        raise SparqlError("EXISTS groups support triple patterns only")
-                    spec.setdefault("exists", []).append(sub["patterns"])
+                    sub = self._negation_group("EXISTS")
+                    spec.setdefault("exists", []).append(sub)
                     continue
                 spec.setdefault("filters", []).append(self._bracketed_expr())
                 continue
             if self._eat_kw("minus"):
                 self._expect("{")
-                sub = self._group()
-                if set(sub) - {"patterns"}:
-                    raise SparqlError("MINUS groups support triple patterns only")
-                spec.setdefault("minus", []).append(sub["patterns"])
+                sub = self._negation_group("MINUS")
+                spec.setdefault("minus", []).append(sub)
                 continue
             if self._eat_kw("bind"):
                 self._expect("(")
@@ -678,6 +686,23 @@ class _Parser:
                 raise SparqlError("SERVICE is not supported")
             self._triples_block(spec["patterns"])
         return spec
+
+    def _negation_group(self, kind: str):
+        """Parse an EXISTS / NOT EXISTS / MINUS body ``{ … }`` (opening
+        brace consumed): triple patterns plus FILTERs. Returns the plain
+        pattern list (pure-BGP form) or a ``{"patterns", "filters"}``
+        dict — for EXISTS/NOT EXISTS the filters become the correlated
+        semi/anti-join condition (spec §8.1.1: they may reference outer
+        variables); for MINUS they pre-filter the independently-evaluated
+        group (spec §8.3)."""
+        sub = self._group()
+        if set(sub) - {"patterns", "filters"}:
+            raise SparqlError(
+                f"{kind} groups support triple patterns and FILTER only")
+        if not sub["patterns"]:
+            raise SparqlError(
+                f"{kind} groups need at least one triple pattern")
+        return sub["patterns"] if set(sub) == {"patterns"} else sub
 
     def _values_clause(self):
         if self._peek()[0] == "VAR":
@@ -1612,15 +1637,26 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
                           for branches in spec["unions"]]
     if "patterns" in spec:
         spec["patterns"] = [conv(p) for p in spec["patterns"]]
+    def conv_opt(ent):
+        if isinstance(ent, dict):
+            out = dict(ent)
+            out["patterns"] = [conv(p) for p in out["patterns"]]
+            if out.get("optional"):
+                out["optional"] = [conv_opt(n) for n in out["optional"]]
+            return out
+        if ent and isinstance(ent[0], (list, tuple)):
+            return [conv(p) for p in ent]
+        return conv(ent)
+
     if spec.get("optional"):
-        spec["optional"] = [
-            [conv(p) for p in ent] if ent and isinstance(ent[0], (list, tuple))
-            else conv(ent)
-            for ent in spec["optional"]
-        ]
+        spec["optional"] = [conv_opt(ent) for ent in spec["optional"]]
     for key in ("exists", "not_exists", "minus"):
         if spec.get(key):
-            spec[key] = [[conv(p) for p in grp] for grp in spec[key]]
+            spec[key] = [
+                dict(grp, patterns=[conv(p) for p in grp["patterns"]])
+                if isinstance(grp, dict) else [conv(p) for p in grp]
+                for grp in spec[key]
+            ]
     if spec.get("subselects"):
         spec["subselects"] = [_apply_graph_semantics(s, has_graph_col)
                               for s in spec["subselects"]]

@@ -326,6 +326,125 @@ def test_union_sibling_not_exists_raises(kg):
         """).collect()
 
 
+def test_optional_with_inner_filter(kg):
+    # LeftJoin(Ω1, Ω2, expr): the filter is the join condition — a
+    # failing row keeps the left solution with the group vars NULL
+    out = sparql_query(kg, """
+        SELECT ?s ?a WHERE {
+          ?s type Person OPTIONAL { ?s age ?a FILTER(?a > "26") }
+        }
+    """)
+    assert rows(out) == [("a", "30"), ("b", None), ("c", None)]
+
+
+def test_optional_filter_references_outer_var(kg):
+    out = sparql_query(kg, """
+        SELECT ?s ?n ?a WHERE {
+          ?s name ?n OPTIONAL { ?s age ?a FILTER(?n = "Alice") }
+        }
+    """)
+    assert rows(out) == [("a", "Alice", "30"), ("b", "Bob", None)]
+
+
+def test_optional_inner_filter_pushed_below_left_join(kg):
+    # an inner-only conjunct of the join condition must be pushed into
+    # the optional side's scan by Catalyst, not run at the join
+    out = sparql_query(kg, """
+        SELECT ?s ?a WHERE {
+          ?s type Person OPTIONAL { ?s age ?a FILTER(?a > "26") }
+        }
+    """)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_line = next(l for l in plan.splitlines() if "LeftOuter" in l)
+    assert "26" not in join_line  # condition is the equality only
+    assert "26" in plan  # ...because the filter moved below the join
+
+
+def test_optional_with_bind_inside(kg):
+    out = sparql_query(kg, """
+        SELECT ?s ?t WHERE {
+          ?s type Person
+          OPTIONAL { ?s age ?a BIND(concat(?a, "!") AS ?t) }
+        }
+    """)
+    assert rows(out) == [("a", "30!"), ("b", "25!"), ("c", None)]
+
+
+def test_optional_nested(kg):
+    out = sparql_query(kg, """
+        SELECT ?s ?k ?n WHERE {
+          ?s type Person
+          OPTIONAL { ?s knows ?k OPTIONAL { ?k name ?n } }
+        }
+    """)
+    assert rows(out) == [("a", "b", "Bob"), ("a", "c", None),
+                         ("b", "c", None), ("c", None, None)]
+
+
+def test_optional_correlated_no_shared_var(kg, spark):
+    # no shared variable but a correlated filter: a conditioned left
+    # join (LeftJoin with expr), not a rejected cross product
+    kg2 = kg.unionByName(spark.createDataFrame(
+        [("x2", "age2", "27")], kg.schema))
+    out = sparql_query(kg2, """
+        SELECT ?s ?o2 WHERE {
+          ?s age ?a OPTIONAL { x2 age2 ?o2 FILTER(?o2 > ?a) }
+        }
+    """)
+    assert rows(out) == [("a", None), ("b", "27")]
+
+
+def test_exists_correlated_filter(kg):
+    # spec §8.1.1: EXISTS' inner FILTER may reference outer variables
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s age ?a
+          FILTER EXISTS { ?s knows ?o FILTER(?o = "b" || ?a < "26") }
+        }
+    """)
+    assert rows(out) == [("a",), ("b",)]
+
+
+def test_not_exists_with_inner_filter(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person
+          FILTER NOT EXISTS { ?s knows ?o FILTER(?o = "c") }
+        }
+    """)
+    assert rows(out) == [("c",)]
+
+
+def test_minus_with_inner_filter(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person MINUS { ?s knows ?o FILTER(?o = "b") }
+        }
+    """)
+    assert rows(out) == [("b",), ("c",)]
+
+
+def test_minus_filter_outer_var_raises(kg):
+    # spec §8.3: MINUS evaluates its pattern independently — an outer
+    # variable inside its FILTER is an error, never silently false
+    with pytest.raises(ValueError, match="MINUS filters see only"):
+        sparql_query(kg, """
+            SELECT ?s ?n WHERE {
+              ?s name ?n MINUS { ?s knows ?o FILTER(?o = ?n) }
+            }
+        """).collect()
+
+
+def test_optional_group_rejects_union_inside(kg):
+    with pytest.raises(SparqlError, match="OPTIONAL groups support"):
+        sparql_query(kg, """
+            SELECT ?s WHERE {
+              ?s type Person
+              OPTIONAL { { ?s knows b } UNION { ?s knows c } }
+            }
+        """).collect()
+
+
 def test_subselect_in_ask_and_construct(kg):
     ask = sparql_query(kg, """
         ASK WHERE { { SELECT ?s WHERE { ?s knows c } } ?s type Person }
