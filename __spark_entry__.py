@@ -4076,6 +4076,44 @@ def _q_sparql_union(spark, sf_dir):
     """)
 
 
+def _q_sparql_union_join_group(spark, sf_dir):
+    """UNION mixed with sibling patterns in one group (spec §18.2 Join
+    over the union's solution relation — round-5 general group executor):
+    the shared inNation/name patterns join the union of high-balance
+    customers and suppliers, and the group FILTER references a variable
+    bound by the sibling patterns."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?e ?nname WHERE {
+          ?e ex:inNation ?n .
+          ?n ex:name ?nname .
+          { ?e rdf:type ex:Customer . ?e ex:highBalance "true" }
+          UNION { ?e rdf:type ex:Supplier }
+          FILTER (STRSTARTS(?nname, "NATION_1"))
+        }
+    """)
+
+
+def _q_sparql_optional_filter_groups(spark, sf_dir):
+    """General OPTIONAL/NOT EXISTS bodies (round 5): the OPTIONAL's
+    inner FILTER references an OUTER variable, so it compiles to the
+    left-join CONDITION (LeftJoin(Ω1, Ω2, expr), spec §18.2.1) — only
+    AUTOMOBILE customers keep their highBalance binding, everyone else
+    gets NULL even when high-balance; the correlated NOT EXISTS prunes
+    nation-0 customers via its inner filter (spec §8.1.1)."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?c ?seg ?hb WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:mktsegment ?seg .
+          OPTIONAL { ?c ex:highBalance ?hb FILTER(?seg = "AUTOMOBILE") }
+          FILTER NOT EXISTS { ?c ex:inNation ?n FILTER(?n = "urn:nation:0") }
+        }
+    """)
+
+
 def _q_sparql_negated_minus(spark, sf_dir):
     """Negated property set + MINUS from query text: every non-type,
     non-inNation assertion about nations, minus their inRegion edges —
@@ -4981,6 +5019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-mirror evidence; the 50-wide driver window above is
         # exactly the never-driver-green backlog + the 6 new queries).
         "isomorphic_dup_orbit_relabel": _q_isomorphic_dup_orbit_relabel,
+        "sparql_union_join_group": _q_sparql_union_join_group,
+        "sparql_optional_filter_groups": _q_sparql_optional_filter_groups,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6795,6 +6835,21 @@ def oracle_sql() -> dict[str, str]:
         "incremental_entailment": _INCR_ENTAIL_SQL,
         "isomorphic_dup_wl_ties": _WL_TIES_SQL,
         "isomorphic_dup_orbit_relabel": _ORBIT_RELABEL_SQL,
+        "sparql_union_join_group": (
+            "SELECT 'urn:cust:' || c_custkey AS e, n_name AS nname "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > 9000 AND starts_with(n_name, 'NATION_1') "
+            "UNION ALL "
+            "SELECT 'urn:supp:' || s_suppkey AS e, n_name AS nname "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_1')"
+        ),
+        "sparql_optional_filter_groups": (
+            "SELECT 'urn:cust:' || c_custkey AS c, c_mktsegment AS seg, "
+            "CASE WHEN c_acctbal > 9000 AND c_mktsegment = 'AUTOMOBILE' "
+            "THEN 'true' END AS hb "
+            "FROM customer WHERE c_nationkey <> 0"
+        ),
         "incremental_owl_entailment": _INCR_OWL_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),
         "property_graph_export": _PROPERTY_GRAPH_SQL,
