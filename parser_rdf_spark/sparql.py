@@ -2118,8 +2118,6 @@ def _modify(p: _Parser, delete, insert) -> dict:
     p._expect_kw("where")
     p._expect("{")
     sub = p._group()
-    if sub.get("unions"):
-        raise SparqlError("UNION in an update WHERE clause is not supported")
     return {"op": "modify", "delete": delete, "insert": insert, "where": sub}
 
 
@@ -2184,7 +2182,9 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
     time travel) or :func:`.incremental.merge_triples`.
 
     Supported: ``INSERT DATA``, ``DELETE DATA``, ``DELETE WHERE``, and
-    the general ``DELETE {…} INSERT {…} WHERE {…}`` form, ``;``-chained.
+    the general ``DELETE {…} INSERT {…} WHERE {…}`` form (the WHERE
+    group may contain UNION expressions and sub-SELECTs — the general
+    group executor computes the solution relation), ``;``-chained.
     Per spec each operation computes its delete and insert sets against
     the store it starts from (one shared solution relation), removes
     first, then adds; set semantics — deleting a triple removes ALL its
@@ -2216,9 +2216,8 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
                 acc = acc.unionByName(fresh)
             continue
         where = dict(op["where"])
-        patterns = where.pop("patterns")
-        supported = {"optional", "filters", "values", "bind", "exists",
-                     "not_exists", "minus"}
+        supported = {"patterns", "optional", "filters", "values", "bind",
+                     "exists", "not_exists", "minus", "unions", "subselects"}
         extra = {k for k in where if k not in supported and where[k]}
         if extra:
             # never bind a solution relation that silently drops part of
@@ -2226,8 +2225,16 @@ def sparql_update(triples: DataFrame, text: str, dedup: bool = True) -> DataFram
             raise SparqlError(
                 f"update WHERE group elements not supported: {sorted(extra)}"
             )
-        sols = bgp_query(acc, patterns, dedup=dedup,
-                         **{k: v for k, v in where.items() if k in supported})
+        if where.get("unions") or where.get("subselects"):
+            # the general group executor (UNION / sub-SELECT in the
+            # WHERE clause) — the solution relation feeds the same
+            # template instantiation either way
+            sols = _group_solutions(acc, where, dedup)
+        else:
+            patterns = where.pop("patterns")
+            sols = bgp_query(acc, patterns, dedup=dedup,
+                             **{k: v for k, v in where.items()
+                                if k in supported})
         base = acc
         if op["delete"]:
             deleted = _instantiate(sols, op["delete"]).dropDuplicates(on)

@@ -1030,6 +1030,27 @@ def test_update_where_honors_exists(spark):
     assert kept == [("c", "type", "Person")]
 
 
+def test_update_where_union(spark):
+    store = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    out = sparql_update(store, """
+        INSERT { ?p a Flagged }
+        WHERE { { ?p knows c } UNION { ?p type Robot } }
+    """)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    flagged = rows(out.filter(f"pred = '{rdf_type}'"))
+    assert flagged == [("a", rdf_type, "Flagged"), ("b", rdf_type, "Flagged"),
+                       ("r", rdf_type, "Flagged")]
+
+
+def test_update_where_subselect(spark):
+    store = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    out = sparql_update(store, """
+        DELETE { ?p age ?a }
+        WHERE { ?p age ?a . { SELECT ?p WHERE { ?p knows b } } }
+    """)
+    assert rows(out.filter("pred = 'age'")) == [("b", "age", "25")]
+
+
 def test_strbefore_strafter(kg):
     out = sparql_query(kg, """
         SELECT ?b ?f WHERE {
