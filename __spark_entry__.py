@@ -4152,6 +4152,39 @@ def _q_sparql_graph(spark, sf_dir):
     """)
 
 
+def _q_sparql_graph_kleene(spark, sf_dir):
+    """Kleene path INSIDE a variable GRAPH (round 5): the ex:within
+    hierarchy (customer→nation→region) lives in urn:g:geo; a decoy
+    region→universe edge lives in urn:g:decoy. SPARQL paths close
+    WITHIN each graph, so the closure must NOT produce cust→universe
+    or nation→universe pairs — the oracle enumerates exactly the
+    per-graph reachability, so any cross-graph leak hash-mismatches."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def iri(prefix, col):
+        return F.concat(F.lit(f"urn:{prefix}:"), F.col(col).cast("string"))
+
+    def q(df, g, s, o):
+        return df.select(F.lit(g).alias("graph"), s.alias("subj"),
+                         F.lit("ex:within").alias("pred"), o.alias("obj"))
+
+    quads = (
+        q(customer, "urn:g:geo", iri("cust", "c_custkey"),
+          iri("nation", "c_nationkey"))
+        .unionByName(q(nation, "urn:g:geo", iri("nation", "n_nationkey"),
+                       iri("region", "n_regionkey")))
+        .unionByName(q(region, "urn:g:decoy", iri("region", "r_regionkey"),
+                       iri("univ", "r_regionkey")))
+    )
+    return sparql_query(quads, """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a ex:within+ ?b } }
+    """)
+
+
 def _q_sparql_describe(spark, sf_dir):
     """DESCRIBE every nation: all triples whose subject matches the
     WHERE solutions — one semi-join against the resource set."""
@@ -5021,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isomorphic_dup_orbit_relabel": _q_isomorphic_dup_orbit_relabel,
         "sparql_union_join_group": _q_sparql_union_join_group,
         "sparql_optional_filter_groups": _q_sparql_optional_filter_groups,
+        "sparql_graph_kleene_path": _q_sparql_graph_kleene,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6849,6 +6883,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_acctbal > 9000 AND c_mktsegment = 'AUTOMOBILE' "
             "THEN 'true' END AS hb "
             "FROM customer WHERE c_nationkey <> 0"
+        ),
+        "sparql_graph_kleene_path": (
+            "SELECT 'urn:g:geo' AS g, 'urn:cust:' || c_custkey AS a, "
+            "'urn:nation:' || c_nationkey AS b FROM customer "
+            "UNION ALL SELECT 'urn:g:geo', 'urn:nation:' || n_nationkey, "
+            "'urn:region:' || n_regionkey FROM nation "
+            "UNION ALL SELECT 'urn:g:geo', 'urn:cust:' || c_custkey, "
+            "'urn:region:' || n_regionkey "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL SELECT 'urn:g:decoy', 'urn:region:' || r_regionkey, "
+            "'urn:univ:' || r_regionkey FROM region"
         ),
         "incremental_owl_entailment": _INCR_OWL_SQL,
         "canonical_nquads_export": _canon_nquads_oracle(),

@@ -221,6 +221,55 @@ def kleene_scan(
     return closed
 
 
+_GSEP = "\x00"  # graph∕node fuse separator: NUL is banned in IRIs (V5)
+#                 and bnode labels, so graph-fused node ids never collide
+
+
+def _tag_graph(quads: DataFrame) -> DataFrame:
+    """Fuse the graph name into the node ids of a quads relation so ONE
+    closure computation (path doubling over the union of all graphs —
+    not a per-graph loop) stays inside each graph: nodes of different
+    graphs can never compare equal."""
+    return quads.select(
+        F.concat(F.col("graph"), F.lit(_GSEP), F.col("subj")).alias("subj"),
+        "pred",
+        F.concat(F.col("graph"), F.lit(_GSEP), F.col("obj")).alias("obj"),
+    )
+
+
+def _untag_graph(df: DataFrame) -> DataFrame:
+    """Split the graph back out of :func:`_tag_graph`-fused (subj, obj)
+    pairs. The graph is the FIRST segment (graph names cannot contain
+    NUL); the node is stripped by exact prefix length, so a literal
+    object that itself contains NUL is still recovered byte-exact."""
+    def node(colname: str):
+        c = F.col(colname)
+        glen = F.length(F.substring_index(c, _GSEP, 1))
+        return c.substr(glen + F.lit(2), F.length(c))
+
+    return df.select(
+        F.substring_index(F.col("subj"), _GSEP, 1).alias("graph"),
+        node("subj").alias("subj"),
+        node("obj").alias("obj"),
+    )
+
+
+def _closure_relation(triples: DataFrame, g_term):
+    """(relation, finalize) pair for a path-closure scan under a graph
+    term. No graph term → the relation itself. CONSTANT graph → that
+    graph's slice (a pushed scan filter: the closure runs over one
+    graph's edges only, never the corpus). VARIABLE graph → the
+    graph-fused relation of :func:`_tag_graph`, finalized by splitting
+    the graph column back out — one closure over all graphs at once."""
+    if g_term is None:
+        return triples, lambda df: df
+    if not _is_var(g_term):
+        sliced = triples.filter(F.col("graph") == g_term).drop("graph")
+        return sliced, lambda df: df.select(
+            F.lit(g_term).alias("graph"), "subj", "obj")
+    return _tag_graph(triples), _untag_graph
+
+
 def _pattern_scan(triples: DataFrame, pattern: tuple,
                   dedup: bool = True) -> tuple[DataFrame, set[str]]:
     """One pattern → a filtered projection of the triples relation with
@@ -258,8 +307,10 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
     A 4-term pattern ``(graph, subj, pred, obj)`` additionally matches /
     binds the relation's ``graph`` column (SPARQL GRAPH over the N-Quads
     surface — use :func:`quads_spo`); the graph term is a plain variable
-    or constant, and kleene paths are not supported inside a graph-bound
-    pattern (closure across graph boundaries would be ill-defined).
+    or constant. Kleene paths under a graph term close WITHIN each
+    graph (SPARQL paths never cross graph boundaries): a constant graph
+    slices the relation first (pushed scan filter), a variable graph
+    runs one closure over graph-fused node ids (:func:`_tag_graph`).
     """
     if len(pattern) == 4:
         g_term, s_term, p_term, o_term = pattern
@@ -270,10 +321,6 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
                 "4-term (GRAPH) patterns need a relation with a graph "
                 "column — use quads_spo()"
             )
-        if (isinstance(p_term, str) and p_term[-1:] in ("+", "*", "?")
-                and len(p_term) > 1 and not p_term.startswith("!")) or \
-                (isinstance(p_term, tuple) and p_term[:1] == ("closure",)):
-            raise ValueError("kleene paths are not supported in GRAPH patterns")
     elif len(pattern) == 3:
         g_term, s_term, p_term, o_term = None, *pattern
     else:
@@ -293,36 +340,38 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         p_term = None  # constrained by the NOT IN; binds nothing
     elif isinstance(p_term, str) and p_term.endswith(("+", "*")) and len(p_term) > 1:
         base, op = p_term[:-1], p_term[-1]
-        scan = kleene_scan(triples, base, zero=(op == "*")).withColumn(
-            "pred", F.lit(p_term)
-        )
+        rel, finalize = _closure_relation(triples, g_term)
+        scan = finalize(kleene_scan(rel, base, zero=(op == "*"))) \
+            .withColumn("pred", F.lit(p_term))
     elif isinstance(p_term, str) and p_term.endswith("?") \
             and len(p_term) > 1 and not p_term.startswith("?"):
         # SPARQL zero-or-one path p?: the single-hop edge set unioned
         # with the reflexive pairs over every graph term — same
         # zero-length semantics as p*, without the closure
         base = p_term[:-1]
+        rel, finalize = _closure_relation(triples, g_term)
         hop = _pred_bucket_prune(
-            triples.filter(F.col("pred") == F.lit(base)), [base]
+            rel.filter(F.col("pred") == F.lit(base)), [base]
         ).select("subj", "obj")
-        scan = hop.unionByName(
-            _graph_nodes(triples).select(
+        scan = finalize(hop.unionByName(
+            _graph_nodes(rel).select(
                 F.col("t").alias("subj"), F.col("t").alias("obj"))
-        ).distinct().withColumn("pred", F.lit(p_term))
+        ).distinct()).withColumn("pred", F.lit(p_term))
     elif isinstance(p_term, tuple) and len(p_term) == 3 \
             and p_term[0] == "closure":
         # parenthesized path closure ('closure', inner, op): the closure
         # (or zero-or-one union) over the COMPOSED edge relation of the
         # inner alternation/sequence element
         _, inner, op = p_term
+        rel, finalize = _closure_relation(triples, g_term)
         if op == "?":
-            scan = _path_edges(triples, inner).distinct().unionByName(
-                _graph_nodes(triples).select(
+            scan = _path_edges(rel, inner).distinct().unionByName(
+                _graph_nodes(rel).select(
                     F.col("t").alias("subj"), F.col("t").alias("obj"))
             ).distinct()
         else:
-            scan = kleene_scan(triples, inner, zero=(op == "*"))
-        scan = scan.withColumn("pred", F.lit("__closure__"))
+            scan = kleene_scan(rel, inner, zero=(op == "*"))
+        scan = finalize(scan).withColumn("pred", F.lit("__closure__"))
         p_term = None  # constrained by the composed scan; binds nothing
     if g_term is None:
         positions, terms = _POSITIONS, (s_term, p_term, o_term)

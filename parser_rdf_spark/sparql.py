@@ -64,10 +64,10 @@ Supported subset (everything the underlying compiler can plan):
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
 (never silently mis-answer): ``SERVICE``, nested path closures,
-closures over negated sets, nested GRAPH, kleene paths over a quads
-relation, EXISTS/NOT EXISTS/MINUS as siblings of a UNION expression
-(their anti-join would see only the sibling patterns' variables — move
-them inside every branch), federated forms.
+closures over negated sets, nested GRAPH, EXISTS/NOT EXISTS/MINUS as
+siblings of a UNION expression (their anti-join would see only the
+sibling patterns' variables — move them inside every branch),
+federated forms.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -1622,12 +1622,9 @@ def _apply_graph_semantics(spec: dict, has_graph_col: bool) -> dict:
             return p
         if not has_graph_col:
             return p
-        if (isinstance(p[1], str) and p[1][-1:] in ("+", "*", "?")
-                and len(p[1]) > 1 and not p[1].startswith("?")) or \
-                (isinstance(p[1], tuple) and p[1][:1] == ("closure",)):
-            raise SparqlError(
-                "kleene paths over a quads relation are not supported"
-            )
+        # kleene paths survive the default-graph prefix: a constant
+        # graph term makes the closure run over that graph's slice
+        # (bgp._closure_relation), per SPARQL's graph-scoped paths
         return ("_:default",) + tuple(p)
 
     spec = dict(spec)

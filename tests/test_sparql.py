@@ -620,6 +620,51 @@ def test_graph_joins_with_default(quads):
     assert rows(out) == [("b", "Bob")]
 
 
+PATH_QUADS = [
+    ("_:default", "x1", "partOf", "x2"),
+    ("_:default", "x2", "partOf", "x3"),
+    ("urn:g1", "n1", "partOf", "n2"),
+    ("urn:g1", "n2", "partOf", "n3"),
+    ("urn:g2", "n3", "partOf", "n4"),  # would extend g1's chain if
+    #                                     closure leaked across graphs
+]
+
+
+@pytest.fixture(scope="module")
+def path_quads(spark):
+    return spark.createDataFrame(
+        PATH_QUADS, "graph string, subj string, pred string, obj string")
+
+
+def test_kleene_path_in_constant_graph(path_quads):
+    out = sparql_query(path_quads, """
+        SELECT ?a ?b WHERE { GRAPH <urn:g1> { ?a partOf+ ?b } }
+    """)
+    assert rows(out) == [("n1", "n2"), ("n1", "n3"), ("n2", "n3")]
+
+
+def test_kleene_path_in_variable_graph_stays_per_graph(path_quads):
+    out = sparql_query(path_quads, """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a partOf+ ?b } }
+    """)
+    # the g1 chain never reaches n4: paths close WITHIN each graph
+    assert rows(out) == [("urn:g1", "n1", "n2"), ("urn:g1", "n1", "n3"),
+                         ("urn:g1", "n2", "n3"), ("urn:g2", "n3", "n4")]
+
+
+def test_kleene_path_over_quads_default_graph(path_quads):
+    out = sparql_query(path_quads, 'SELECT ?a ?b WHERE { ?a partOf+ ?b }')
+    assert rows(out) == [("x1", "x2"), ("x1", "x3"), ("x2", "x3")]
+
+
+def test_zero_or_more_path_in_graph(path_quads):
+    # p* reflexive pairs range over the GRAPH's terms only
+    out = sparql_query(path_quads, """
+        SELECT ?b WHERE { GRAPH <urn:g2> { n3 partOf* ?b } }
+    """)
+    assert rows(out) == [("n3",), ("n4",)]
+
+
 def test_graph_on_triple_relation_raises(kg):
     with pytest.raises(SparqlError, match="quads relation"):
         sparql_query(kg, 'SELECT ?s WHERE { GRAPH ?g { ?s type Person } }').collect()
