@@ -64,10 +64,14 @@ Supported subset (everything the underlying compiler can plan):
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
 (never silently mis-answer): ``SERVICE``, nested path closures,
-closures over negated sets, nested GRAPH, EXISTS/NOT EXISTS/MINUS as
-siblings of a UNION expression (their anti-join would see only the
-sibling patterns' variables — move them inside every branch),
-federated forms.
+closures over negated sets, EXISTS/NOT EXISTS/MINUS as siblings of a
+UNION expression (their anti-join would see only the sibling patterns'
+variables — move them inside every branch), federated forms. Nested
+GRAPH follows the spec's algebra (the inner term re-selects the active
+graph, §13.3) with one documented deviation: a variable graph term
+binds only from patterns DIRECTLY inside it — an outer ``GRAPH ?g``
+wrapping nothing but an inner constant GRAPH leaves ``?g`` unbound
+rather than ranging over every named graph.
 
 Term semantics match the engine's verbatim string matching: the triples
 relation stores terms as strings (:func:`.bgp.triples_spo` projects the
@@ -673,13 +677,25 @@ class _Parser:
                     raise SparqlError("a quoted triple cannot name a GRAPH")
                 self._expect("{")
                 sub = self._group()
-                if set(sub) - {"patterns"}:
-                    raise SparqlError("GRAPH groups support triple patterns only")
+                if set(sub) - {"patterns", "graph_vars"}:
+                    raise SparqlError(
+                        "GRAPH groups support triple patterns (and nested "
+                        "GRAPH) only")
+                tagged = False
                 for pat in sub["patterns"]:
                     if len(pat) == 4:
-                        raise SparqlError("nested GRAPH is not supported")
-                    spec["patterns"].append((g_term,) + tuple(pat))
-                if g_term.startswith("?"):
+                        # nested GRAPH: the INNER graph term wins — the
+                        # spec's algebra re-selects the active graph from
+                        # the dataset (§13.3), so the outer term neither
+                        # constrains nor is bound by inner patterns
+                        spec["patterns"].append(pat)
+                    else:
+                        spec["patterns"].append((g_term,) + tuple(pat))
+                        tagged = True
+                if sub.get("graph_vars"):
+                    spec.setdefault("graph_vars", set()).update(
+                        sub["graph_vars"])
+                if g_term.startswith("?") and tagged:
                     spec.setdefault("graph_vars", set()).add(g_term[1:])
                 continue
             if self._at_kw("service"):

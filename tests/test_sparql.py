@@ -665,6 +665,18 @@ def test_zero_or_more_path_in_graph(path_quads):
     assert rows(out) == [("n3",), ("n4",)]
 
 
+def test_nested_graph_inner_wins(quads):
+    # spec §13.3: the inner GRAPH re-selects the active graph from the
+    # dataset — the outer term neither constrains nor binds inner
+    # patterns; sibling patterns still bind the outer term
+    out = sparql_query(quads, """
+        SELECT ?g ?o ?n WHERE {
+          GRAPH ?g { a knows ?o GRAPH <urn:g2> { b name ?n } }
+        }
+    """)
+    assert rows(out) == [("urn:g1", "b", "Bob"), ("urn:g2", "c", "Bob")]
+
+
 def test_graph_on_triple_relation_raises(kg):
     with pytest.raises(SparqlError, match="quads relation"):
         sparql_query(kg, 'SELECT ?s WHERE { GRAPH ?g { ?s type Person } }').collect()
