@@ -156,17 +156,42 @@ def _path_edges(triples: DataFrame, elt) -> DataFrame:
     sequence (left-fold equi-join over the parts, distinct at the end —
     the composed relation is a set). Used as the base relation under a
     parenthesized closure ``(…)+`` / ``(…)*`` / ``(…)?``."""
+    if isinstance(elt, tuple) and len(elt) == 3 and elt[0] == "closure":
+        # nested closure ((p/q)+)* — the inner closure's pair relation
+        # is the edge set of the outer one; recursion bottoms out at
+        # plain elements
+        _, inner, op = elt
+        if op == "?":
+            return _path_edges(triples, inner).distinct().unionByName(
+                _graph_nodes(triples).select(
+                    F.col("t").alias("subj"), F.col("t").alias("obj"))
+            ).distinct()
+        return kleene_scan(triples, inner, zero=(op == "*"))
     if isinstance(elt, str):
         if elt.startswith("^") and len(elt) > 1:
             inv = _path_edges(triples, elt[1:])
             return inv.select(F.col("obj").alias("subj"),
                               F.col("subj").alias("obj"))
-        if elt.startswith("!"):
-            raise ValueError(
-                "negated property sets under a closure are not supported")
+        if elt.startswith("!") and len(elt) > 1:
+            # negated property set as a closure base: the complement
+            # edge relation — one NOT IN filter, still a pushed scan
+            inner = elt[1:]
+            if inner.startswith("(") and inner.endswith(")"):
+                excluded = [p.strip() for p in inner[1:-1].split("|")]
+            else:
+                excluded = [inner]
+            return triples.filter(
+                ~F.col("pred").isin(excluded)).select("subj", "obj")
         if elt[-1:] in ("+", "*", "?") and len(elt) > 1:
-            raise ValueError(
-                "nested path modifiers under a closure are not supported")
+            # a modified element as a closure base / sequence part
+            # ((p+/q)*, ((p)+)* …): its pair relation is the edge set
+            base, op = elt[:-1], elt[-1]
+            if op == "?":
+                return _path_edges(triples, base).distinct().unionByName(
+                    _graph_nodes(triples).select(
+                        F.col("t").alias("subj"), F.col("t").alias("obj"))
+                ).distinct()
+            return kleene_scan(triples, base, zero=(op == "*"))
         return _pred_bucket_prune(
             triples.filter(F.col("pred") == F.lit(elt)), [elt]
         ).select("subj", "obj")
@@ -194,8 +219,10 @@ def kleene_scan(
     """Transitive-closure scan for a SPARQL ``p+`` / ``p*`` path: all
     (subj, obj) pairs connected by ≥1 hop of ``pred`` (any
     :func:`_path_edges` element — plain IRI, ``^p``, alternation list,
-    or ``('seq', parts)`` — so parenthesized closures ``(p1|p2)+`` /
-    ``(p1/p2)+`` close over the composed edge relation), computed by
+    ``('seq', parts)``, a negated set ``!p`` / ``!(p1|p2)``, or a
+    nested ``('closure', …)`` tuple — so parenthesized closures
+    ``(p1|p2)+`` / ``(p1/p2)+`` / ``((p/q)+)*`` / ``!(p)+`` all close
+    over the composed edge relation), computed by
     iterative path doubling with per-round ``localCheckpoint`` (closes a
     diameter-d chain in ⌈log₂ d⌉ shuffles). ``zero=True`` (the ``p*``
     form) unions the reflexive pairs over every term of the graph, per

@@ -63,10 +63,10 @@ Supported subset (everything the underlying compiler can plan):
   ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): ``SERVICE``, nested path closures,
-closures over negated sets, EXISTS/NOT EXISTS/MINUS as siblings of a
-UNION expression (their anti-join would see only the sibling patterns'
-variables — move them inside every branch), federated forms. Nested
+(never silently mis-answer): ``SERVICE``, EXISTS/NOT EXISTS/MINUS as
+siblings of a UNION expression (their anti-join would see only the
+sibling patterns' variables — move them inside every branch),
+federated forms. Nested
 GRAPH follows the spec's algebra (the inner term re-selects the active
 graph, §13.3) with one documented deviation: a variable graph term
 binds only from patterns DIRECTLY inside it — an outer ``GRAPH ?g``
@@ -444,6 +444,11 @@ class _Parser:
         inverse = self._eat("^")
         if self._eat("!"):
             elt = "!" + self._negated_set()
+            if self._at("+") or self._at("*") or self._at("?"):
+                # closure over a negated property set !(p1|p2)+: the
+                # compiler closes over the complement edge relation
+                op = self._next()[1]
+                elt = ("closure", elt, op)
         else:
             elt = self._path_primary()
             if isinstance(elt, str) and not elt.startswith("?"):
@@ -453,13 +458,19 @@ class _Parser:
                     elt += "*"
                 elif self._eat("?"):
                     elt += "?"
+                # further modifiers (e.g. ((p)+)* — the parens returned
+                # the already-modified string) nest as closure tuples
+                while elt[-1:] in ("+", "*", "?") and \
+                        (self._at("+") or self._at("*") or self._at("?")):
+                    op = self._next()[1]
+                    elt = ("closure", elt, op)
             elif isinstance(elt, (list, tuple)) and \
                     (self._at("+") or self._at("*") or self._at("?")):
                 # parenthesized alternation/sequence under a closure:
                 # (p1|p2)+ / (p1/p2)* / (...)? — the compiler closes over
-                # the composed edge relation
-                if isinstance(elt, tuple) and elt[:1] == ("closure",):
-                    raise SparqlError("nested path closures are not supported")
+                # the composed edge relation; a closure tuple here is a
+                # NESTED closure ((p/q)+)*, closed over the inner
+                # closure's pair relation
                 op = self._next()[1]
                 elt = ("closure", elt, op)
             elif self._at("+") or self._at("*"):

@@ -248,7 +248,8 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
 @pytest.mark.parametrize("query,msg", [
     ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
     ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
-    ('SELECT ?s WHERE { ?s ((knows/knows)+)* ?o }', "nested path closures"),
+    ('SELECT ?s WHERE { ?s knows ?o . FILTER EXISTS { SERVICE <urn:x> { ?o type ?t } } }',
+     "SERVICE"),
     # BASE itself is supported (test_iri_base_from.py); a base that
     # stays relative after chaining is the remaining error path
     ('BASE <rel/> SELECT ?s WHERE { ?s type Person }', "absolute"),
@@ -324,6 +325,24 @@ def test_union_sibling_not_exists_raises(kg):
               FILTER NOT EXISTS { ?s age ?a }
             }
         """).collect()
+
+
+def test_negated_set_closure(kg):
+    # !(…)+ closes over the complement edge relation
+    out = sparql_query(kg, """
+        PREFIX ex: <urn:ex:>
+        SELECT ?a ?b WHERE { ?a !(type|name|age|ex:p)+ ?b }
+    """)
+    assert rows(out) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_nested_path_closure(kg):
+    # ((knows/knows)+)*: the inner closure's pair relation is the edge
+    # set of the outer one; * adds the zero-length (reflexive) pairs
+    out = sparql_query(kg, 'SELECT ?b WHERE { a ((knows/knows)+)* ?b }')
+    assert rows(out) == [("a",), ("c",)]
+    out2 = sparql_query(kg, 'SELECT ?a ?b WHERE { ?a ((knows)+)+ ?b }')
+    assert rows(out2) == [("a", "b"), ("a", "c"), ("b", "c")]
 
 
 def test_optional_with_inner_filter(kg):
