@@ -762,6 +762,77 @@ def _compile_negation_group(
     return df, gvars, []
 
 
+def apply_negation(
+    triples: DataFrame,
+    acc: DataFrame,
+    exists=None,
+    not_exists=None,
+    minus=None,
+    dedup: bool = True,
+    stats: dict | None = None,
+    bound: set[str] | None = None,
+) -> DataFrame:
+    """Apply SPARQL EXISTS / NOT EXISTS / MINUS groups to an arbitrary
+    solution relation ``acc`` (the groups match against ``triples``).
+    Factored out of :func:`bgp_query` so group-level executors (UNION /
+    sub-SELECT groups) can run the same semantics over their joined
+    relation — per the algebra these are group-scoped, not
+    BGP-scoped. Group forms and filter correlation semantics are those
+    documented on :func:`bgp_query`."""
+    bound = set(acc.columns) if bound is None else bound
+
+    for group in exists or []:
+        pos, pos_vars, gfilters = _compile_negation_group(
+            triples, group, dedup, stats, "EXISTS")
+        shared = sorted(bound & pos_vars)
+        if gfilters:
+            # correlated EXISTS (spec §8.1.1): the inner FILTER may
+            # reference outer variables, so it must run as the semi-join
+            # condition; inner-only conjuncts still push below the join
+            acc = _conditioned_join(acc, bound, pos, pos_vars,
+                                    gfilters, "left_semi")
+        elif shared:
+            acc = acc.join(pos.select(*shared).distinct(), on=shared,
+                           how="left_semi")
+        else:
+            # constant gate: ≥1 inner solution keeps all rows, else none
+            gate = pos.limit(1).select(F.lit(1).alias("__gate"))
+            acc = acc.crossJoin(F.broadcast(gate)).drop("__gate")
+
+    for kind, groups in (("not_exists", not_exists), ("minus", minus)):
+        for group in groups or []:
+            neg, neg_vars, gfilters = _compile_negation_group(
+                triples, group, dedup, stats,
+                "MINUS" if kind == "minus" else "NOT EXISTS")
+            if kind == "minus" and gfilters:
+                # MINUS evaluates its pattern INDEPENDENTLY (spec §8.3):
+                # the filter sees only the group's own variables — an
+                # outer reference is unresolved, the spec's unbound error
+                try:
+                    for f in gfilters:
+                        neg = neg.filter(F.expr(f))
+                except Exception as e:
+                    raise ValueError(
+                        "MINUS filters see only the MINUS group's own "
+                        f"variables (spec §8.3): {e}") from e
+                gfilters = []
+            shared = sorted(bound & neg_vars)
+            if kind == "not_exists" and gfilters:
+                acc = _conditioned_join(acc, bound, neg, neg_vars,
+                                        gfilters, "left_anti")
+                continue
+            if not shared:
+                if kind == "minus":
+                    continue  # SPARQL MINUS: disjoint domains remove nothing
+                raise ValueError(
+                    f"NOT EXISTS group {group!r} shares no variable with "
+                    "the outer patterns; it would remove all or no rows"
+                )
+            acc = acc.join(neg.select(*shared).distinct(), on=shared,
+                           how="left_anti")
+    return acc
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -906,55 +977,8 @@ def bgp_query(
     for expr in filters or []:
         acc = acc.filter(F.expr(expr))
 
-    for group in exists or []:
-        pos, pos_vars, gfilters = _compile_negation_group(
-            triples, group, dedup, stats, "EXISTS")
-        shared = sorted(bound & pos_vars)
-        if gfilters:
-            # correlated EXISTS (spec §8.1.1): the inner FILTER may
-            # reference outer variables, so it must run as the semi-join
-            # condition; inner-only conjuncts still push below the join
-            acc = _conditioned_join(acc, bound, pos, pos_vars,
-                                    gfilters, "left_semi")
-        elif shared:
-            acc = acc.join(pos.select(*shared).distinct(), on=shared,
-                           how="left_semi")
-        else:
-            # constant gate: ≥1 inner solution keeps all rows, else none
-            gate = pos.limit(1).select(F.lit(1).alias("__gate"))
-            acc = acc.crossJoin(F.broadcast(gate)).drop("__gate")
-
-    for kind, groups in (("not_exists", not_exists), ("minus", minus)):
-        for group in groups or []:
-            neg, neg_vars, gfilters = _compile_negation_group(
-                triples, group, dedup, stats,
-                "MINUS" if kind == "minus" else "NOT EXISTS")
-            if kind == "minus" and gfilters:
-                # MINUS evaluates its pattern INDEPENDENTLY (spec §8.3):
-                # the filter sees only the group's own variables — an
-                # outer reference is unresolved, the spec's unbound error
-                try:
-                    for f in gfilters:
-                        neg = neg.filter(F.expr(f))
-                except Exception as e:
-                    raise ValueError(
-                        "MINUS filters see only the MINUS group's own "
-                        f"variables (spec §8.3): {e}") from e
-                gfilters = []
-            shared = sorted(bound & neg_vars)
-            if kind == "not_exists" and gfilters:
-                acc = _conditioned_join(acc, bound, neg, neg_vars,
-                                        gfilters, "left_anti")
-                continue
-            if not shared:
-                if kind == "minus":
-                    continue  # SPARQL MINUS: disjoint domains remove nothing
-                raise ValueError(
-                    f"NOT EXISTS group {group!r} shares no variable with "
-                    "the outer patterns; it would remove all or no rows"
-                )
-            acc = acc.join(neg.select(*shared).distinct(), on=shared,
-                           how="left_anti")
+    acc = apply_negation(triples, acc, exists=exists, not_exists=not_exists,
+                         minus=minus, dedup=dedup, stats=stats, bound=bound)
 
     if aggregates:
         keys = [_var_name(g) if _is_var(g) else g for g in (group_by or [])]

@@ -63,10 +63,7 @@ Supported subset (everything the underlying compiler can plan):
   ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``.
 
 Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): ``SERVICE``, EXISTS/NOT EXISTS/MINUS as
-siblings of a UNION expression (their anti-join would see only the
-sibling patterns' variables — move them inside every branch),
-federated forms. Nested
+(never silently mis-answer): ``SERVICE`` and federated forms. Nested
 GRAPH follows the spec's algebra (the inner term re-selects the active
 graph, §13.3) with one documented deviation: a variable graph term
 binds only from patterns DIRECTLY inside it — an outer ``GRAPH ?g``
@@ -103,7 +100,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bgp import bgp_ask, bgp_query, seq_path
+from .bgp import apply_negation, bgp_ask, bgp_query, seq_path
 from .iri import is_absolute_iri, resolve_iri
 
 RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -1743,11 +1740,10 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     valid order). Group-level FILTERs run after the joins so they may
     reference variables bound by any piece; Catalyst pushes each
     conjunct back to the earliest plan node that binds its columns, so
-    this costs nothing at scale. EXISTS / NOT EXISTS / MINUS as
-    SIBLINGS of a UNION expression raise — their semi/anti-join would
-    see only the sibling patterns' variables, and a silently narrower
-    scope is worse than an error (move them inside every branch);
-    inside a branch they work as usual."""
+    this costs nothing at scale. EXISTS / NOT EXISTS / MINUS are
+    likewise group-scoped: lifted out of the sibling BGP and applied as
+    semi/anti joins against the JOINED relation, so they see variables
+    bound by UNION branches and sub-SELECTs too."""
     union_dfs = []
     for branches in spec.get("unions", ()):
         acc = None
@@ -1764,19 +1760,19 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
                          **kwargs)
     kwargs = _exec_kwargs(spec)
     filters = kwargs.pop("filters", None)
+    # EXISTS/NOT EXISTS/MINUS are group-scoped (they are FILTERs /
+    # group elements, not BGP clauses): lift them out of the sibling
+    # BGP and apply them to the JOINED relation, so they see variables
+    # bound by UNION branches and sub-SELECTs too
+    negation = {k: kwargs.pop(k) for k in ("exists", "not_exists", "minus")
+                if kwargs.get(k)}
     patterns = kwargs.pop("patterns")
-    if union_dfs and any(kwargs.get(k)
-                         for k in ("exists", "not_exists", "minus")):
-        raise SparqlError(
-            "EXISTS/NOT EXISTS/MINUS as siblings of a UNION expression "
-            "are not supported — move them inside every branch")
     if patterns:
         df = bgp_query(triples, patterns, dedup=dedup, **kwargs)
-    elif any(kwargs.get(k) for k in ("optional", "values", "bind",
-                                     "exists", "not_exists", "minus")):
+    elif any(kwargs.get(k) for k in ("optional", "values", "bind")):
         raise SparqlError(
             "a pattern-less group around UNION/sub-SELECT supports "
-            "FILTER only")
+            "FILTER and EXISTS/NOT EXISTS/MINUS only")
     else:
         df = None
     for piece in subs + union_dfs:
@@ -1788,6 +1784,9 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
               else df.crossJoin(piece))
     for f in filters or []:
         df = df.filter(F.expr(f))
+    if negation:
+        df = apply_negation(triples, df, dedup=dedup,
+                            stats=kwargs.get("stats"), **negation)
     return df
 
 

@@ -314,17 +314,42 @@ def test_subselect_inside_union_branch(kg):
     assert rows(out) == [("a",), ("b",), ("r",)]
 
 
-def test_union_sibling_not_exists_raises(kg):
-    # NOT EXISTS as a SIBLING of a union would anti-join on the sibling
-    # patterns' variables only — raise rather than silently narrow scope
-    with pytest.raises(SparqlError, match="siblings of a UNION"):
-        sparql_query(kg, """
-            SELECT ?s WHERE {
-              ?s type Person .
-              { ?s knows b } UNION { ?s knows c }
-              FILTER NOT EXISTS { ?s age ?a }
-            }
-        """).collect()
+def test_union_sibling_not_exists(kg):
+    # NOT EXISTS as a SIBLING of a union is group-scoped: the anti-join
+    # runs against the JOINED relation (patterns ⋈ union solutions)
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person .
+          { ?s knows b } UNION { ?s knows c }
+          FILTER NOT EXISTS { ?s age ?a }
+        }
+    """)
+    assert rows(out) == []  # a and b both have ages
+    out2 = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Person .
+          { ?s knows b } UNION { ?s knows c }
+          FILTER NOT EXISTS { ?s name "Alice" }
+        }
+    """)
+    assert rows(out2) == [("b",)]
+
+
+def test_union_sibling_minus_and_exists(kg):
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { ?s knows b } UNION { ?s knows c }
+          MINUS { ?s age "30" }
+        }
+    """)
+    assert rows(out) == [("b",)]
+    out2 = sparql_query(kg, """
+        SELECT ?s WHERE {
+          { ?s knows b } UNION { ?s knows c }
+          FILTER EXISTS { ?s name ?n FILTER(?n = "Alice") }
+        }
+    """)
+    assert rows(out2) == [("a",), ("a",)]
 
 
 def test_negated_set_closure(kg):
