@@ -824,10 +824,14 @@ def apply_negation(
             if not shared:
                 if kind == "minus":
                     continue  # SPARQL MINUS: disjoint domains remove nothing
-                raise ValueError(
-                    f"NOT EXISTS group {group!r} shares no variable with "
-                    "the outer patterns; it would remove all or no rows"
-                )
+                # NOT EXISTS with a disjoint group (spec §8.3.3): the
+                # constant anti-gate — ≥1 inner solution removes EVERY
+                # row, zero solutions removes nothing (the dual of the
+                # EXISTS gate; this asymmetry vs MINUS is the spec's own
+                # worked example)
+                gate = neg.limit(1).select(F.lit(1).alias("__gate"))
+                acc = acc.join(F.broadcast(gate), F.lit(True), "left_anti")
+                continue
             acc = acc.join(neg.select(*shared).distinct(), on=shared,
                            how="left_anti")
     return acc
@@ -903,8 +907,9 @@ def bgp_query(
       constant gate — ≥1 inner solution keeps everything (a broadcast
       limit-1 cross), zero solutions keeps nothing;
     * ``not_exists`` — pattern GROUPS removed via left-anti join on the
-      shared variables (SPARQL FILTER NOT EXISTS). Each group must share
-      ≥1 variable with the required patterns;
+      shared variables (SPARQL FILTER NOT EXISTS); a group sharing NO
+      variable is the constant ANTI-gate (spec §8.3.3): ≥1 inner
+      solution removes every row, zero solutions removes nothing;
     * ``exists``/``not_exists`` groups may also be DICTs ``{"patterns":
       […], "filters": […]}`` — the filters run as the semi/anti-join
       CONDITION (correlated EXISTS, spec §8.1.1: they may reference

@@ -585,6 +585,10 @@ class _Parser:
         while not self._eat("}"):
             if self._peek()[0] == "EOF":
                 raise SparqlError("unterminated group: missing '}'")
+            if self._eat("."):
+                # grammar: GraphPatternNotTriples '.'? — an optional dot
+                # may follow any group element (OPTIONAL { … } . etc.)
+                continue
             if self._at("{"):
                 self._next()
                 if self._at_kw("select"):

@@ -280,10 +280,16 @@ def test_not_exists_removes_matching_solutions(kg):
     assert rows(out) == [("c",)]
 
 
-def test_not_exists_disjoint_group_raises(kg):
-    with pytest.raises(ValueError, match="shares no variable"):
-        bgp_query(kg, [("?p", "type", "Person")],
-                  not_exists=[[("?q", "type", "Robot")]]).count()
+def test_not_exists_disjoint_group_constant_gate(kg):
+    # spec §8.3.3: a disjoint NOT EXISTS group removes EVERYTHING when
+    # it has ≥1 solution and nothing when it has none — the dual of the
+    # EXISTS constant gate (and the spec's contrast with MINUS)
+    out = bgp_query(kg, [("?p", "type", "Person")],
+                    not_exists=[[("?q", "type", "Robot")]])
+    assert out.count() == 0  # a robot exists → every row removed
+    out2 = bgp_query(kg, [("?p", "type", "Person")],
+                     not_exists=[[("?q", "type", "Unicorn")]])
+    assert out2.count() == 3  # no unicorns → nothing removed
 
 
 def test_minus_disjoint_group_removes_nothing(kg):

@@ -153,6 +153,66 @@ def test_spec_8_3_minus(spark):
     assert [r.name for r in got] == ["Bob"]
 
 
+def test_spec_6_2_constraints_in_optional(spark):
+    # §6.2: the FILTER inside OPTIONAL is the left-join condition —
+    # "SPARQL Tutorial" (price 42 fails ?price < 30) keeps its row with
+    # ?price unbound; "The Semantic Web" (price 23) binds it
+    kg = _terms(spark, [
+        ("_:a", f"{DC}title", "literal", "SPARQL Tutorial", None, None),
+        ("_:a", f"{NS}price", "literal", "42", None, f"{XSD}integer"),
+        ("_:b", f"{DC}title", "literal", "The Semantic Web", None, None),
+        ("_:b", f"{NS}price", "literal", "23", None, f"{XSD}integer"),
+    ])
+    got = sparql_query(kg, f"""
+        PREFIX dc: <{DC}>
+        PREFIX ns: <{NS}>
+        SELECT ?title ?price
+        WHERE {{ ?x dc:title ?title .
+                 OPTIONAL {{ ?x ns:price ?price . FILTER (?price < 30) }} }}
+    """, term_mode=True).collect()
+    assert {(r.title, r.price) for r in got} == {
+        ('"SPARQL Tutorial"', None),
+        ('"The Semantic Web"', f'"23"^^<{XSD}integer>'),
+    }
+
+
+def test_spec_6_3_multiple_optionals(spark):
+    # §6.3: two independent OPTIONALs bind independently
+    kg = _spo(spark, [
+        ("_:a", f"{FOAF}name", "Alice"),
+        ("_:a", f"{FOAF}homepage", "http://work.example.org/alice/"),
+        ("_:b", f"{FOAF}name", "Bob"),
+        ("_:b", f"{FOAF}mbox", "mailto:bob@work.example"),
+    ])
+    got = sparql_query(kg, f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?name ?mbox ?hpage
+        WHERE {{ ?x foaf:name ?name .
+                 OPTIONAL {{ ?x foaf:mbox ?mbox }} .
+                 OPTIONAL {{ ?x foaf:homepage ?hpage }} }}
+    """).collect()
+    assert {(r.name, r.mbox, r.hpage) for r in got} == {
+        ("Alice", None, "http://work.example.org/alice/"),
+        ("Bob", "mailto:bob@work.example", None),
+    }
+
+
+def test_spec_8_3_3_minus_vs_not_exists_disjoint(spark):
+    # §8.3.3: over { :a :b :c }, NOT EXISTS { ?x ?y ?z } removes the
+    # solution (the disjoint group HAS a solution) while
+    # MINUS { ?x ?y ?z } removes nothing (no shared domain)
+    kg = _spo(spark, [("http://example/a", "http://example/b",
+                       "http://example/c")])
+    ne = sparql_query(kg, """
+        SELECT * WHERE { ?s ?p ?o FILTER NOT EXISTS { ?x ?y ?z } }
+    """)
+    assert ne.count() == 0
+    mi = sparql_query(kg, """
+        SELECT * WHERE { ?s ?p ?o MINUS { ?x ?y ?z } }
+    """)
+    assert mi.count() == 1
+
+
 def test_spec_9_property_path_plus(spark):
     # §9.3 shape: foaf:knows+ reaches transitively
     kg = _spo(spark, [
