@@ -207,6 +207,13 @@ def _path_edges(triples: DataFrame, elt) -> DataFrame:
             cur = (cur.join(nxt, cur["obj"] == nxt["__mid"])
                    .select(cur["subj"], F.col("__out").alias("obj")))
         return cur.distinct()
+    if isinstance(elt, tuple) and len(elt) == 2 and elt[0] == "alt":
+        # general alternation (members may be modified/sequence paths):
+        # the union of the members' pair relations
+        cur = _path_edges(triples, elt[1][0])
+        for part in elt[1][1:]:
+            cur = cur.unionByName(_path_edges(triples, part))
+        return cur.distinct()
     raise ValueError(f"unsupported path element under a closure: {elt!r}")
 
 
@@ -399,6 +406,14 @@ def _pattern_scan(triples: DataFrame, pattern: tuple,
         else:
             scan = kleene_scan(rel, inner, zero=(op == "*"))
         scan = finalize(scan).withColumn("pred", F.lit("__closure__"))
+        p_term = None  # constrained by the composed scan; binds nothing
+    elif isinstance(p_term, tuple) and len(p_term) == 2 \
+            and p_term[0] == "alt":
+        # general path alternation over modified/sequence members
+        # (p+|q, (p/q)|r): the union of the members' pair relations
+        rel, finalize = _closure_relation(triples, g_term)
+        scan = finalize(_path_edges(rel, p_term)) \
+            .withColumn("pred", F.lit("__alt__"))
         p_term = None  # constrained by the composed scan; binds nothing
     if g_term is None:
         positions, terms = _POSITIONS, (s_term, p_term, o_term)

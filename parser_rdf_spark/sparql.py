@@ -421,15 +421,16 @@ class _Parser:
             alts.append(self._path_seq())
         if len(alts) == 1:
             return alts[0]
-        members = []
+        if all(isinstance(a, str) and a[:1] not in ("^", "!", "?")
+               and a[-1:] not in ("+", "*", "?") for a in alts):
+            return alts  # plain-IRI alternation: one pushed isin scan
         for a in alts:
-            if not isinstance(a, str) or a[:1] in ("^", "!", "?") \
-                    or a[-1:] in ("+", "*", "?"):
+            if isinstance(a, str) and a[:1] == "?":
                 raise SparqlError(
-                    "alternation over modified/sequence paths is not supported"
-                )
-            members.append(a)
-        return members
+                    "variables cannot be path-alternation members")
+        # general alternation (modified / inverse / negated / sequence
+        # members): the union of the members' pair relations
+        return ("alt", alts)
 
     def _path_seq(self):
         parts = [self._path_elt()]

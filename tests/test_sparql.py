@@ -370,6 +370,25 @@ def test_nested_path_closure(kg):
     assert rows(out2) == [("a", "b"), ("a", "c"), ("b", "c")]
 
 
+def test_alternation_over_modified_paths(kg):
+    # p+|q: union of the closure's pairs and q's edges
+    out = sparql_query(kg, 'SELECT ?a ?b WHERE { ?a knows+|age ?b }')
+    assert rows(out) == [("a", "30"), ("a", "b"), ("a", "c"),
+                         ("b", "25"), ("b", "c")]
+    # sequence member and inverse member
+    out2 = sparql_query(kg, 'SELECT ?a ?b WHERE { ?a (knows/knows)|name ?b }')
+    assert rows(out2) == [("a", "Alice"), ("a", "c"), ("b", "Bob")]
+    out3 = sparql_query(kg, 'SELECT ?b WHERE { b ^knows|name ?b }')
+    assert rows(out3) == [("Bob",), ("a",)]
+
+
+def test_closure_over_mixed_alternation(kg):
+    # (knows+|name)* under a closure: alt members may themselves be
+    # closures; zero-length pairs come from the * on top
+    out = sparql_query(kg, 'SELECT ?b WHERE { b (knows+|name)* ?b }')
+    assert rows(out) == [("Bob",), ("b",), ("c",)]
+
+
 def test_optional_with_inner_filter(kg):
     # LeftJoin(Ω1, Ω2, expr): the filter is the join condition — a
     # failing row keeps the left solution with the group vars NULL
