@@ -420,3 +420,53 @@ def test_term_mode_describe_and_group_by(enc):
          f'GROUP BY ?p ORDER BY ?p')
     rows = [(r.p, r.n) for r in _q(enc, q).collect()]
     assert (f"<{EX}name>", 2) in rows and (f"<{EX}knows>", 1) in rows
+
+
+# ---------------------------------------------------------------------------
+# round-5 group constructs in term mode
+# ---------------------------------------------------------------------------
+
+def test_term_union_mixed_with_siblings(enc):
+    # sibling pattern ⋈ union solutions, all term-encoded
+    got = _vals(enc, f"""
+        SELECT ?s WHERE {{
+          ?s <{EX}name> ?n .
+          {{ ?s <{EX}age> ?a . FILTER(?a > 20) }}
+          UNION
+          {{ ?s <{EX}knows> <{EX}b> }}
+        }}
+    """)
+    # a has TWO names (en+fr) and matches BOTH branches → 2 × 2 rows
+    assert got == [f"<{EX}a>"] * 4
+
+
+def test_term_optional_numeric_filter(enc):
+    # OPTIONAL's inner FILTER compares the typed literal numerically and
+    # compiles to the left-join condition
+    rows = _q(enc, f"""
+        SELECT ?s ?a WHERE {{
+          ?s <{EX}name> ?n . FILTER(LANG(?n) = "")
+          OPTIONAL {{ ?s <{EX}age> ?a FILTER(?a < 20) }}
+        }}
+    """).collect()
+    assert {(r.s, r.a) for r in rows} == {
+        (f"<{EX}b>", f'"17.5"^^<{XSD}decimal>'),
+    }
+    rows2 = _q(enc, f"""
+        SELECT ?s ?a WHERE {{
+          ?s <{EX}name> ?n . FILTER(LANG(?n) = "")
+          OPTIONAL {{ ?s <{EX}age> ?a FILTER(?a < 10) }}
+        }}
+    """).collect()
+    # 17.5 fails the tighter bound → the row survives with ?a unbound
+    assert {(r.s, r.a) for r in rows2} == {(f"<{EX}b>", None)}
+
+
+def test_term_union_sibling_not_exists(enc):
+    got = _vals(enc, f"""
+        SELECT ?s WHERE {{
+          {{ ?s <{EX}age> ?a }} UNION {{ ?s <{EX}ref> ?r }}
+          FILTER NOT EXISTS {{ ?s <{EX}knows> ?o }}
+        }}
+    """)
+    assert got == [f"<{EX}b>", f"<{EX}c>", f"<{EX}x>"]
