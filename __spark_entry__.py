@@ -4185,6 +4185,19 @@ def _q_sparql_graph_kleene(spark, sf_dir):
     """)
 
 
+def _q_sparql_path_alternation(spark, sf_dir):
+    """General path alternation (round 5): a sequence member beside a
+    plain member — customers reach their region via
+    inNation/inRegion, nations via inRegion — one union of the two
+    pair relations (set semantics per the engine's distinct closure
+    discipline)."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?e ?r WHERE { ?e (ex:inNation/ex:inRegion)|ex:inRegion ?r }
+    """)
+
+
 def _q_sparql_describe(spark, sf_dir):
     """DESCRIBE every nation: all triples whose subject matches the
     WHERE solutions — one semi-join against the resource set."""
@@ -5055,6 +5068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_join_group": _q_sparql_union_join_group,
         "sparql_optional_filter_groups": _q_sparql_optional_filter_groups,
         "sparql_graph_kleene_path": _q_sparql_graph_kleene,
+        "sparql_path_alternation": _q_sparql_path_alternation,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6883,6 +6897,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_acctbal > 9000 AND c_mktsegment = 'AUTOMOBILE' "
             "THEN 'true' END AS hb "
             "FROM customer WHERE c_nationkey <> 0"
+        ),
+        "sparql_path_alternation": (
+            "SELECT DISTINCT e, r FROM ("
+            "SELECT 'urn:cust:' || c_custkey AS e, "
+            "'urn:region:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "UNION ALL SELECT 'urn:supp:' || s_suppkey, "
+            "'urn:region:' || n_regionkey "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "UNION ALL SELECT 'urn:nation:' || n_nationkey, "
+            "'urn:region:' || n_regionkey FROM nation)"
         ),
         "sparql_graph_kleene_path": (
             "SELECT 'urn:g:geo' AS g, 'urn:cust:' || c_custkey AS a, "
