@@ -234,8 +234,13 @@ def _validate_stripped(line: str, line_num: int) -> None:
         _validate_unicode_escapes(iri, line_num, "IRI")
 
     # V9: blank-node label rules (only when a '_:' occurs at all).
+    # Scan a literal-masked copy: a '_:' INSIDE a string literal is
+    # content, not a label (deliberate divergence from the reference's
+    # raw-line regex, NTriplesHandler.php:305, which false-rejects valid
+    # literals like "\"_:"@en — our serialize→parse round-trip law wins).
     if "_:" in line:
-        for label in _BNODE_RE.findall(line):
+        scan = _STRING_LITERAL_RE.sub('""', line) if '"' in line else line
+        for label in _BNODE_RE.findall(scan):
             if not _BNODE_START_RE.match(label):
                 raise NTriplesError(line_num, "invalid blank node label")
             if ":" in label:
