@@ -4198,6 +4198,32 @@ def _q_sparql_path_alternation(spark, sf_dir):
     """)
 
 
+def _q_sparql_service_join(spark, sf_dir):
+    """SERVICE over a registered relation (round 5 — the Spark-first
+    take on federation: an endpoint is just another DataFrame): the
+    main group runs over the triple-ized KG, the SERVICE body over a
+    separately-derived 'credit bureau' relation, and the two
+    natural-join on ?c."""
+    from parser_rdf_spark.sparql import sparql_query
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    remote = customer.select(
+        F.concat(F.lit("urn:cust:"),
+                 F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("ex:rating").alias("pred"),
+        F.when(F.col("c_acctbal") > 5000, "prime")
+        .otherwise("standard").alias("obj"))
+    return sparql_query(_tpch_triples(spark, sf_dir), """
+        SELECT ?c ?nname ?rating WHERE {
+          ?c rdf:type ex:Customer .
+          ?c ex:inNation ?n .
+          ?n ex:name ?nname .
+          SERVICE <urn:bureau> { ?c ex:rating ?rating }
+          FILTER(STRSTARTS(?nname, "NATION_3"))
+        }
+    """, services={"urn:bureau": remote})
+
+
 def _q_sparql_describe(spark, sf_dir):
     """DESCRIBE every nation: all triples whose subject matches the
     WHERE solutions — one semi-join against the resource set."""
@@ -5069,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_filter_groups": _q_sparql_optional_filter_groups,
         "sparql_graph_kleene_path": _q_sparql_graph_kleene,
         "sparql_path_alternation": _q_sparql_path_alternation,
+        "sparql_service_join": _q_sparql_service_join,
         # --- driver-green in r04 (the r04 window), original order.
         "bgp_star_join": _q_bgp_star_join,
         "bgp_optional_filter": _q_bgp_optional_filter,
@@ -6897,6 +6924,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_acctbal > 9000 AND c_mktsegment = 'AUTOMOBILE' "
             "THEN 'true' END AS hb "
             "FROM customer WHERE c_nationkey <> 0"
+        ),
+        "sparql_service_join": (
+            "SELECT 'urn:cust:' || c_custkey AS c, n_name AS nname, "
+            "CASE WHEN c_acctbal > 5000 THEN 'prime' ELSE 'standard' END "
+            "AS rating "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE starts_with(n_name, 'NATION_3')"
         ),
         "sparql_path_alternation": (
             "SELECT DISTINCT e, r FROM ("

@@ -62,8 +62,14 @@ Supported subset (everything the underlying compiler can plan):
   undefined, the engine pins it for determinism), ``HAVING``,
   ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``.
 
-Out-of-scope constructs raise :class:`SparqlError` naming the construct
-(never silently mis-answer): ``SERVICE`` and federated forms. Nested
+``SERVICE <iri> { … }`` executes against a REGISTERED relation
+(``sparql_query(..., services={"iri": df})`` — the Spark-first take on
+federation: an endpoint is just another DataFrame); an unregistered
+endpoint raises unless ``SERVICE SILENT`` (single empty solution per
+§18.8). Out-of-scope constructs raise :class:`SparqlError` naming the
+construct (never silently mis-answer): HTTP federation (no network
+execution — register the relation instead) and variable SERVICE
+endpoints. Nested
 GRAPH follows the spec's algebra (the inner term re-selects the active
 graph, §13.3) with one documented deviation: a variable graph term
 binds only from patterns DIRECTLY inside it — an outer ``GRAPH ?g``
@@ -711,8 +717,17 @@ class _Parser:
                 if g_term.startswith("?") and tagged:
                     spec.setdefault("graph_vars", set()).add(g_term[1:])
                 continue
-            if self._at_kw("service"):
-                raise SparqlError("SERVICE is not supported")
+            if self._eat_kw("service"):
+                silent = bool(self._eat_kw("silent"))
+                if self._peek()[0] == "VAR":
+                    raise SparqlError(
+                        "SERVICE with a variable endpoint is not supported")
+                endpoint = self._term("service endpoint")
+                self._expect("{")
+                sub = self._group()
+                spec.setdefault("services", []).append(
+                    (endpoint, sub, silent))
+                continue
             self._triples_block(spec["patterns"])
         return spec
 
@@ -1246,7 +1261,7 @@ def _parse_form(p: _Parser) -> dict:
             if any(spec.get(k) for k in ("optional", "filters", "unions",
                                          "values", "bind", "not_exists",
                                          "minus", "subselects", "exists",
-                                         "graph_vars")):
+                                         "graph_vars", "services")):
                 raise SparqlError(
                     "CONSTRUCT WHERE takes plain triple patterns only")
             spec["form"] = "construct"
@@ -1623,6 +1638,28 @@ def _exec_kwargs(spec: dict) -> dict:
                      "exists", "not_exists", "minus", "stats")}
 
 
+def _inject_services(spec: dict, registry: dict) -> None:
+    """Attach the SERVICE endpoint registry (bare-IRI → DataFrame) to
+    every group of the parsed query so :func:`_group_solutions` can
+    resolve ``SERVICE <e> { … }`` wherever it appears. In-place; the
+    registry is shared, read-only."""
+    spec["services_map"] = registry
+    for branches in spec.get("unions", ()):
+        for b in branches:
+            _inject_services(b, registry)
+    for s in spec.get("subselects", ()):
+        _inject_services(s, registry)
+    for _, sub, _ in spec.get("services", ()):
+        _inject_services(sub, registry)
+
+
+def _is_complex_group(spec: dict) -> bool:
+    """True when the group needs :func:`_group_solutions` (pieces beyond
+    one BGP: UNION expressions, sub-SELECTs, SERVICE groups)."""
+    return bool(spec.get("unions") or spec.get("subselects")
+                or spec.get("services"))
+
+
 def _inject_stats(spec: dict, smap: dict) -> None:
     """Attach the predicate-statistics map to every pattern group of the
     parsed query (the main group, each UNION branch, each sub-SELECT) so
@@ -1759,10 +1796,34 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
         union_dfs.append(acc)
     subs = [_run_select(triples, dict(s), dedup)
             for s in spec.get("subselects", ())]
-    if not union_dfs and not subs:
+    svc_dfs = []
+    for endpoint, sub, silent in spec.get("services", ()):
+        registry = spec.get("services_map") or {}
+        key = endpoint[1:-1] if endpoint.startswith("<") else endpoint
+        rel = registry.get(key)
+        if rel is None:
+            if silent:
+                # SERVICE SILENT on an unreachable endpoint yields the
+                # single empty solution mapping (spec §18.8) — the join
+                # identity, so simply contribute nothing
+                continue
+            raise SparqlError(
+                f"SERVICE endpoint <{key}> is not registered — pass "
+                "services={'iri': DataFrame} to sparql_query")
+        # the SERVICE body evaluates against the REGISTERED relation:
+        # graph semantics follow ITS shape, and its own SERVICE groups
+        # resolve through the same registry
+        sub2 = _apply_graph_semantics(dict(sub), "graph" in rel.columns)
+        sub2["services_map"] = registry
+        svc_dfs.append(_group_solutions(rel, sub2, dedup))
+    if not union_dfs and not subs and not svc_dfs:
         kwargs = _exec_kwargs(spec)
-        return bgp_query(triples, kwargs.pop("patterns"), dedup=dedup,
-                         **kwargs)
+        patterns = kwargs.pop("patterns")
+        if not patterns and spec.get("services"):
+            # every SERVICE was SILENT-skipped and nothing else binds:
+            # the group is the single empty solution mapping (§18.8)
+            return triples.sparkSession.range(1).drop("id")
+        return bgp_query(triples, patterns, dedup=dedup, **kwargs)
     kwargs = _exec_kwargs(spec)
     filters = kwargs.pop("filters", None)
     # EXISTS/NOT EXISTS/MINUS are group-scoped (they are FILTERs /
@@ -1780,7 +1841,7 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
             "FILTER and EXISTS/NOT EXISTS/MINUS only")
     else:
         df = None
-    for piece in subs + union_dfs:
+    for piece in subs + union_dfs + svc_dfs:
         if df is None:
             df = piece
             continue
@@ -1797,7 +1858,8 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
 
 def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
                  term_mode: bool = False,
-                 stats: dict | DataFrame | None = None) -> DataFrame:
+                 stats: dict | DataFrame | None = None,
+                 services: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run a SPARQL query string over a (subj, pred, obj) relation.
 
     SELECT returns one column per selected variable (names without the
@@ -1821,9 +1883,24 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
     cost-based join ordering (greedy smallest-estimated-cardinality
     first, :func:`.bgp.bgp_query`'s ``stats=``). In ``term_mode`` bare
     IRI keys are re-encoded to the relation's ``<iri>`` form, so the
-    stats table computed over the RAW relation works on both surfaces."""
+    stats table computed over the RAW relation works on both surfaces.
+
+    ``services`` registers relations for ``SERVICE <iri> { … }`` groups
+    (the engine's Spark-first take on federation: an endpoint is just
+    another DataFrame — a second materialized table, another snapshot,
+    a remote catalog read). Keys are endpoint IRIs (bare or
+    ``<``-wrapped); the SERVICE body evaluates against the registered
+    relation (graph semantics follow ITS shape) and natural-joins the
+    enclosing group like any other piece. An UNregistered endpoint
+    raises unless the query says ``SERVICE SILENT``, which contributes
+    the single empty solution mapping per spec §18.8."""
     spec = parse_sparql(text, term_mode=term_mode)
     form = spec.pop("form")
+    if services:
+        registry = {
+            (k[1:-1] if k.startswith("<") and k.endswith(">") else k): v
+            for k, v in services.items()}
+        _inject_services(spec, registry)
     if term_mode and "graph" in triples.columns:
         raise SparqlError(
             "term_mode expects the 3-column terms_spo relation "
@@ -1839,7 +1916,7 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
                     for k, v in smap.items()}
         _inject_stats(spec, smap)
     if form == "ask":
-        if spec.get("unions") or spec.get("subselects"):
+        if _is_complex_group(spec):
             # ≥1 solution in the group relation; limit(1) on top still
             # early-stops each branch scan
             sols = _group_solutions(triples, spec, dedup).limit(1)
@@ -1858,7 +1935,7 @@ def sparql_query(triples: DataFrame, text: str, dedup: bool = True,
         # fully-ground triples).
         from .bgp import construct_from_solutions
 
-        if spec.get("unions") or spec.get("subselects"):
+        if _is_complex_group(spec):
             sols = _group_solutions(triples, spec, dedup)
         else:
             kwargs = _exec_kwargs(spec)
@@ -1921,7 +1998,7 @@ def _run_select(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     inner_select, inner_distinct = \
         (None, False) if proj_exprs else (select, distinct)
 
-    if spec.get("unions") or spec.get("subselects"):
+    if _is_complex_group(spec):
         # the general group executor: sibling patterns ⋈ sub-SELECT
         # solutions ⋈ UNION solutions (nested to any depth), group
         # FILTERs after the joins; the aggregate/projection tail runs on
@@ -1978,7 +2055,7 @@ def _run_describe(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     if consts:
         parts.append(spark.createDataFrame([(c,) for c in consts], "r string"))
     if var_names:
-        if spec.get("unions") or spec.get("subselects"):
+        if _is_complex_group(spec):
             sols = _group_solutions(triples, spec, dedup)
         elif not spec.get("patterns"):
             raise SparqlError("DESCRIBE with variables needs a WHERE clause")

@@ -249,7 +249,9 @@ def test_string_literal_escapes_and_langtag_lexical(kg):
     ('SELECT ?s WHERE { ?s type Person } OFFSET x', "OFFSET needs"),
     ('SELECT ?s WHERE { SERVICE <urn:x> { ?s type Person } }', "SERVICE"),
     ('SELECT ?s WHERE { ?s knows ?o . FILTER EXISTS { SERVICE <urn:x> { ?o type ?t } } }',
-     "SERVICE"),
+     "EXISTS groups support"),
+    ('SELECT ?s WHERE { SERVICE ?endpoint { ?s type Person } }',
+     "variable endpoint"),
     # BASE itself is supported (test_iri_base_from.py); a base that
     # stays relative after chaining is the remaining error path
     ('BASE <rel/> SELECT ?s WHERE { ?s type Person }', "absolute"),
@@ -387,6 +389,50 @@ def test_closure_over_mixed_alternation(kg):
     # closures; zero-length pairs come from the * on top
     out = sparql_query(kg, 'SELECT ?b WHERE { b (knows+|name)* ?b }')
     assert rows(out) == [("Bob",), ("b",), ("c",)]
+
+
+def test_service_registered_relation(kg, spark):
+    # SERVICE over a registered DataFrame: the body evaluates against
+    # the endpoint relation and natural-joins the enclosing group
+    remote = spark.createDataFrame(
+        [("a", "salary", "100"), ("c", "salary", "80"),
+         ("z", "salary", "999")], kg.schema)
+    out = sparql_query(kg, """
+        SELECT ?s ?sal WHERE {
+          ?s type Person
+          SERVICE <urn:hr> { ?s salary ?sal }
+        }
+    """, services={"urn:hr": remote})
+    assert rows(out) == [("a", "100"), ("c", "80")]
+
+
+def test_service_silent_unregistered_is_identity(kg):
+    # spec §18.8: SERVICE SILENT on an unreachable endpoint yields the
+    # single empty solution mapping — the join identity
+    out = sparql_query(kg, """
+        SELECT ?s WHERE {
+          ?s type Robot
+          SERVICE SILENT <urn:nowhere> { ?s salary ?sal }
+        }
+    """)
+    assert rows(out) == [("r",)]
+    ask = sparql_query(kg, 'ASK { SERVICE SILENT <urn:x> { a knows ?o } }')
+    assert [tuple(r) for r in ask.collect()] == [(True,)]
+
+
+def test_service_body_may_union_and_filter(kg, spark):
+    remote = spark.createDataFrame(
+        [("a", "salary", "100"), ("b", "bonus", "5")], kg.schema)
+    out = sparql_query(kg, """
+        SELECT ?s ?v WHERE {
+          ?s type Person
+          SERVICE <urn:hr> {
+            { ?s salary ?v } UNION { ?s bonus ?v }
+            FILTER(STRSTARTS(?v, "1"))
+          }
+        }
+    """, services={"urn:hr": remote})
+    assert rows(out) == [("a", "100")]
 
 
 def test_optional_with_inner_filter(kg):
