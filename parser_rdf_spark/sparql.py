@@ -66,10 +66,11 @@ Supported subset (everything the underlying compiler can plan):
 (``sparql_query(..., services={"iri": df})`` — the Spark-first take on
 federation: an endpoint is just another DataFrame); an unregistered
 endpoint raises unless ``SERVICE SILENT`` (single empty solution per
-§18.8). Out-of-scope constructs raise :class:`SparqlError` naming the
-construct (never silently mis-answer): HTTP federation (no network
-execution — register the relation instead) and variable SERVICE
-endpoints. Nested
+§18.8). ``SERVICE ?ep { … }`` ranges over every registered endpoint,
+binding ``?ep`` to the endpoint IRI (spec §18 leaves variable
+endpoints implementation-defined). The one out-of-scope construct
+raises :class:`SparqlError` naming it (never silently mis-answer):
+HTTP federation — no network execution; register the relation instead. Nested
 GRAPH follows the spec's algebra (the inner term re-selects the active
 graph, §13.3) with one documented deviation: a variable graph term
 binds only from patterns DIRECTLY inside it — an outer ``GRAPH ?g``
@@ -720,13 +721,16 @@ class _Parser:
             if self._eat_kw("service"):
                 silent = bool(self._eat_kw("silent"))
                 if self._peek()[0] == "VAR":
-                    raise SparqlError(
-                        "SERVICE with a variable endpoint is not supported")
-                endpoint = self._term("service endpoint")
+                    # variable endpoint: ranges over the REGISTERED
+                    # endpoints (spec §18 leaves this implementation-
+                    # defined); the var binds the endpoint IRI
+                    endpoint = self._next()[1]
+                else:
+                    endpoint = self._term("service endpoint")
                 self._expect("{")
                 sub = self._group()
                 spec.setdefault("services", []).append(
-                    (endpoint, sub, silent))
+                    (endpoint, sub, silent, self.term_mode))
                 continue
             self._triples_block(spec["patterns"])
         return spec
@@ -1649,8 +1653,8 @@ def _inject_services(spec: dict, registry: dict) -> None:
             _inject_services(b, registry)
     for s in spec.get("subselects", ()):
         _inject_services(s, registry)
-    for _, sub, _ in spec.get("services", ()):
-        _inject_services(sub, registry)
+    for svc in spec.get("services", ()):
+        _inject_services(svc[1], registry)
 
 
 def _is_complex_group(spec: dict) -> bool:
@@ -1797,8 +1801,38 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
     subs = [_run_select(triples, dict(s), dedup)
             for s in spec.get("subselects", ())]
     svc_dfs = []
-    for endpoint, sub, silent in spec.get("services", ()):
+    for endpoint, sub, silent, svc_term_mode in spec.get("services", ()):
         registry = spec.get("services_map") or {}
+
+        def _eval_service(rel: DataFrame) -> DataFrame:
+            # the SERVICE body evaluates against the REGISTERED
+            # relation: graph semantics follow ITS shape, and its own
+            # SERVICE groups resolve through the same registry
+            sub2 = _apply_graph_semantics(dict(sub), "graph" in rel.columns)
+            sub2["services_map"] = registry
+            return _group_solutions(rel, sub2, dedup)
+
+        if endpoint.startswith("?"):
+            # variable endpoint: one branch per registered endpoint,
+            # the variable bound to its IRI (relation-native rendering)
+            vname = endpoint[1:]
+            branches = [
+                _eval_service(rel).withColumn(
+                    vname, F.lit(f"<{key}>" if svc_term_mode else key))
+                for key, rel in sorted(registry.items())
+            ]
+            if not branches:
+                if silent:
+                    continue
+                raise SparqlError(
+                    "SERVICE with a variable endpoint needs registered "
+                    "endpoints — pass services={'iri': DataFrame} to "
+                    "sparql_query")
+            acc2 = branches[0]
+            for b in branches[1:]:
+                acc2 = acc2.unionByName(b, allowMissingColumns=True)
+            svc_dfs.append(acc2)
+            continue
         key = endpoint[1:-1] if endpoint.startswith("<") else endpoint
         rel = registry.get(key)
         if rel is None:
@@ -1810,12 +1844,7 @@ def _group_solutions(triples: DataFrame, spec: dict, dedup: bool) -> DataFrame:
             raise SparqlError(
                 f"SERVICE endpoint <{key}> is not registered — pass "
                 "services={'iri': DataFrame} to sparql_query")
-        # the SERVICE body evaluates against the REGISTERED relation:
-        # graph semantics follow ITS shape, and its own SERVICE groups
-        # resolve through the same registry
-        sub2 = _apply_graph_semantics(dict(sub), "graph" in rel.columns)
-        sub2["services_map"] = registry
-        svc_dfs.append(_group_solutions(rel, sub2, dedup))
+        svc_dfs.append(_eval_service(rel))
     if not union_dfs and not subs and not svc_dfs:
         kwargs = _exec_kwargs(spec)
         patterns = kwargs.pop("patterns")

@@ -420,6 +420,19 @@ def test_service_silent_unregistered_is_identity(kg):
     assert [tuple(r) for r in ask.collect()] == [(True,)]
 
 
+def test_service_variable_endpoint(kg, spark):
+    # SERVICE ?ep ranges over every registered endpoint, binding ?ep
+    hr = spark.createDataFrame([("a", "salary", "100")], kg.schema)
+    it = spark.createDataFrame([("b", "salary", "90")], kg.schema)
+    out = sparql_query(kg, """
+        SELECT ?ep ?s ?sal WHERE {
+          ?s type Person
+          SERVICE ?ep { ?s salary ?sal }
+        }
+    """, services={"urn:hr": hr, "urn:it": it})
+    assert rows(out) == [("urn:hr", "a", "100"), ("urn:it", "b", "90")]
+
+
 def test_service_body_may_union_and_filter(kg, spark):
     remote = spark.createDataFrame(
         [("a", "salary", "100"), ("b", "bonus", "5")], kg.schema)
